@@ -1,0 +1,22 @@
+"""Test config: run everything on a virtual 8-device CPU mesh so sharding
+paths are exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; bench.py runs on the real chip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import typesense_tpu.core.jaxcfg  # noqa: F401,E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def tmp_store(tmp_path):
+    from typesense_tpu.core.store import Store
+    s = Store(str(tmp_path / "store"))
+    yield s
+    s.close()

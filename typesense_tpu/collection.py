@@ -1,0 +1,510 @@
+"""Collection: schema + document CRUD + search orchestration.
+
+Behavior contract: /root/reference/include/collection.h (Collection class),
+src/collection.cpp — search param semantics (~90 params, collection.h:65-341),
+default sort assembly (collection.cpp:1735-1825), field weight defaults
+(collection.cpp:4210-4262 — max(0, 15-i)), hit JSON shape
+(collection.cpp:3100-3200), text_match_info (collection.cpp:4295),
+highlighting (collection.cpp:3527).
+
+TPU mapping: the collection owns one immutable device segment (rebuilt after
+write batches — the reference also rebuilds all in-memory state on boot, we
+just do it per commit) plus the host doc store for hydration.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from typesense_tpu.core.errors import BadRequest, NotFound, Conflict
+from typesense_tpu.index.builder import build_segment, tokenize_value
+from typesense_tpu.schema import field as ftypes
+from typesense_tpu.schema.field import Field
+from typesense_tpu.schema.validator import validate_document, COERCE_OR_REJECT
+from typesense_tpu.search import kernels
+from typesense_tpu.search.engine import IndexEngine, SortSpec, RawResult
+from typesense_tpu.search.filters import parse_filter_query, FilterEvaluator
+from typesense_tpu.search.highlight import highlight_doc
+
+FIELD_MAX_WEIGHT = 15    # index.h:667
+DROP_TOKENS_THRESHOLD = 1
+TYPO_TOKENS_THRESHOLD = 1
+
+
+def _as_list(v, sep=","):
+    if v is None:
+        return []
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return [s.strip() for s in str(v).split(sep) if s.strip() != ""]
+
+
+def _as_bool(v, default=False):
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() == "true"
+
+
+class Collection:
+    def __init__(self, name: str, fields: list[Field],
+                 default_sorting_field: str = "", store=None,
+                 collection_id: int = 0, created_at: int | None = None,
+                 enable_nested_fields: bool = False,
+                 symbols_to_index: list[str] | None = None,
+                 token_separators: list[str] | None = None,
+                 metadata: dict | None = None):
+        self.name = name
+        self.fields = fields
+        self.field_map = {f.name: f for f in fields}
+        self.default_sorting_field = default_sorting_field
+        self.store = store
+        self.collection_id = collection_id
+        self.created_at = created_at or int(time.time())
+        self.enable_nested_fields = enable_nested_fields
+        self.symbols_to_index = symbols_to_index or []
+        self.token_separators = token_separators or []
+        self.metadata = metadata or {}
+
+        if default_sorting_field:
+            f = self.field_map.get(default_sorting_field)
+            if f is None:
+                raise BadRequest(f"Default sorting field is defined as `{default_sorting_field}` "
+                                 f"but is not found in the schema.")
+            if not (f.is_numeric or f.is_bool):
+                raise BadRequest(f"Default sorting field `{default_sorting_field}` must be a single valued numerical field.")
+
+        self.next_seq_id = 0
+        self.docs: dict[int, dict] = {}        # seq_id -> document
+        self.id_to_seq: dict[str, int] = {}    # doc id -> seq_id
+        self._engine: IndexEngine | None = None
+        self._dirty = True
+
+        # apply per-collection symbols to string fields lacking their own
+        for f in self.fields:
+            if f.is_string:
+                f.symbols_to_index = f.symbols_to_index or self.symbols_to_index
+                f.token_separators = f.token_separators or self.token_separators
+
+    # ------------------------------------------------------------------
+    # document CRUD (collection.cpp:515 add_many / to_doc)
+    # ------------------------------------------------------------------
+    def _doc_key(self, seq_id: int) -> str:
+        return f"{self.collection_id}_{seq_id}"
+
+    def _id_key(self, doc_id: str) -> str:
+        return f"{self.collection_id}_$DI_{doc_id}"
+
+    def add(self, doc: dict, operation: str = "create",
+            dirty_values: str = COERCE_OR_REJECT) -> dict:
+        if not isinstance(doc, dict):
+            raise BadRequest("Document is not a valid JSON object.")
+        doc_id = doc.get("id")
+        if doc_id is not None and not isinstance(doc_id, str):
+            raise BadRequest("Document's `id` field should be a string.")
+
+        exists = doc_id is not None and doc_id in self.id_to_seq
+        if operation == "create" and exists:
+            raise Conflict(f"A document with id {doc_id} already exists.")
+        if operation == "update" and not exists:
+            raise NotFound(f"Could not find a document with id: {doc_id}")
+
+        if exists and operation in ("upsert", "update", "emplace"):
+            seq_id = self.id_to_seq[doc_id]
+            if operation in ("update", "emplace"):
+                merged = dict(self.docs[seq_id])
+                merged.update(doc)
+                doc = merged
+            validate_document(doc, self.fields, dirty_values)
+            self.docs[seq_id] = doc
+        else:
+            if doc_id is None:
+                doc_id = str(self.next_seq_id)
+                doc["id"] = doc_id
+            validate_document(doc, self.fields, dirty_values)
+            seq_id = self.next_seq_id
+            self.next_seq_id += 1
+            self.docs[seq_id] = doc
+            self.id_to_seq[doc_id] = seq_id
+
+        if self.store is not None:
+            import json
+            self.store.batch_write({
+                self._doc_key(seq_id): json.dumps(doc, ensure_ascii=False),
+                self._id_key(doc["id"]): str(seq_id),
+            })
+        self._dirty = True
+        return doc
+
+    def add_many(self, docs: list[dict], operation: str = "create",
+                 dirty_values: str = COERCE_OR_REJECT) -> list[dict]:
+        """Returns per-doc result objects like the import response."""
+        results = []
+        for doc in docs:
+            try:
+                self.add(doc, operation=operation, dirty_values=dirty_values)
+                results.append({"success": True})
+            except Exception as e:  # noqa: BLE001 — per-doc error isolation like import
+                results.append({"success": False,
+                                "error": getattr(e, "message", str(e)),
+                                "document": doc})
+        return results
+
+    def get(self, doc_id: str) -> dict:
+        seq = self.id_to_seq.get(doc_id)
+        if seq is None:
+            raise NotFound(f"Could not find a document with id: {doc_id}")
+        return self.docs[seq]
+
+    def remove(self, doc_id: str) -> dict:
+        seq = self.id_to_seq.pop(doc_id, None)
+        if seq is None:
+            raise NotFound(f"Could not find a document with id: {doc_id}")
+        doc = self.docs.pop(seq)
+        if self.store is not None:
+            self.store.batch_write({}, deletes=[self._doc_key(seq), self._id_key(doc_id)])
+        self._dirty = True
+        return doc
+
+    @property
+    def num_documents(self) -> int:
+        return len(self.docs)
+
+    def load_from_store(self):
+        """Startup rebuild (CollectionManager::load path): docs are the
+        checkpoint of record; indices are derived (SURVEY.md §5)."""
+        import json
+        if self.store is None:
+            return
+        prefix = f"{self.collection_id}_"
+        max_seq = -1
+        for k, v in self.store.scan(prefix):
+            rest = k[len(prefix):]
+            if rest.startswith("$DI_"):
+                self.id_to_seq[rest[4:]] = int(v)
+            elif rest.isdigit():
+                seq = int(rest)
+                self.docs[seq] = json.loads(v)
+                max_seq = max(max_seq, seq)
+        self.next_seq_id = max_seq + 1
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # index lifecycle
+    # ------------------------------------------------------------------
+    def _ensure_index(self) -> IndexEngine:
+        if self._engine is None or self._dirty:
+            num_docs = max(self.next_seq_id, 1)
+            seg = build_segment(sorted(self.docs.items()), self.fields, num_docs)
+            self._engine = IndexEngine(seg, self.fields)
+            self._dirty = False
+        return self._engine
+
+    # ------------------------------------------------------------------
+    # search (collection.cpp:2807 Collection::search)
+    # ------------------------------------------------------------------
+    def search(self, params: dict) -> dict:
+        t0 = time.monotonic()
+        q = params.get("q")
+        if q is None:
+            raise BadRequest("Parameter `q` is required.")
+        raw_query_by = _as_list(params.get("query_by"))
+        if q != "*" and not raw_query_by:
+            raise BadRequest("No search fields specified for the query.")
+
+        engine = self._ensure_index()
+
+        # --- resolve search fields + weights ---
+        search_fields: list[str] = []
+        for fname in raw_query_by:
+            f = self.field_map.get(fname)
+            if f is None:
+                raise NotFound(f"Could not find a field named `{fname}` in the schema.")
+            if not f.index:
+                raise BadRequest(f"Field `{fname}` is marked as a non-indexed field in the schema.")
+            if not f.is_string:
+                raise BadRequest(f"Field `{fname}` should be a string or a string array.")
+            search_fields.append(fname)
+
+        raw_weights = [int(w) for w in _as_list(params.get("query_by_weights"))]
+        if raw_weights and len(raw_weights) != len(search_fields):
+            raise BadRequest("Number of weights in `query_by_weights` does not match "
+                             "number of `query_by` fields.")
+        if raw_weights:
+            weights = [min(w, FIELD_MAX_WEIGHT) for w in raw_weights]
+        else:
+            weights = [max(0, FIELD_MAX_WEIGHT - i) for i in range(len(search_fields))]
+
+        # --- pagination ---
+        per_page = int(params.get("per_page", params.get("limit", 10)))
+        if per_page > 250:
+            raise BadRequest("Only upto 250 hits can be fetched per page.")
+        page = int(params.get("page", 0) or 0)
+        offset = int(params.get("offset", 0) or 0)
+        if page == 0 and offset == 0:
+            page = 1
+        start = (page - 1) * per_page if page > 0 else offset
+        fetch = start + per_page
+
+        # --- filters ---
+        filter_by = params.get("filter_by", "")
+        filter_mask = None
+        if filter_by:
+            node = parse_filter_query(filter_by)
+            fe = FilterEvaluator(engine.seg, self.field_map)
+            m = fe.evaluate(node)
+            if m is not None:
+                import jax
+                import jax.numpy as jnp
+                filter_mask = jax.device_put(jnp.asarray(m))
+
+        # --- facets ---
+        facet_fields = []
+        for fspec in _as_list(params.get("facet_by")):
+            fname = fspec.split("(")[0].strip()
+            f = self.field_map.get(fname)
+            if f is None:
+                raise NotFound(f"Could not find a facet field named `{fname}` in the schema.")
+            if not f.facet:
+                raise BadRequest(f"Field `{fname}` is not a facet field in the schema.")
+            facet_fields.append(fname)
+        max_facet_values = int(params.get("max_facet_values", 10))
+
+        # --- sort spec ---
+        sort_slots = self._parse_sort_by(params.get("sort_by", ""), is_wildcard=(q == "*"))
+
+        prioritize_exact = _as_bool(params.get("prioritize_exact_match"), True)
+        prioritize_num_fields = _as_bool(params.get("prioritize_num_matching_fields"), True)
+        drop_tokens_threshold = int(params.get("drop_tokens_threshold", DROP_TOKENS_THRESHOLD))
+        num_typos = [int(t) for t in _as_list(params.get("num_typos"))] or [2]
+        prefixes = [_as_bool(p) for p in _as_list(params.get("prefix"))] or [True]
+        max_candidates = int(params.get("max_candidates", 0) or 0)
+
+        k = max(250, fetch)
+
+        if q == "*":
+            raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
+                                         facet_fields=facet_fields, k=fetch or 10)
+            q_tokens: list[str] = []
+        else:
+            first_field = self.field_map[search_fields[0]]
+            q_tokens = tokenize_value(str(q), first_field)[:10]
+            if not q_tokens:
+                raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
+                                             facet_fields=facet_fields, k=fetch or 10)
+            else:
+                raw = self._keyword_with_drop_tokens(
+                    engine, q_tokens, search_fields, weights, sort_slots,
+                    filter_mask, facet_fields, k, num_typos, prefixes,
+                    max_candidates, drop_tokens_threshold,
+                    prioritize_exact, prioritize_num_fields,
+                    int(params.get("typo_tokens_threshold", TYPO_TOKENS_THRESHOLD)))
+
+        # --- hydrate + respond ---
+        resp = self._build_response(raw, q, q_tokens, search_fields, params,
+                                    page if page > 0 else 1, per_page, start,
+                                    facet_fields, max_facet_values)
+        resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
+        return resp
+
+    # ------------------------------------------------------------------
+    def _keyword_with_drop_tokens(self, engine, q_tokens, search_fields, weights,
+                                  sort_slots, filter_mask, facet_fields, k,
+                                  num_typos, prefixes, max_candidates,
+                                  drop_tokens_threshold, prioritize_exact,
+                                  prioritize_num_fields, typo_tokens_threshold) -> RawResult:
+        """Run keyword search; drop tokens right-to-left while below threshold
+        (index.cpp:3851-3990 drop_tokens loop)."""
+        from typesense_tpu.search.candidates import token_candidate_sets
+
+        tokens = list(q_tokens)
+        results: list[RawResult] = []
+        while True:
+            cands = token_candidate_sets(
+                engine, tokens, search_fields, num_typos, prefixes,
+                max_candidates, typo_tokens_threshold)
+            raw = engine.keyword_search(
+                cands, search_fields, weights, sort_slots,
+                filter_mask=filter_mask, facet_fields=facet_fields, k=k,
+                prioritize_exact=prioritize_exact,
+                prioritize_num_fields=prioritize_num_fields)
+            results.append(raw)
+            if raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1:
+                break
+            tokens = tokens[:-1]  # drop right-most token (default direction)
+
+        if len(results) == 1:
+            return results[0]
+        # merge (earlier = more tokens matched = higher packed score anyway):
+        # dedupe by doc id keeping best keys
+        best: dict[int, np.ndarray] = {}
+        total_found = results[-1].found
+        for r in results:
+            for i, d in enumerate(r.doc_ids):
+                cur = best.get(int(d))
+                key = r.scores[i]
+                if cur is None or tuple(key) > tuple(cur):
+                    best[int(d)] = key
+        if not best:
+            return results[-1]
+        ids = np.array(list(best.keys()), dtype=np.int32)
+        sc = np.stack([best[int(d)] for d in ids])
+        order = np.lexsort((-ids.astype(np.int64), -sc[:, 2], -sc[:, 1], -sc[:, 0]))
+        merged = RawResult(doc_ids=ids[order], scores=sc[order],
+                           found=max(total_found, len(best)),
+                           facet_counts=results[0].facet_counts,
+                           out_of=results[0].out_of)
+        return merged
+
+    # ------------------------------------------------------------------
+    def _parse_sort_by(self, sort_by: str, is_wildcard: bool) -> list[SortSpec]:
+        """collection.cpp:1735-1825 default sort assembly."""
+        slots: list[SortSpec] = []
+        specs = _as_list(sort_by)
+        if len(specs) > 3:
+            raise BadRequest("Only upto 3 sort_by fields can be specified.")
+        found_text_match = False
+        for spec in specs:
+            if ":" not in spec:
+                raise BadRequest(f"Parameter `sort_by` is malformed.")
+            name, order = spec.rsplit(":", 1)
+            name, order = name.strip(), order.strip().lower()
+            if order not in ("asc", "desc"):
+                raise BadRequest(f"Order for field` {name}` should be either ASC or DESC.")
+            sign = 1 if order == "desc" else -1
+            if name == "_text_match":
+                slots.append(SortSpec(kernels.SLOT_TEXT, sign))
+                found_text_match = True
+            elif name == "_seq_id" or name == "id":
+                slots.append(SortSpec(kernels.SLOT_SEQ_ID, sign))
+            elif name == "_vector_distance":
+                slots.append(SortSpec(kernels.SLOT_VECTOR, -sign))
+            else:
+                f = self.field_map.get(name)
+                if f is None:
+                    raise NotFound(f"Could not find a field named `{name}` in the schema for sorting.")
+                if not f.sort:
+                    raise BadRequest(f"Field `{name}` is not a sortable type or `sort` has not "
+                                     f"been enabled in the schema.")
+                slots.append(SortSpec(kernels.SLOT_COLUMN, sign, column=name))
+
+        if not specs:
+            if not is_wildcard:
+                slots.append(SortSpec(kernels.SLOT_TEXT, 1))
+                found_text_match = True
+            if self.default_sorting_field:
+                slots.append(SortSpec(kernels.SLOT_COLUMN, 1, column=self.default_sorting_field))
+            else:
+                slots.append(SortSpec(kernels.SLOT_SEQ_ID, 1))
+        elif not found_text_match and not is_wildcard and len(slots) < 3:
+            slots.append(SortSpec(kernels.SLOT_TEXT, 1))
+        return slots[:3]
+
+    # ------------------------------------------------------------------
+    def _build_response(self, raw: RawResult, q, q_tokens, search_fields, params,
+                        page, per_page, start, facet_fields, max_facet_values) -> dict:
+        include_fields = set(_as_list(params.get("include_fields")))
+        exclude_fields = set(_as_list(params.get("exclude_fields")))
+        highlight_full = set(_as_list(params.get("highlight_full_fields")))
+        hl_fields = _as_list(params.get("highlight_fields"))
+        hl_start = params.get("highlight_start_tag", "<mark>")
+        hl_end = params.get("highlight_end_tag", "</mark>")
+        snippet_threshold = int(params.get("snippet_threshold", 30))
+        affix_tokens = int(params.get("highlight_affix_num_tokens", 4))
+
+        hits = []
+        page_ids = raw.doc_ids[start:start + per_page]
+        page_scores = raw.scores[start:start + per_page]
+        text_slot = None
+        # find which slot carries text match for text_match_info
+        sort_slots = self._parse_sort_by(params.get("sort_by", ""), is_wildcard=(q == "*"))
+        for i, s in enumerate(sort_slots):
+            if s.kind == kernels.SLOT_TEXT:
+                text_slot = i
+                break
+
+        for rank, seq_id in enumerate(page_ids):
+            doc = self.docs.get(int(seq_id))
+            if doc is None:
+                continue
+            out_doc = dict(doc)
+            if include_fields:
+                out_doc = {k: v for k, v in out_doc.items()
+                           if k in include_fields or k == "id"}
+            for ex in exclude_fields:
+                out_doc.pop(ex, None)
+
+            hit = {"document": out_doc, "highlight": {}, "highlights": []}
+            if q != "*" and q_tokens:
+                hl_targets = hl_fields or search_fields
+                hl, legacy = highlight_doc(doc, hl_targets, q_tokens, self.field_map,
+                                           hl_start, hl_end, snippet_threshold,
+                                           affix_tokens, highlight_full)
+                hit["highlight"] = hl
+                hit["highlights"] = legacy
+            if text_slot is not None:
+                score = int(page_scores[rank][text_slot])
+                hit["text_match"] = score
+                hit["text_match_info"] = self._text_match_info(score, len(q_tokens))
+            hits.append(hit)
+
+        facet_counts = []
+        for fname in facet_fields:
+            values, counts = raw.facet_counts.get(fname, ([], np.zeros(0, np.int32)))
+            order = np.argsort(-counts, kind="stable")[:max_facet_values]
+            facet_counts.append({
+                "field_name": fname,
+                "sampled": False,
+                "counts": [
+                    {"count": int(counts[i]), "highlighted": values[i], "value": values[i]}
+                    for i in order if counts[i] > 0
+                ],
+                "stats": {"total_values": int((counts > 0).sum())},
+            })
+
+        return {
+            "facet_counts": facet_counts,
+            "found": raw.found,
+            "hits": hits,
+            "out_of": raw.out_of,
+            "page": page,
+            "request_params": {
+                "collection_name": self.name,
+                "first_q": q,
+                "per_page": per_page,
+                "q": q,
+            },
+            "search_cutoff": False,
+        }
+
+    @staticmethod
+    def _text_match_info(score: int, total_tokens: int) -> dict:
+        """collection.cpp:4295 populate_text_match_info (max_score layout)."""
+        def bits(v, pos, n):
+            return (v >> pos) & ((1 << n) - 1)
+        tokens_matched = bits(score, 59, 4)
+        return {
+            "best_field_score": str(bits(score, 11, 48)),
+            "best_field_weight": bits(score, 3, 8),
+            "fields_matched": bits(score, 0, 3),
+            "num_tokens_dropped": max(0, total_tokens - tokens_matched),
+            "score": str(score),
+            "tokens_matched": tokens_matched,
+            "typo_prefix_score": 255 - bits(score, 35, 8),
+        }
+
+    # ------------------------------------------------------------------
+    def get_summary_json(self) -> dict:
+        return {
+            "name": self.name,
+            "num_documents": self.num_documents,
+            "fields": [f.to_json() for f in self.fields],
+            "default_sorting_field": self.default_sorting_field,
+            "created_at": self.created_at,
+            "enable_nested_fields": self.enable_nested_fields,
+            "symbols_to_index": self.symbols_to_index,
+            "token_separators": self.token_separators,
+        }

@@ -1,0 +1,342 @@
+"""Host-side index build pipeline: documents -> SegmentArrays.
+
+Replaces the reference's Index::batch_memory_index / index_field_in_memory
+(/root/reference/src/index.cpp:575-1054): instead of mutating an ART and
+block-chained posting lists per document, we accumulate flat occurrence
+triples (term, doc, position) per field, then sort once into CSR arrays —
+a build shaped like a data pipeline (tokenize → bin → sort → compress)
+rather than pointer surgery, so the output is directly device-loadable.
+
+Terms are sorted lexicographically so prefix matching becomes a contiguous
+id range and the fuzzy kernel scans a coherent table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from typesense_tpu.index.artifacts import (
+    MAX_TERM_LEN, POS_BITS, MAX_POS, SegmentArrays, pack_position,
+)
+from typesense_tpu.schema.field import Field
+from typesense_tpu.text.tokenizer import Tokenizer
+
+_ASCII_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# Fields eligible for the `:=`/facet value index are capped to avoid blowing
+# host memory on long-text fields (reference facets carry whole values too —
+# facet_index.h fvalue_seq_ids).
+MAX_VALUE_INDEX_DISTINCT = 1_000_000
+
+
+def fast_tokenize(text: str) -> list[str]:
+    """ASCII fast path equivalent to Tokenizer with default symbols: runs of
+    [a-z0-9] after lowercasing (tokenizer.cpp:232-289 stream modes)."""
+    return _ASCII_WORD_RE.findall(text.lower())
+
+
+def tokenize_value(text: str, field: Field) -> list[str]:
+    if not isinstance(text, str):
+        text = str(text)
+    if (not field.locale and not field.symbols_to_index and not field.token_separators
+            and not field.stem and text.isascii()):
+        return fast_tokenize(text)
+    return Tokenizer(text, locale=field.locale,
+                     symbols_to_index=field.symbols_to_index,
+                     separators=field.token_separators).tokenize()
+
+
+def _as_values(raw) -> list:
+    """Field value(s) as a list (arrays keep order; scalars wrap)."""
+    if raw is None:
+        return []
+    if isinstance(raw, list):
+        return raw
+    return [raw]
+
+
+def _string_sort_ranks(values: dict[int, str], num_docs: int) -> np.ndarray:
+    """Order-preserving rank column (adi_tree_t::rank equivalent,
+    /root/reference/include/adi_tree.h:30-33). Missing docs sort last."""
+    col = np.full(num_docs, np.iinfo(np.int64).max, dtype=np.int64)
+    if values:
+        docs = np.fromiter(values.keys(), dtype=np.int64, count=len(values))
+        vals = list(values.values())
+        order = np.argsort(np.array(vals, dtype=object), kind="stable")
+        ranks = np.empty(len(vals), dtype=np.int64)
+        ranks[order] = np.arange(len(vals))
+        col[docs] = ranks
+    return col
+
+
+def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
+                  num_docs: int) -> SegmentArrays:
+    """Build one immutable segment.
+
+    docs: [(seq_id, document_json)] — seq ids must be < num_docs.
+    """
+    search_fields = [f for f in fields if f.index and f.is_string and not f.is_vector]
+    field_idx = {f.name: i for i, f in enumerate(search_fields)}
+    F = len(search_fields)
+
+    # occurrence accumulation per field: parallel python lists -> numpy
+    occ_terms: list[list[int]] = [[] for _ in range(F)]
+    occ_docs: list[list[int]] = [[] for _ in range(F)]
+    occ_pos: list[list[int]] = [[] for _ in range(F)]
+    occ_last: list[list[int]] = [[] for _ in range(F)]
+    term_ids: dict[str, int] = {}
+
+    live = np.zeros(num_docs, dtype=bool)
+    ftc = np.zeros((num_docs, max(F, 1)), dtype=np.int32)
+
+    numeric_fields = [f for f in fields if f.index and (f.is_numeric or f.is_bool) and not f.is_vector and not f.is_array]
+    numeric_multi = [f for f in fields if f.index and (f.is_numeric or f.is_bool) and not f.is_vector and f.is_array]
+    facet_fields = [f for f in fields if f.facet]
+    vector_fields = [f for f in fields if f.is_vector]
+    geo_fields = [f for f in fields if f.is_geo]
+    str_sort_fields = [f for f in fields if f.is_string and f.sort and not f.is_array]
+
+    num_cols: dict[str, np.ndarray] = {}
+    for f in numeric_fields:
+        if f.is_float:
+            num_cols[f.name] = np.full(num_docs, np.nan, dtype=np.float32)
+        else:
+            num_cols[f.name] = np.full(num_docs, np.iinfo(np.int64).min, dtype=np.int64)
+
+    multi_acc: dict[str, tuple[list, list]] = {f.name: ([], []) for f in numeric_multi}
+    facet_acc: dict[str, tuple[list, list]] = {f.name: ([], []) for f in facet_fields}
+    facet_vals: dict[str, dict[str, int]] = {f.name: {} for f in facet_fields}
+    str_sort_acc: dict[str, dict[int, str]] = {f.name: {} for f in str_sort_fields}
+    vec_acc: dict[str, dict[int, np.ndarray]] = {f.name: {} for f in vector_fields}
+    geo_cols: dict[str, np.ndarray] = {
+        f.name: np.full((num_docs, 2), np.nan, dtype=np.float32) for f in geo_fields
+    }
+    value_index_acc: dict[str, dict[str, list[int]]] = {}
+    for f in fields:
+        if f.index and f.is_string and not f.is_vector:
+            value_index_acc[f.name] = {}
+
+    for seq_id, doc in docs:
+        live[seq_id] = True
+        for f in search_fields:
+            raw = doc.get(f.name)
+            if raw is None:
+                continue
+            fi = field_idx[f.name]
+            tok_total = 0
+            vindex = value_index_acc.get(f.name)
+            for elem_idx, value in enumerate(_as_values(raw)):
+                if not isinstance(value, str):
+                    value = str(value)
+                if vindex is not None and len(vindex) < MAX_VALUE_INDEX_DISTINCT:
+                    vindex.setdefault(value, []).append(seq_id)
+                toks = tokenize_value(value, f)
+                n = len(toks)
+                tok_total += n
+                ot, od, op, ol = occ_terms[fi], occ_docs[fi], occ_pos[fi], occ_last[fi]
+                for pos, tok in enumerate(toks):
+                    tid = term_ids.setdefault(tok[:MAX_TERM_LEN], len(term_ids))
+                    ot.append(tid)
+                    od.append(seq_id)
+                    op.append((min(elem_idx, (1 << 18) - 1) << POS_BITS) | min(pos, MAX_POS))
+                    ol.append(1 if pos == n - 1 else 0)
+            ftc[seq_id, fi] = tok_total
+
+        for f in numeric_fields:
+            v = doc.get(f.name)
+            if v is None:
+                continue
+            col = num_cols[f.name]
+            if f.is_float:
+                col[seq_id] = float(v)
+            else:
+                col[seq_id] = int(v) if not isinstance(v, bool) else int(v)
+
+        for f in numeric_multi:
+            vals = _as_values(doc.get(f.name))
+            if vals:
+                dlist, vlist = multi_acc[f.name]
+                for v in vals:
+                    dlist.append(seq_id)
+                    vlist.append(float(v) if f.is_float else int(v))
+
+        for f in facet_fields:
+            vals = _as_values(doc.get(f.name))
+            if not vals:
+                continue
+            vmap = facet_vals[f.name]
+            dlist, vlist = facet_acc[f.name]
+            for v in vals:
+                s = v if isinstance(v, str) else (
+                    format(v, ".2f") if isinstance(v, float) else str(v).lower() if isinstance(v, bool) else str(v))
+                vid = vmap.setdefault(s, len(vmap))
+                dlist.append(seq_id)
+                vlist.append(vid)
+
+        for f in str_sort_fields:
+            v = doc.get(f.name)
+            if isinstance(v, str):
+                str_sort_acc[f.name][seq_id] = v.lower()
+
+        for f in vector_fields:
+            v = doc.get(f.name)
+            if isinstance(v, list) and len(v) == f.num_dim:
+                vec_acc[f.name][seq_id] = np.asarray(v, dtype=np.float32)
+
+        for f in geo_fields:
+            v = doc.get(f.name)
+            if isinstance(v, list) and len(v) == 2:
+                geo_cols[f.name][seq_id] = v
+            elif isinstance(v, dict) and "lat" in v:
+                geo_cols[f.name][seq_id] = [v["lat"], v["lng"]]
+
+    # ---- term table (sorted lexicographically; remap ids) ----
+    terms = sorted(term_ids)
+    T = len(terms)
+    remap = np.zeros(max(len(term_ids), 1), dtype=np.int64)
+    new_ids = {}
+    for new_id, t in enumerate(terms):
+        remap[term_ids[t]] = new_id
+        new_ids[t] = new_id
+
+    term_chars = np.zeros((max(T, 1), MAX_TERM_LEN), dtype=np.uint8)
+    term_lens = np.zeros(max(T, 1), dtype=np.int32)
+    for i, t in enumerate(terms):
+        b = t.encode("utf-8")[:MAX_TERM_LEN]
+        term_chars[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        term_lens[i] = len(b)
+
+    # ---- postings CSR: row = field * T + term ----
+    n_rows = max(F, 1) * max(T, 1)
+    row_counts = np.zeros(n_rows, dtype=np.int64)
+    per_field = []
+    total_postings = 0
+    for fi in range(F):
+        if not occ_terms[fi]:
+            per_field.append(None)
+            continue
+        t = remap[np.asarray(occ_terms[fi], dtype=np.int64)]
+        d = np.asarray(occ_docs[fi], dtype=np.int64)
+        p = np.asarray(occ_pos[fi], dtype=np.int32)
+        lt = np.asarray(occ_last[fi], dtype=np.uint8)
+        order = np.lexsort((p, d, t))
+        t, d, p, lt = t[order], d[order], p[order], lt[order]
+        # group identical (t, d) into one posting
+        boundary = np.ones(len(t), dtype=bool)
+        boundary[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        per_field.append((t, d, p, lt, boundary))
+        group_tids = t[boundary]
+        np.add.at(row_counts, fi * T + group_tids, 1)
+        total_postings += int(boundary.sum())
+
+    post_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=post_offsets[1:])
+
+    post_doc_ids = np.zeros(max(total_postings, 1), dtype=np.int32)
+    post_flags = np.zeros(max(total_postings, 1), dtype=np.uint8)
+    pos_counts = np.zeros(max(total_postings, 1), dtype=np.int64)
+    pos_chunks = []
+    write = 0
+    for fi in range(F):
+        pf = per_field[fi]
+        if pf is None:
+            continue
+        t, d, p, lt, boundary = pf
+        n_groups = int(boundary.sum())
+        starts = np.flatnonzero(boundary)
+        ends = np.concatenate([starts[1:], [len(t)]])
+        post_doc_ids[write:write + n_groups] = d[starts]
+        # flag: any occurrence in the group is a last-token occurrence
+        flag_csum = np.concatenate([[0], np.cumsum(lt.astype(np.int64))])
+        post_flags[write:write + n_groups] = (flag_csum[ends] - flag_csum[starts] > 0).astype(np.uint8)
+        pos_counts[write:write + n_groups] = ends - starts
+        pos_chunks.append(p)
+        write += n_groups
+
+    pos_offsets = np.zeros(max(total_postings, 1) + 1, dtype=np.int64)
+    np.cumsum(pos_counts, out=pos_offsets[1:])
+    positions = (np.concatenate(pos_chunks) if pos_chunks
+                 else np.zeros(1, dtype=np.int32))
+
+    term_doc_freq = np.zeros(max(T, 1), dtype=np.int32)
+    if T:
+        per_row = (post_offsets[1:] - post_offsets[:-1]).reshape(max(F, 1), max(T, 1))
+        term_doc_freq[:] = per_row.sum(axis=0)
+
+    # ---- columns ----
+    num_multi = {}
+    for f in numeric_multi:
+        dlist, vlist = multi_acc[f.name]
+        d = np.asarray(dlist, dtype=np.int64)
+        v = (np.asarray(vlist, dtype=np.float32) if f.is_float
+             else np.asarray(vlist, dtype=np.int64))
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        offs = np.zeros(num_docs + 1, dtype=np.int64)
+        np.add.at(offs, d + 1, 1)
+        np.cumsum(offs, out=offs)
+        num_multi[f.name] = (offs, v)
+
+    facet_columns = {}
+    facet_value_lists = {}
+    for f in facet_fields:
+        dlist, vlist = facet_acc[f.name]
+        d = np.asarray(dlist, dtype=np.int64)
+        v = np.asarray(vlist, dtype=np.int32)
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        offs = np.zeros(num_docs + 1, dtype=np.int64)
+        if len(d):
+            np.add.at(offs, d + 1, 1)
+        np.cumsum(offs, out=offs)
+        facet_columns[f.name] = (offs, v)
+        facet_value_lists[f.name] = list(facet_vals[f.name])
+
+    str_sort_columns = {
+        name: _string_sort_ranks(vals, num_docs) for name, vals in str_sort_acc.items()
+    }
+
+    vectors = {}
+    for f in vector_fields:
+        mat = np.zeros((num_docs, f.num_dim), dtype=np.float32)
+        for seq_id, v in vec_acc[f.name].items():
+            mat[seq_id] = v
+        if f.vec_dist == "cosine":
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = np.where(norms > 0, mat / np.maximum(norms, 1e-30), mat)
+        vectors[f.name] = mat
+
+    value_index = {
+        fname: {v: np.asarray(sorted(set(ids)), dtype=np.int32)
+                for v, ids in vals.items()}
+        for fname, vals in value_index_acc.items()
+        if len(vals) < MAX_VALUE_INDEX_DISTINCT
+    }
+
+    return SegmentArrays(
+        num_docs=num_docs,
+        num_terms=T,
+        search_fields=[f.name for f in search_fields],
+        term_chars=term_chars,
+        term_lens=term_lens,
+        term_doc_freq=term_doc_freq,
+        post_offsets=post_offsets,
+        post_doc_ids=post_doc_ids,
+        post_flags=post_flags,
+        pos_offsets=pos_offsets,
+        positions=positions,
+        live=live,
+        field_token_counts=ftc,
+        num_columns=num_cols,
+        num_multi=num_multi,
+        facet_columns=facet_columns,
+        facet_values=facet_value_lists,
+        str_sort_columns=str_sort_columns,
+        vectors=vectors,
+        geo_columns=geo_cols,
+        term_to_id=new_ids,
+        facet_value_to_id=facet_vals,
+        value_index=value_index,
+    )

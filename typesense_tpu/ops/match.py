@@ -1,0 +1,104 @@
+"""Proximity match scoring — vectorized equivalent of the reference's Match
+heap-walk (/root/reference/include/match_score.h:129-275) with identical
+bit-packing (match_score.h:56-68) so ranking parity holds.
+
+Key identity: the reference slides a heap of per-token "current offsets",
+popping the min offset p each step. At any such state, the current offset of
+token t equals min{positions of t >= p} (each smaller position was itself
+popped earlier). The per-state displacement telescopes to
+(max in-window offset) - p. So instead of a sequential heap walk we evaluate
+EVERY anchor position p in parallel:
+
+    next_t(p)     = min over positions of t that are >= p
+    alive_t(p)    = next_t(p) exists
+    in_window     = alive & (next_t - p <= WINDOW_SIZE)
+    words(p)      = sum_t in_window
+    displacement  = max_t(in-window next_t) - p
+    valid anchor  = anchor is a real position and >= 2 tokens alive
+                    (matches the `while window.size() > 1` loop guard)
+
+Best = lexicographic max of (words, -displacement), first anchor in
+ascending-p order on ties (the reference's strict-improvement update).
+"""
+
+from __future__ import annotations
+
+import typesense_tpu.core.jaxcfg  # noqa: F401  (enable x64 before jnp use)
+import jax
+import jax.numpy as jnp
+
+WINDOW_SIZE = 10  # match_score.h:11
+INF = jnp.int32(1 << 30)
+
+
+def match_components(positions: jax.Array, pos_valid: jax.Array,
+                     token_matched: jax.Array):
+    """Compute Match components for a batch of candidate docs in one field.
+
+    positions:     (B, Q, P) int32 packed positions (sorted per token)
+    pos_valid:     (B, Q, P) bool
+    token_matched: (B, Q) bool — token present in this doc+field
+
+    Returns (words_present, distance, max_offset) each (B,) int32, following
+    Match() semantics incl. the single-token fallback (words=1, distance=0,
+    max_offset=0 from the default-initialized member).
+    """
+    B, Q, P = positions.shape
+    pos_valid = pos_valid & token_matched[:, :, None]
+    pos = jnp.where(pos_valid, positions, INF)                     # (B, Q, P)
+
+    # anchors: every valid position, sorted ascending per candidate so that
+    # argmax tie-breaks like the reference's in-order strict improvement.
+    anchors = jnp.sort(pos.reshape(B, Q * P), axis=1)              # (B, A)
+    anchor_valid = anchors < INF
+
+    # next_t(p): min position of token t >= p   -> (B, A, Q)
+    ge = jnp.where(pos[:, None, :, :] >= anchors[:, :, None, None],
+                   pos[:, None, :, :], INF)
+    nxt = jnp.min(ge, axis=3)                                      # (B, A, Q)
+
+    alive = nxt < INF
+    alive_cnt = jnp.sum(alive, axis=2)                             # (B, A)
+    in_window = alive & ((nxt - anchors[:, :, None]) <= WINDOW_SIZE)
+    words = jnp.sum(in_window, axis=2).astype(jnp.int32)           # (B, A)
+    max_in_win = jnp.max(jnp.where(in_window, nxt, -1), axis=2)
+    displacement = jnp.maximum(max_in_win - anchors, 0).astype(jnp.int32)
+    max_off = jnp.max(jnp.where(alive, nxt, -1), axis=2)           # window.front()
+
+    usable = anchor_valid & (alive_cnt >= 2)
+    # lexicographic (words, -displacement) with first-anchor tie-break
+    key = jnp.where(usable,
+                    words.astype(jnp.int64) * (1 << 32) - displacement.astype(jnp.int64),
+                    jnp.int64(-1) << 40)
+    best_a = jnp.argmax(key, axis=1)                               # (B,)
+    bidx = (jnp.arange(B), best_a)
+    any_usable = jnp.any(usable, axis=1)
+
+    words_present = jnp.where(any_usable, words[bidx], 1).astype(jnp.int32)
+    distance = jnp.where(any_usable, displacement[bidx], 0).astype(jnp.int32)
+    max_offset = jnp.where(any_usable,
+                           jnp.minimum(max_off[bidx], 255), 0).astype(jnp.int32)
+    return words_present, distance, max_offset
+
+
+def pack_field_score(words_present, unique_words, total_cost, distance,
+                     exact_match, max_offset_score, synonym_score):
+    """match_score.h:56-68 — identical 48-bit packing (int64)."""
+    wp = jnp.clip(words_present, 0, 255).astype(jnp.int64)
+    uw = jnp.clip(unique_words, 0, 255).astype(jnp.int64)
+    tc = jnp.clip(255 - total_cost, 0, 255).astype(jnp.int64)
+    dist = (100 - jnp.clip(distance, 0, 100)).astype(jnp.int64)
+    ex = jnp.clip(exact_match, 0, 15).astype(jnp.int64)
+    off = jnp.clip(max_offset_score, 0, 255).astype(jnp.int64)
+    syn = jnp.clip(synonym_score, 0, 15).astype(jnp.int64)
+    return (wp << 40) | (uw << 32) | (tc << 24) | (dist << 16) | (ex << 12) | (off << 4) | syn
+
+
+def pack_aggregated_score(query_len, best_field_score, best_field_weight,
+                          num_matching_fields):
+    """index.cpp:5355-5371 MAX_SCORE layout:
+    [sign | tokens_matched(4) | max_field_score(48) | max_field_weight(8) | num_fields(3)]."""
+    ql = jnp.clip(query_len, 0, 15).astype(jnp.int64)
+    w = jnp.clip(best_field_weight, 0, 127).astype(jnp.int64)
+    nmf = jnp.clip(num_matching_fields, 0, 7).astype(jnp.int64)
+    return (ql << 59) | (best_field_score.astype(jnp.int64) << 11) | (w << 3) | nmf

@@ -1,0 +1,104 @@
+"""Query-token candidate sets: exact, prefix, and (fuzzy) typo candidates.
+
+Reference contract: art_fuzzy_search (/root/reference/src/art.cpp:1745) with
+cost bands from Index::get_bounded_typo_cost (token length gates: len<3 -> 0
+typos, len<7 -> 1, else up to 2; index.h), prefix mode on the trailing token,
+and max_candidates frequency-ranked expansion (collection.h:928 default 4,
+exhaustive_search -> 10,000).
+
+TPU design: the term table is lexicographically sorted, so prefix expansion
+is a host bisect to an id range, frequency-ranked with numpy. Typo candidates
+come from the batched Levenshtein kernel (ops/fuzzy.py) scanning the whole
+term table at once — the flattened equivalent of the ART fuzzy DP traversal.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+import numpy as np
+
+DEFAULT_MAX_CANDIDATES = 4
+EXHAUSTIVE_MAX_CANDIDATES = 10000
+
+
+def bounded_typo_cost(max_cost: int, token_len: int) -> int:
+    """Index::get_bounded_typo_cost — short tokens get fewer typos."""
+    if token_len < 3:
+        return 0
+    if token_len < 7:
+        return min(max_cost, 1)
+    return min(max_cost, 2)
+
+
+def _sorted_terms(engine) -> list[str]:
+    terms = getattr(engine, "_terms_sorted", None)
+    if terms is None:
+        terms = sorted(engine.seg.term_to_id)
+        engine._terms_sorted = terms
+    return terms
+
+
+def prefix_candidates(engine, token: str, max_candidates: int) -> tuple[np.ndarray, np.ndarray]:
+    """Term-id range covering `token*`, frequency-ranked, capped."""
+    terms = _sorted_terms(engine)
+    lo = bisect_left(terms, token)
+    hi = bisect_left(terms, token + "￿")
+    if hi <= lo:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = np.arange(lo, hi, dtype=np.int64)
+    freqs = engine.seg.term_doc_freq[lo:hi]
+    if len(ids) > max_candidates:
+        top = np.argpartition(-freqs, max_candidates - 1)[:max_candidates]
+        # keep the exact token (== lo when present) if it made the range
+        if terms[lo] == token and lo not in ids[top]:
+            top[-1] = 0
+        ids = ids[top]
+    costs = np.zeros(len(ids), dtype=np.int64)
+    return ids, costs
+
+
+def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
+                         num_typos: list[int], prefixes: list[bool],
+                         max_candidates: int, typo_tokens_threshold: int,
+                         found_so_far: int = 0) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per query token -> (term_ids, typo_costs). The last token is treated
+    as a prefix when `prefix` is enabled (instant-search semantics)."""
+    if max_candidates <= 0:
+        max_candidates = DEFAULT_MAX_CANDIDATES
+    prefix_on = prefixes[0] if prefixes else True
+    max_typos = num_typos[0] if num_typos else 2
+
+    out = []
+    for ti, tok in enumerate(tokens):
+        is_last = ti == len(tokens) - 1
+        exact_id = engine.seg.term_to_id.get(tok, -1)
+        ids: list[int] = []
+        costs: list[int] = []
+        if exact_id >= 0:
+            ids.append(exact_id)
+            costs.append(0)
+
+        if is_last and prefix_on:
+            pids, pcosts = prefix_candidates(engine, tok, max_candidates)
+            for pid, pc in zip(pids, pcosts):
+                if pid != exact_id:
+                    ids.append(int(pid))
+                    costs.append(int(pc))
+
+        # typo candidates when exact+prefix hit nothing (or exhaustive);
+        # mirrors typo_tokens_threshold gating (index.cpp fuzzy loop)
+        cost_budget = bounded_typo_cost(max_typos, len(tok))
+        if cost_budget > 0 and (not ids or found_so_far < typo_tokens_threshold):
+            from typesense_tpu.ops.fuzzy import fuzzy_candidates
+            fids, fcosts = fuzzy_candidates(engine, tok, cost_budget,
+                                            prefix=is_last and prefix_on,
+                                            max_candidates=max_candidates)
+            seen = set(ids)
+            for fid, fc in zip(fids, fcosts):
+                if int(fid) not in seen:
+                    ids.append(int(fid))
+                    costs.append(int(fc))
+        out.append((np.asarray(ids, dtype=np.int64),
+                    np.asarray(costs, dtype=np.int64)))
+    return out

@@ -1,0 +1,254 @@
+"""Host-side query executor: the Index::search / run_search equivalent
+(/root/reference/src/index.cpp:2488,3451) orchestrating device kernels.
+
+The host does only O(query) work per request — token lookup in the term map,
+candidate/bucket selection, kernel dispatch — then trims the device's top-K.
+All O(corpus) work happens on the TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+import typesense_tpu.core.jaxcfg  # noqa: F401  (must precede jax use)
+import jax
+import jax.numpy as jnp
+
+from typesense_tpu.core.errors import BadRequest
+from typesense_tpu.index.artifacts import SegmentArrays, to_device
+from typesense_tpu.schema.field import Field
+from typesense_tpu.search import kernels
+from typesense_tpu.utils.buckets import bucket
+
+MAX_QUERY_TOKENS = 10   # proximity window is capped at WINDOW_SIZE anyway
+MAX_POS_PER_POSTING = 16
+TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
+SCORE_CHUNK_MAX = 2048
+
+
+def float32_sortable_int64(x: np.ndarray) -> np.ndarray:
+    """Order-preserving float32 -> int64 via the radix trick: flip the sign
+    bit for positives, all bits for negatives. Missing (NaN) -> very small."""
+    u = x.view(np.uint32).astype(np.int64)
+    mask = np.where(u >> 31 == 1, np.int64(0xFFFFFFFF), np.int64(0x80000000))
+    keys = u ^ mask
+    return np.where(np.isnan(x), np.int64(-(2**61)), keys)
+
+
+@dataclass
+class SortSpec:
+    """One parsed sort_by component."""
+    kind: int                  # kernels.SLOT_*
+    sign: int = 1              # +1 desc(better=larger), -1 asc
+    column: str | None = None
+
+
+@dataclass
+class RawResult:
+    doc_ids: np.ndarray        # (k,) matched top docs (trimmed, valid only)
+    scores: np.ndarray         # (k, 3) int64 sort keys (slot order)
+    found: int
+    facet_counts: dict = dc_field(default_factory=dict)  # field -> (values, counts)
+    out_of: int = 0
+
+
+class IndexEngine:
+    def __init__(self, segment: SegmentArrays, fields: list[Field]):
+        self.seg = segment
+        self.fields = {f.name: f for f in fields}
+        self.search_fields = segment.search_fields
+        self.field_idx = {n: i for i, n in enumerate(segment.search_fields)}
+        self.T = max(segment.num_terms, 1)
+        self.N = segment.num_docs
+
+        self.dev, self.names = to_device(segment)
+        self._num_col_idx = {n: i for i, n in enumerate(self.names["num"])}
+        self._facet_idx = {n: i for i, n in enumerate(self.names["facet"])}
+        self._vec_idx = {n: i for i, n in enumerate(self.names["vec"])}
+
+        # sort-ready int64 device columns
+        self._sort_cols: dict[str, jax.Array] = {}
+        for name, col in segment.num_columns.items():
+            if col.dtype == np.float32:
+                keys = float32_sortable_int64(col)
+            else:
+                keys = np.clip(col, -(2**61), 2**61)
+            self._sort_cols[name] = jax.device_put(jnp.asarray(keys, jnp.int64))
+        for name, col in segment.str_sort_columns.items():
+            # string ranks ascend with lexicographic order; missing (INT64_MAX)
+            # must sort last both ways -> clamp into range
+            self._sort_cols[name] = jax.device_put(
+                jnp.asarray(np.clip(col, -(2**61), 2**61), jnp.int64))
+
+        self._zero_col = jax.device_put(jnp.zeros(max(self.N, 1), jnp.int64))
+        self._live = jax.device_put(jnp.asarray(segment.live))
+        self._iters = max(int(np.ceil(np.log2(max(len(segment.post_doc_ids), 2)))) + 1, 2)
+
+        # facet device metadata
+        self._facet_caps = {}
+        for name in self.names["facet"]:
+            offs = segment.facet_columns[name][0]
+            cap = int(max((offs[1:] - offs[:-1]).max(initial=0), 1))
+            self._facet_caps[name] = min(cap, 16)
+
+    # ------------------------------------------------------------------
+    def exact_term_rows(self, token: str, field_names: list[str]) -> np.ndarray:
+        """Posting-row ids (field-major) for an exact token; -1 if absent."""
+        tid = self.seg.term_to_id.get(token, -1)
+        rows = np.full(len(field_names), -1, dtype=np.int64)
+        if tid >= 0:
+            for i, fn in enumerate(field_names):
+                fi = self.field_idx.get(fn)
+                if fi is not None:
+                    rows[i] = fi * self.T + tid
+        return rows
+
+    def _row_bounds(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        po = self.seg.post_offsets
+        starts = np.where(rows >= 0, po[np.clip(rows, 0, len(po) - 2)], 0)
+        ends = np.where(rows >= 0, po[np.clip(rows, 0, len(po) - 2) + 1], 0)
+        return starts.astype(np.int32), ends.astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def keyword_search(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
+                       field_names: list[str], field_weights: list[int],
+                       sort_slots: list[SortSpec], filter_mask=None,
+                       facet_fields: list[str] | None = None,
+                       k: int = TOPK, prioritize_exact: bool = True,
+                       prioritize_num_fields: bool = True) -> RawResult:
+        """token_candidates: per query token, (term_ids (C_i,), costs (C_i,))."""
+        Fq = len(field_names)
+        Qn = min(len(token_candidates), MAX_QUERY_TOKENS)
+        token_candidates = token_candidates[:Qn]
+        if Qn == 0 or Fq == 0:
+            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+
+        Q = max(Qn, 1)
+        C = bucket(max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
+
+        cand_rows = np.full((Q, Fq, C), -1, dtype=np.int64)
+        cand_costs = np.full((Q, C), 255, dtype=np.int32)
+        token_valid = np.zeros(Q, dtype=bool)
+        fis = [self.field_idx.get(fn, -1) for fn in field_names]
+        for qi, (tids, costs) in enumerate(token_candidates):
+            token_valid[qi] = True
+            for ci, (tid, cost) in enumerate(zip(tids[:C], costs[:C])):
+                if tid < 0:
+                    continue
+                cand_costs[qi, ci] = cost
+                for fslot, fi in enumerate(fis):
+                    if fi >= 0:
+                        cand_rows[qi, fslot, ci] = fi * self.T + tid
+
+        cand_starts, cand_ends = self._row_bounds(cand_rows.reshape(-1))
+        cand_starts = cand_starts.reshape(Q, Fq, C)
+        cand_ends = cand_ends.reshape(Q, Fq, C)
+        row_lens = (cand_ends - cand_starts).astype(np.int64)
+
+        # driver token: valid token with smallest total postings (but nonzero
+        # rows only matter); reference picks lowest-frequency token to lead
+        totals = row_lens.sum(axis=(1, 2))
+        totals[~token_valid[:Q]] = np.iinfo(np.int64).max
+        drv = int(np.argmin(totals))
+        if totals[drv] == 0:
+            # driver token matches nothing anywhere -> no results (AND semantics)
+            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+
+        drv_rows = [(cand_starts[drv, f, c], cand_ends[drv, f, c])
+                    for f in range(Fq) for c in range(C)
+                    if cand_ends[drv, f, c] > cand_starts[drv, f, c]]
+        FCD = bucket(len(drv_rows), lo=1, hi=256)
+        drv_starts = np.zeros(FCD, dtype=np.int32)
+        drv_ends = np.zeros(FCD, dtype=np.int32)
+        for i, (s, e) in enumerate(drv_rows):
+            drv_starts[i], drv_ends[i] = s, e
+        D = bucket(int(max((e - s for s, e in drv_rows), default=1)), lo=8)
+        S = min(D, SCORE_CHUNK_MAX)
+        # keep chunk small enough that (S, Q*P, Q, P) proximity temps fit VMEM-ish
+        while S > 256 and S * (Q * MAX_POS_PER_POSTING) ** 2 * 4 > 1 << 28:
+            S //= 2
+        K = bucket(k, lo=16, hi=1 << 14)
+
+        slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
+        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
+        f_offs = tuple(self.dev.facet_offsets[self._facet_idx[f]] for f in facet_fields)
+        f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
+        f_caps = tuple(self._facet_caps[f] for f in facet_fields)
+        f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
+
+        kern = kernels.build_keyword_kernel(
+            Q, Fq, C, FCD, D, S, K, MAX_POS_PER_POSTING, self._iters,
+            tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+            prioritize_num_fields, len(facet_fields), f_caps, f_sizes)
+
+        fmask = filter_mask if filter_mask is not None else self._live
+        weights = np.zeros(Fq, dtype=np.int32)
+        weights[:len(field_weights)] = field_weights[:Fq]
+
+        rid, r0, r1, r2, found, f_acc = kern(
+            self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
+            self.dev.positions, self.dev.field_token_counts, fmask,
+            jnp.asarray(drv_starts), jnp.asarray(drv_ends),
+            jnp.asarray(cand_starts), jnp.asarray(cand_ends),
+            jnp.asarray(cand_costs), jnp.asarray(token_valid),
+            jnp.asarray(weights), cols[0], cols[1], cols[2],
+            f_offs, f_vals)
+
+        return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
+
+    # ------------------------------------------------------------------
+    def wildcard_search(self, sort_slots: list[SortSpec], filter_mask=None,
+                        facet_fields: list[str] | None = None,
+                        k: int = TOPK) -> RawResult:
+        K = bucket(k, lo=16, hi=1 << 14)
+        slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
+        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
+        f_offs = tuple(self.dev.facet_offsets[self._facet_idx[f]] for f in facet_fields)
+        f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
+        f_caps = tuple(self._facet_caps[f] for f in facet_fields)
+        f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
+
+        kern = kernels.build_wildcard_kernel(
+            K, tuple(slot_kinds), tuple(slot_signs),
+            len(facet_fields), f_caps, f_sizes)
+        fmask = filter_mask if filter_mask is not None else self._live
+        rid, r0, r1, r2, found, f_acc = kern(fmask, cols[0], cols[1], cols[2],
+                                             f_offs, f_vals)
+        return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
+
+    # ------------------------------------------------------------------
+    def _prepare_slots(self, sort_slots: list[SortSpec]):
+        kinds, signs, cols = [], [], []
+        for i in range(3):
+            if i < len(sort_slots):
+                s = sort_slots[i]
+                kinds.append(s.kind)
+                signs.append(s.sign)
+                if s.kind == kernels.SLOT_COLUMN:
+                    col = self._sort_cols.get(s.column)
+                    if col is None:
+                        raise BadRequest(
+                            f"Could not find a field named `{s.column}` in the schema "
+                            f"for sorting.")
+                    cols.append(col)
+                else:
+                    cols.append(self._zero_col)
+            else:
+                kinds.append(kernels.SLOT_NONE)
+                signs.append(1)
+                cols.append(self._zero_col)
+        return kinds, signs, cols
+
+    def _collect(self, rid, r0, r1, r2, found, f_acc, facet_fields, k) -> RawResult:
+        rid = np.asarray(rid)
+        scores = np.stack([np.asarray(r0), np.asarray(r1), np.asarray(r2)], axis=1)
+        valid = rid >= 0
+        rid, scores = rid[valid][:k], scores[valid][:k]
+        facets = {}
+        for i, fname in enumerate(facet_fields):
+            counts = np.asarray(f_acc[i])
+            facets[fname] = (self.seg.facet_values[fname], counts)
+        return RawResult(doc_ids=rid, scores=scores, found=int(found),
+                         facet_counts=facets, out_of=int(self.seg.live.sum()))

@@ -1,0 +1,321 @@
+"""filter_by parser + evaluator.
+
+Grammar contract: /root/reference/include/filter.h:17-146 and
+src/filter.cpp:parse_filter_query — comparators =, !=, >, >=, <, <=, ranges
+[a..b], multi-value lists [a, b, c], && / || with parentheses, backtick-quoted
+values, boolean and geo filters.
+
+TPU mapping: a filter compiles to a dense boolean doc mask. Numeric
+comparisons evaluate on host numpy columns (cheap, O(N) vector compare) and
+string equality resolves through the value index (facet_index_t equivalent);
+the resulting mask ships to the device once per query and fuses into the
+scoring scan (SURVEY.md §2.1 'filter AST compiles to bitmap masks').
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from typesense_tpu.core.errors import BadRequest
+from typesense_tpu.index.artifacts import SegmentArrays
+from typesense_tpu.schema.field import Field
+
+EARTH_RADIUS_M = 6371000.0
+
+
+class FilterNode:
+    pass
+
+
+class LeafNode(FilterNode):
+    def __init__(self, field_name: str, op: str, values: list, negate: bool = False):
+        self.field_name = field_name
+        self.op = op          # '=', '!=', '>', '>=', '<', '<=', 'range', 'in'
+        self.values = values
+        self.negate = negate
+
+
+class BoolNode(FilterNode):
+    def __init__(self, op: str, left: FilterNode, right: FilterNode):
+        self.op = op          # '&&' or '||'
+        self.left = left
+        self.right = right
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    parts, depth, buf, i = [], 0, [], 0
+    in_tick = False
+    while i < len(s):
+        c = s[i]
+        if c == "`":
+            in_tick = not in_tick
+        if not in_tick:
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and s.startswith(sep, i):
+                parts.append("".join(buf))
+                buf = []
+                i += len(sep)
+                continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def parse_filter_query(expr: str) -> FilterNode | None:
+    expr = expr.strip()
+    if not expr:
+        return None
+    or_parts = _split_top_level(expr, "||")
+    if len(or_parts) > 1:
+        node = parse_filter_query(or_parts[0])
+        for p in or_parts[1:]:
+            node = BoolNode("||", node, parse_filter_query(p))
+        return node
+    and_parts = _split_top_level(expr, "&&")
+    if len(and_parts) > 1:
+        node = parse_filter_query(and_parts[0])
+        for p in and_parts[1:]:
+            node = BoolNode("&&", node, parse_filter_query(p))
+        return node
+    expr = expr.strip()
+    if expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        balanced = True
+        for i, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(expr) - 1:
+                    balanced = False
+                    break
+        if balanced:
+            return parse_filter_query(expr[1:-1])
+    return _parse_leaf(expr)
+
+
+_LEAF_RE = re.compile(r"^\s*([^:\s]+)\s*:\s*(.*)$", re.DOTALL)
+
+
+def _strip_value(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == "`" and v[-1] == "`":
+        v = v[1:-1]
+    return v
+
+
+def _parse_leaf(expr: str) -> LeafNode:
+    m = _LEAF_RE.match(expr)
+    if not m:
+        raise BadRequest(f"Could not parse the filter query: `{expr}`.")
+    fname, rhs = m.group(1).strip(), m.group(2).strip()
+    negate = False
+
+    if rhs.startswith("!="):
+        op, rhs = "!=", rhs[2:].strip()
+    elif rhs.startswith(">="):
+        op, rhs = ">=", rhs[2:].strip()
+    elif rhs.startswith("<="):
+        op, rhs = "<=", rhs[2:].strip()
+    elif rhs.startswith(">"):
+        op, rhs = ">", rhs[1:].strip()
+    elif rhs.startswith("<"):
+        op, rhs = "<", rhs[1:].strip()
+    elif rhs.startswith(":="):
+        op, rhs = "=", rhs[2:].strip()
+    elif rhs.startswith("="):
+        op, rhs = "=", rhs[1:].strip()
+    else:
+        op = "="  # `field: value` — non-exact match treated as equality on value/token
+
+    if rhs.startswith("[") and rhs.endswith("]"):
+        inner = rhs[1:-1]
+        if ".." in inner and "," not in inner:
+            lo, hi = inner.split("..", 1)
+            return LeafNode(fname, "range", [_strip_value(lo), _strip_value(hi)], negate=(op == "!="))
+        vals = [_strip_value(v) for v in _split_top_level(inner, ",")]
+        return LeafNode(fname, "in" if op == "=" else "not_in", vals)
+    return LeafNode(fname, op, [_strip_value(rhs)])
+
+
+# ---------------------------------------------------------------------------
+# evaluation -> dense doc mask
+# ---------------------------------------------------------------------------
+
+class FilterEvaluator:
+    def __init__(self, seg: SegmentArrays, fields: dict[str, Field]):
+        self.seg = seg
+        self.fields = fields
+
+    def evaluate(self, node: FilterNode | None) -> np.ndarray | None:
+        if node is None:
+            return None
+        mask = self._eval(node)
+        return mask & self.seg.live
+
+    def _eval(self, node: FilterNode) -> np.ndarray:
+        if isinstance(node, BoolNode):
+            l = self._eval(node.left)
+            r = self._eval(node.right)
+            return (l & r) if node.op == "&&" else (l | r)
+        return self._eval_leaf(node)
+
+    def _eval_leaf(self, node: LeafNode) -> np.ndarray:
+        f = self.fields.get(node.field_name)
+        if f is None:
+            if node.field_name == "id":
+                return self._eval_id(node)
+            raise BadRequest(f"Could not find a filter field named `{node.field_name}` "
+                             f"in the schema.")
+        if f.is_geo:
+            return self._eval_geo(node, f)
+        if f.is_numeric or f.is_bool:
+            return self._eval_numeric(node, f)
+        return self._eval_string(node, f)
+
+    def _eval_id(self, node: LeafNode) -> np.ndarray:
+        raise BadRequest("Filtering by `id` requires the collection layer.")
+
+    def _coerce_num(self, f: Field, s: str):
+        if f.is_bool:
+            if s.lower() in ("true", "false"):
+                return 1 if s.lower() == "true" else 0
+            raise BadRequest(f"Value of filter field `{f.name}`: must be `true` or `false`.")
+        try:
+            return float(s) if f.is_float else int(s)
+        except ValueError:
+            raise BadRequest(f"Error with filter field `{f.name}`: Numerical value expected.")
+
+    def _numeric_col_mask(self, f: Field, op: str, vals: list) -> np.ndarray:
+        N = self.seg.num_docs
+        if f.is_array:
+            offs, arr = self.seg.num_multi.get(f.name, (None, None))
+            if offs is None:
+                return np.zeros(N, dtype=bool)
+            elem_mask = self._cmp(arr, op, vals, f)
+            # any element matches -> doc matches
+            hits = np.zeros(N, dtype=bool)
+            if elem_mask.any():
+                doc_of = np.searchsorted(offs, np.flatnonzero(elem_mask), side="right") - 1
+                hits[doc_of] = True
+            return hits
+        col = self.seg.num_columns.get(f.name)
+        if col is None:
+            return np.zeros(N, dtype=bool)
+        if col.dtype == np.float32:
+            missing = np.isnan(col)
+        else:
+            missing = col == np.iinfo(np.int64).min
+        return self._cmp(col, op, vals, f) & ~missing
+
+    def _cmp(self, col: np.ndarray, op: str, vals: list, f: Field) -> np.ndarray:
+        v = [self._coerce_num(f, s) for s in vals]
+        if op == "=":
+            return col == v[0]
+        if op == "!=":
+            return col != v[0]
+        if op == ">":
+            return col > v[0]
+        if op == ">=":
+            return col >= v[0]
+        if op == "<":
+            return col < v[0]
+        if op == "<=":
+            return col <= v[0]
+        if op == "range":
+            return (col >= v[0]) & (col <= v[1])
+        if op == "in":
+            m = np.zeros(col.shape, dtype=bool)
+            for x in v:
+                m |= col == x
+            return m
+        if op == "not_in":
+            m = np.ones(col.shape, dtype=bool)
+            for x in v:
+                m &= col != x
+            return m
+        raise BadRequest(f"Unsupported operator on numeric field `{f.name}`.")
+
+    def _eval_numeric(self, node: LeafNode, f: Field) -> np.ndarray:
+        return self._numeric_col_mask(f, node.op, node.values)
+
+    def _eval_string(self, node: LeafNode, f: Field) -> np.ndarray:
+        N = self.seg.num_docs
+        vindex = self.seg.value_index.get(f.name)
+        if vindex is None:
+            raise BadRequest(f"Filtering on long-text field `{f.name}` is not supported.")
+
+        def value_mask(val: str) -> np.ndarray:
+            m = np.zeros(N, dtype=bool)
+            ids = vindex.get(val)
+            if ids is not None:
+                m[ids] = True
+            return m
+
+        op = node.op
+        if op in ("=", "in"):
+            m = np.zeros(N, dtype=bool)
+            for v in node.values:
+                m |= value_mask(v)
+            return m
+        if op in ("!=", "not_in"):
+            m = np.zeros(N, dtype=bool)
+            for v in node.values:
+                m |= value_mask(v)
+            return ~m & self.seg.live
+        raise BadRequest(f"Operator not supported on string field `{f.name}`.")
+
+    def _eval_geo(self, node: LeafNode, f: Field) -> np.ndarray:
+        """`loc:(lat, lng, radius km|mi)` or polygon `(lat1, lng1, lat2, ...)`."""
+        N = self.seg.num_docs
+        col = self.seg.geo_columns.get(f.name)
+        if col is None:
+            return np.zeros(N, dtype=bool)
+        raw = node.values[0]
+        inner = raw.strip()
+        if inner.startswith("(") and inner.endswith(")"):
+            inner = inner[1:-1]
+        parts = [p.strip() for p in inner.split(",")]
+        if len(parts) == 3 and any(u in parts[2] for u in ("km", "mi")):
+            lat, lng = float(parts[0]), float(parts[1])
+            rs = parts[2]
+            if rs.endswith("km"):
+                radius_m = float(rs[:-2]) * 1000.0
+            elif rs.endswith("mi"):
+                radius_m = float(rs[:-2]) * 1609.34
+            else:
+                radius_m = float(rs)
+            lat1 = np.radians(col[:, 0])
+            lng1 = np.radians(col[:, 1])
+            lat2, lng2 = math.radians(lat), math.radians(lng)
+            d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(
+                np.sin((lat2 - lat1) / 2) ** 2 +
+                np.cos(lat1) * math.cos(lat2) * np.sin((lng2 - lng1) / 2) ** 2))
+            return ~np.isnan(col[:, 0]) & (d <= radius_m)
+        # polygon: ray casting
+        coords = [float(p) for p in parts]
+        if len(coords) < 6 or len(coords) % 2:
+            raise BadRequest(f"Polygon is not a valid geo shape for field `{f.name}`.")
+        poly = np.array(coords, dtype=np.float64).reshape(-1, 2)  # rows: (lat, lng)
+        x, y = col[:, 1].astype(np.float64), col[:, 0].astype(np.float64)  # lng, lat
+        inside = np.zeros(N, dtype=bool)
+        j = len(poly) - 1
+        for i in range(len(poly)):
+            yi, xi = poly[i]          # lat_i, lng_i
+            yj, xj = poly[j]
+            denom = np.where(yj - yi == 0, 1e-12, yj - yi)
+            cond = ((yi > y) != (yj > y)) & (x < (xj - xi) * (y - yi) / denom + xi)
+            inside ^= cond
+            j = i
+        return inside & ~np.isnan(col[:, 0])

@@ -1,0 +1,285 @@
+"""Jitted query kernels.
+
+The keyword search step is ONE XLA program per static shape signature
+(query-token bucket Q, candidate bucket C, field count F, driver bucket D,
+scoring chunk S, top-k K). It replaces the reference's per-doc iterator loop
+(/root/reference/src/index.cpp:5385 search_across_fields +
+or_iterator.h:61-182) with:
+
+  1. driver union     — gather the rarest token's posting rows, sort, dedup
+  2. membership probe — batched binary search of every driver doc in every
+                        (token, field, candidate) posting row
+  3. chunked scoring  — positions gather + vectorized proximity Match,
+                        Typesense-parity score packing (ops/match.py)
+  4. top-k            — multi-key lexicographic lax.sort merge across chunks
+
+Dynamic sizes are bucketed by the host (utils/buckets.py); masks carry true
+lengths. All arrays stay in HBM/VMEM; nothing returns to the host except the
+final top-K rows, the found count, and facet counts.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import typesense_tpu.core.jaxcfg  # noqa: F401  (enable x64 before jnp use)
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from typesense_tpu.ops.match import (
+    match_components, pack_field_score, pack_aggregated_score,
+)
+from typesense_tpu.ops.postings import gather_slice, lower_bound
+
+INT32_INF = jnp.int32(2**31 - 1)
+KEY_MIN = jnp.int64(-(2**62))
+
+# sort slot kinds (static)
+SLOT_TEXT = 0
+SLOT_COLUMN = 1
+SLOT_SEQ_ID = 2
+SLOT_NONE = 3
+SLOT_VECTOR = 4  # vector distance (hybrid/vector searches), ascending
+
+
+def _slot_keys(kind: int, sign: int, text_match, doc_ids, col, vec_dist=None):
+    """Build one int64 sort key vector for a slot. Higher key = better."""
+    if kind == SLOT_TEXT:
+        k = text_match  # packed score is non-negative and < 2**63; sign always +1
+    elif kind == SLOT_COLUMN:
+        safe = jnp.clip(doc_ids, 0, col.shape[0] - 1)
+        # clip so negation for descending sort can't overflow int64
+        k = jnp.clip(col[safe], -(2**61), 2**61)
+    elif kind == SLOT_SEQ_ID:
+        k = doc_ids.astype(jnp.int64)
+    elif kind == SLOT_VECTOR and vec_dist is not None:
+        # distances are float in [-1, 2]; scale to preserve order in int64
+        k = (vec_dist * jnp.float32(1e9)).astype(jnp.int64)
+    else:
+        k = jnp.zeros_like(doc_ids, dtype=jnp.int64)
+    return k * sign
+
+
+def topk_merge(keys0, keys1, keys2, doc_ids, valid, k: int):
+    """Descending lexicographic top-k on (k0, k1, k2, doc_id) with doc-id
+    descending tie-break (topster.h:146-149 KV::is_greater)."""
+    nk0 = jnp.where(valid, -keys0, jnp.int64(2**62))
+    nk1 = jnp.where(valid, -keys1, jnp.int64(2**62))
+    nk2 = jnp.where(valid, -keys2, jnp.int64(2**62))
+    nid = jnp.where(valid, -doc_ids.astype(jnp.int64), jnp.int64(2**62))
+    s0, s1, s2, sid = lax.sort((nk0, nk1, nk2, nid), num_keys=4)
+    take = min(k, keys0.shape[0])
+    out_ids = jnp.where(sid[:take] == 2**62, -1, -sid[:take]).astype(jnp.int32)
+    pad = k - take
+    if pad > 0:
+        out_ids = jnp.pad(out_ids, (0, pad), constant_values=-1)
+        s0 = jnp.pad(s0[:take], (0, pad), constant_values=2**62)
+        s1 = jnp.pad(s1[:take], (0, pad), constant_values=2**62)
+        s2 = jnp.pad(s2[:take], (0, pad), constant_values=2**62)
+    return -s0[:k], -s1[:k], -s2[:k], out_ids
+
+
+@lru_cache(maxsize=512)
+def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
+                         K: int, P: int, iters: int, slot_kinds: tuple,
+                         slot_signs: tuple, prioritize_exact: bool,
+                         prioritize_num_fields: bool, n_facets: int,
+                         facet_caps: tuple, facet_sizes: tuple):
+    """Compile-cached keyword search kernel factory.
+
+    Q: query token bucket; F: searched fields; C: candidates/token bucket;
+    FCD: number of driver slices (<= F*C); D: per-slice driver bucket;
+    S: scoring chunk; K: top-k size; P: positions cap per posting;
+    iters: binary search depth; slot_*: 3 sort slots.
+    """
+
+    @jax.jit
+    def kernel(post_doc_ids, post_flags, pos_offsets, positions,
+               field_token_counts, filter_mask,
+               drv_starts, drv_ends,           # (FCD,) driver posting rows
+               cand_starts, cand_ends,         # (Q, F, C) posting row bounds
+               cand_costs,                     # (Q, C) typo costs (255 = invalid)
+               token_valid,                    # (Q,) bool
+               field_weights,                  # (F,) int32
+               sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
+               facet_offs, facet_vals):        # tuples of facet CSR arrays
+        # ---- 1. driver union ----
+        sl = jax.vmap(lambda s: gather_slice(post_doc_ids, s, D, fill=INT32_INF))(
+            drv_starts)
+        drv_docs, _ = sl
+        idxs = drv_starts[:, None] + jnp.arange(D, dtype=jnp.int32)[None, :]
+        in_range = idxs < drv_ends[:, None]
+        docs = jnp.where(in_range, drv_docs, INT32_INF).reshape(-1)   # (A,)
+        docs = jnp.sort(docs)
+        A = docs.shape[0]
+        prev = jnp.concatenate([jnp.array([-1], jnp.int32), docs[:-1]])
+        uniq = (docs != prev) & (docs < INT32_INF)
+
+        # ---- 2. membership probes: (Q*F*C, A) ----
+        cs = cand_starts.reshape(-1, 1)
+        ce = cand_ends.reshape(-1, 1)
+        x = docs[None, :]
+        pidx = lower_bound(post_doc_ids, jnp.broadcast_to(cs, (Q * F * C, A)),
+                           jnp.broadcast_to(ce, (Q * F * C, A)), x, iters)
+        safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
+        found = (pidx < ce) & (post_doc_ids[safe] == x)        # (QFC, A)
+        found = found.reshape(Q, F, C, A)
+        pidx = pidx.reshape(Q, F, C, A)
+
+        cvalid = (cand_costs < 255)[:, None, :, None]          # (Q, 1, C, 1)
+        found = found & cvalid
+        tok_field = jnp.any(found, axis=2)                     # (Q, F, A)
+        tok_any = jnp.any(tok_field, axis=1)                   # (Q, A)
+        tv = token_valid[:, None]
+        all_match = jnp.all(tok_any | ~tv, axis=0) & jnp.any(tok_any & tv, axis=0)
+
+        fmask = filter_mask[jnp.clip(docs, 0, filter_mask.shape[0] - 1)]
+        matched = all_match & uniq & fmask
+        found_count = jnp.sum(matched, dtype=jnp.int64)
+
+        # min typo cost per (token, doc) over all (field, cand) matches
+        cost_qc = jnp.where(found, cand_costs[:, None, :, None].astype(jnp.int32), 255)
+        min_cost_q = jnp.min(cost_qc, axis=(1, 2))             # (Q, A)
+        total_cost = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)  # (A,)
+
+        # first matched candidate per (q, f): for positions gather
+        first_c = jnp.argmax(found, axis=2)                    # (Q, F, A)
+        sel_pidx = jnp.take_along_axis(pidx, first_c[:, :, None, :], axis=2)[:, :, 0, :]
+
+        # ---- 3. chunked scoring ----
+        n_chunks = A // S
+
+        def score_chunk(chunk_i, carry):
+            sl0 = chunk_i * S
+            d = lax.dynamic_slice(docs, (sl0,), (S,))
+            m = lax.dynamic_slice(matched, (sl0,), (S,))
+            tc = lax.dynamic_slice(total_cost, (sl0,), (S,))
+            tf = lax.dynamic_slice(tok_field, (0, 0, sl0), (Q, F, S))
+            sp = lax.dynamic_slice(sel_pidx, (0, 0, sl0), (Q, F, S))
+            ta = lax.dynamic_slice(tok_any, (0, sl0), (Q, S))
+
+            query_len = jnp.sum(ta & tv, axis=0).astype(jnp.int32)  # (S,)
+            dsafe = jnp.clip(d, 0, field_token_counts.shape[0] - 1)
+
+            best_score = jnp.zeros(S, jnp.int64)
+            best_weight = jnp.zeros(S, jnp.int64)
+            for f in range(F):
+                mf = tf[:, f, :]                               # (Q, S) token in field
+                gp = jnp.clip(sp[:, f, :], 0, pos_offsets.shape[0] - 2)
+                base = pos_offsets[gp]                         # (Q, S) int64
+                cnt = pos_offsets[gp + 1] - base
+                cnt = jnp.where(mf, cnt, 0)
+                # positions (S, Q, P)
+                pidx2 = base[:, :, None] + jnp.arange(P, dtype=jnp.int64)[None, None, :]
+                pvalid = jnp.arange(P)[None, None, :] < cnt[:, :, None]
+                psafe = jnp.clip(pidx2, 0, positions.shape[0] - 1)
+                pos = jnp.where(pvalid, positions[psafe], 0)
+                pos = jnp.transpose(pos, (1, 0, 2))            # (S, Q, P)
+                pv = jnp.transpose(pvalid, (1, 0, 2))
+                wp, dist, moff = match_components(pos, pv, jnp.transpose(mf))
+
+                uw = jnp.sum(mf, axis=0).astype(jnp.int32)     # (S,) unique words
+                single = uw <= 1
+                wp = jnp.where(single, 1, wp)
+                dist = jnp.where(single, 0, dist)
+
+                # exact match (match_score.h:242-274)
+                flags = post_flags[jnp.clip(sp[:, f, :], 0, post_flags.shape[0] - 1)]
+                has_last = jnp.any((flags & 1).astype(bool) & mf, axis=0)  # (S,)
+                total_off = jnp.sum(jnp.where(mf, cnt, 0), axis=0).astype(jnp.int32)
+                ftc = field_token_counts[dsafe, f]
+                if prioritize_exact:
+                    exact_multi = (has_last & (ftc == uw) &
+                                   (((total_off == uw) & (dist == uw - 1)) | (dist < uw - 1)))
+                    exact_single = (has_last & (ftc == 1) & (tc == 0) &
+                                    (jnp.sum(tv) == 1))
+                    exact = jnp.where(single, exact_single, exact_multi).astype(jnp.int32)
+                else:
+                    exact = jnp.zeros(S, jnp.int32)
+
+                fs = pack_field_score(wp, uw, tc, dist, exact,
+                                      jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32))
+                fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
+                better = fs > best_score
+                best_weight = jnp.where(better, field_weights[f].astype(jnp.int64), best_weight)
+                best_score = jnp.maximum(best_score, fs)
+
+            if prioritize_num_fields:
+                nmf = jnp.sum(jnp.any(tf, axis=0), axis=0).astype(jnp.int32)
+            else:
+                nmf = jnp.zeros(S, jnp.int32)
+            ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
+            text_match = pack_aggregated_score(ql, best_score, best_weight, nmf)
+
+            k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0)
+            k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1)
+            k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2)
+
+            t0, t1, t2, tid = topk_merge(k0, k1, k2, d, m, K)
+            r0, r1, r2, rid, f_acc = carry
+            mk0 = jnp.concatenate([r0, t0])
+            mk1 = jnp.concatenate([r1, t1])
+            mk2 = jnp.concatenate([r2, t2])
+            mid = jnp.concatenate([rid, tid])
+            r0, r1, r2, rid = topk_merge(mk0, mk1, mk2, mid, mid >= 0, K)
+
+            # facet counting over the chunk's matched docs
+            new_f = []
+            for fa in range(n_facets):
+                offs, vals = facet_offs[fa], facet_vals[fa]
+                cap = facet_caps[fa]
+                fb = offs[dsafe]
+                fcnt = offs[dsafe + 1] - fb
+                vidx = fb[:, None] + jnp.arange(cap, dtype=jnp.int64)[None, :]
+                vv = (jnp.arange(cap)[None, :] < fcnt[:, None]) & m[:, None]
+                vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
+                fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
+                upd = f_acc[fa].at[fv.reshape(-1)].add(
+                    vv.reshape(-1).astype(jnp.int32), mode="drop")
+                new_f.append(upd)
+            return (r0, r1, r2, rid, tuple(new_f))
+
+        init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
+        init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
+                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32), init_f)
+        r0, r1, r2, rid, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
+        return rid, r0, r1, r2, found_count, f_acc
+
+    return kernel
+
+
+@lru_cache(maxsize=128)
+def build_wildcard_kernel(K: int, slot_kinds: tuple, slot_signs: tuple,
+                          n_facets: int, facet_caps: tuple, facet_sizes: tuple):
+    """q=* path: rank all docs passing the filter by sort columns only
+    (index.cpp:6616 search_wildcard; the scan is one data-parallel pass)."""
+
+    @jax.jit
+    def kernel(filter_mask, sort_col0, sort_col1, sort_col2,
+               facet_offs, facet_vals):
+        N = filter_mask.shape[0]
+        doc_ids = jnp.arange(N, dtype=jnp.int32)
+        zero_text = jnp.zeros(N, jnp.int64)
+        k0 = _slot_keys(slot_kinds[0], slot_signs[0], zero_text, doc_ids, sort_col0)
+        k1 = _slot_keys(slot_kinds[1], slot_signs[1], zero_text, doc_ids, sort_col1)
+        k2 = _slot_keys(slot_kinds[2], slot_signs[2], zero_text, doc_ids, sort_col2)
+        found = jnp.sum(filter_mask, dtype=jnp.int64)
+        r0, r1, r2, rid = topk_merge(k0, k1, k2, doc_ids, filter_mask, K)
+
+        f_out = []
+        for fa in range(n_facets):
+            offs, vals = facet_offs[fa], facet_vals[fa]
+            cap = facet_caps[fa]
+            fb = offs[:-1]
+            fcnt = offs[1:] - fb
+            vidx = fb[:, None] + jnp.arange(cap, dtype=jnp.int64)[None, :]
+            vv = (jnp.arange(cap)[None, :] < fcnt[:, None]) & filter_mask[:, None]
+            vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
+            fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
+            acc = jnp.zeros(facet_sizes[fa], jnp.int32).at[fv.reshape(-1)].add(
+                vv.reshape(-1).astype(jnp.int32), mode="drop")
+            f_out.append(acc)
+        return rid, r0, r1, r2, found, tuple(f_out)
+
+    return kernel

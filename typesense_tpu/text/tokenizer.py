@@ -1,0 +1,207 @@
+"""Locale-aware tokenizer with Typesense-parity normalization.
+
+Behavior contract: /root/reference/src/tokenizer.cpp.
+- ASCII fast path (tokenizer.cpp:232-289): chars are classified INDEX
+  (alnum or in symbols_to_index), SEPARATE (space/newline or in token_separators)
+  or SKIP (everything else, dropped). INDEX chars accumulate lowercased; a
+  SEPARATE char emits the pending token.
+- Non-ASCII (tokenizer.cpp:291-341): bytes are grouped into a UTF-8 codepoint and
+  transliterated to ASCII (iconv ASCII//TRANSLIT); if transliteration succeeds the
+  alnum ASCII chars are kept lowercased; otherwise the original codepoint is kept
+  verbatim inside the token.
+- Locales with word tokenizers (zh/ja/ko/th/cyrillic, tokenizer.cpp:110-216) use
+  ICU BreakIterator; we approximate with per-codepoint segmentation for CJK and
+  standard behavior elsewhere (PyICU is not available in this environment).
+
+This runs on the host as part of the index-build / query pipeline; the device
+kernels only ever see integer term ids.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+# Transliteration cache: codepoint -> ascii string or None (keep original)
+@lru_cache(maxsize=65536)
+def _translit(ch: str) -> str | None:
+    """ASCII//TRANSLIT equivalent: NFKD-decompose and strip combining marks.
+
+    Returns the ASCII transliteration, or None when the char has no ASCII
+    representation (iconv EILSEQ path, tokenizer.cpp:322-324).
+    """
+    decomposed = unicodedata.normalize("NFKD", ch)
+    out = []
+    for c in decomposed:
+        if unicodedata.combining(c):
+            continue
+        if ord(c) < 128:
+            out.append(c)
+        else:
+            return None
+    if not out:
+        return None
+    return "".join(out)
+
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x3040, 0x30FF),  # CJK + kana
+    (0xAC00, 0xD7AF),  # hangul syllables
+    (0x0E00, 0x0E7F),  # thai
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def is_cyrillic_locale(locale: str) -> bool:
+    # tokenizer.cpp:379-382
+    return locale in ("el", "bg", "ru", "sr", "uk", "be")
+
+
+class Tokenizer:
+    """Streaming tokenizer; construct per (text, options) and call tokenize()."""
+
+    def __init__(self, text: str, normalize: bool = True, no_op: bool = False,
+                 locale: str = "", symbols_to_index: list[str] | None = None,
+                 separators: list[str] | None = None, stemmer=None):
+        self.text = text
+        self.normalize = normalize
+        self.no_op = no_op
+        self.locale = locale
+        self.index_symbols = frozenset(symbols_to_index or ())
+        self.separator_symbols = frozenset(separators or ())
+        self.stemmer = stemmer
+
+    # stream modes (tokenizer.h:54-58)
+    def _mode(self, c: str) -> int:
+        if c.isascii() and (c.isalnum() or c in self.index_symbols):
+            return 0  # INDEX
+        if c in (" ", "\n") or c in self.separator_symbols:
+            return 1  # SEPARATE
+        return 2      # SKIP
+
+    def tokenize(self) -> list[str]:
+        toks = [t for t, _, _, _ in self.tokenize_with_offsets()]
+        return toks
+
+    def tokenize_with_offsets(self) -> list[tuple[str, int, int, int]]:
+        """Returns [(token, token_index, start_char, end_char)] like Tokenizer::next."""
+        if self.no_op:
+            return [(self.text, 0, 0, max(0, len(self.text) - 1))] if self.text else []
+
+        text = self.text
+        use_word_breaks = self.locale and self.locale not in ("en", "de_en")
+        if use_word_breaks:
+            return self._tokenize_locale(text)
+
+        out: list[str] = []
+        results: list[tuple[str, int, int, int]] = []
+        start_index = 0
+        token_counter = 0
+        i = 0
+        n = len(text)
+        while i < n:
+            c = text[i]
+            if c.isascii():
+                mode = self._mode(c)
+                if mode == 2:  # SKIP
+                    i += 1
+                    continue
+                if mode == 1:  # SEPARATE
+                    if not out:
+                        i += 1
+                        continue
+                    token = "".join(out)
+                    if self.stemmer is not None:
+                        token = self.stemmer.stem(token)
+                    results.append((token, token_counter, start_index, i - 1))
+                    token_counter += 1
+                    out = []
+                    i += 1
+                    continue
+                # INDEX
+                if not out:
+                    start_index = i
+                out.append(c.lower() if self.normalize else c)
+                i += 1
+                continue
+
+            # non-ASCII codepoint
+            if not out:
+                start_index = i
+            if not self.normalize:
+                out.append(c)
+                i += 1
+                continue
+            ascii_form = _translit(c)
+            if ascii_form is None:
+                out.append(c)
+            else:
+                for oc in ascii_form:
+                    if oc.isalnum():
+                        out.append(oc.lower())
+            i += 1
+
+        if out:
+            token = "".join(out)
+            if self.stemmer is not None:
+                token = self.stemmer.stem(token)
+            if token:
+                results.append((token, token_counter, start_index, n - 1))
+        return results
+
+    def _tokenize_locale(self, text: str) -> list[tuple[str, int, int, int]]:
+        """Word-breaking locales. Approximation of the ICU BreakIterator path:
+        CJK codepoints become single-char tokens; runs of other word chars are
+        grouped. Normalization follows the reference per-locale rules where
+        expressible without ICU (tokenizer.cpp:110-216)."""
+        results: list[tuple[str, int, int, int]] = []
+        token_counter = 0
+        buf: list[str] = []
+        start = 0
+
+        def flush(end_idx: int):
+            nonlocal token_counter, buf
+            if buf:
+                word = "".join(buf)
+                if self.stemmer is not None and not is_cyrillic_locale(self.locale):
+                    word = self.stemmer.stem(word)
+                results.append((word, token_counter, start, end_idx))
+                token_counter += 1
+                buf = []
+
+        for i, ch in enumerate(text):
+            if _is_cjk(ch):
+                flush(i - 1)
+                norm = ch
+                if self.locale == "ko":
+                    norm = unicodedata.normalize("NFKD", ch)
+                elif self.locale == "th":
+                    norm = unicodedata.normalize("NFKC", ch)
+                results.append((norm, token_counter, i, i))
+                token_counter += 1
+                start = i + 1
+                continue
+            if ch.isalnum():
+                if not buf:
+                    start = i
+                if is_cyrillic_locale(self.locale) and self.normalize:
+                    ascii_form = _translit(ch)
+                    buf.append(ascii_form.lower() if ascii_form else ch.lower())
+                else:
+                    buf.append(ch.lower() if self.normalize else ch)
+            else:
+                flush(i - 1)
+        flush(len(text) - 1)
+        if is_cyrillic_locale(self.locale) and self.stemmer is not None:
+            pass  # cyrillic stemming happens pre-transliteration in the reference
+        return results
+
+
+def tokenize(text: str, locale: str = "", symbols_to_index: list[str] | None = None,
+             separators: list[str] | None = None, stemmer=None) -> list[str]:
+    return Tokenizer(text, locale=locale, symbols_to_index=symbols_to_index,
+                     separators=separators, stemmer=stemmer).tokenize()
