@@ -4,7 +4,9 @@ multi-chip path; bench.py runs on the real chip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the environment often carries JAX_PLATFORMS=axon
+# pointing at the real TPU tunnel; tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,350 @@
+"""REST API handlers.
+
+Behavior contract: /root/reference/src/core_api.cpp — handler per route,
+same response shapes (e.g. import returns JSONL of per-doc results,
+export streams JSONL, delete-by-filter returns {"num_deleted": N}).
+Handlers run on the server's worker pool; `server` is the HttpServer.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from typesense_tpu import __version__
+from typesense_tpu.core.errors import BadRequest, NotFound
+
+
+# ---------------------------------------------------------------------------
+# collections
+# ---------------------------------------------------------------------------
+
+def get_collections(server, req):
+    return server.manager.list_collections()
+
+
+def post_create_collection(server, req):
+    coll = server.manager.create_collection(req.json())
+    return 201, coll.get_summary_json()
+
+
+def get_collection_summary(server, req):
+    return server.manager.get_collection(req.params["collection"]).get_summary_json()
+
+
+def patch_update_collection(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    body = req.json()
+    if "fields" not in body:
+        raise BadRequest("Only `fields` and `metadata` can be updated at the moment.")
+    from typesense_tpu.schema.field import Field
+    for fj in body["fields"]:
+        if fj.get("drop"):
+            coll.fields = [f for f in coll.fields if f.name != fj["name"]]
+            coll.field_map.pop(fj["name"], None)
+        else:
+            f = Field.from_json(fj)
+            coll.fields = [x for x in coll.fields if x.name != f.name] + [f]
+            coll.field_map[f.name] = f
+    coll._dirty = True
+    return body
+
+
+def del_drop_collection(server, req):
+    return server.manager.drop_collection(req.params["collection"])
+
+
+# ---------------------------------------------------------------------------
+# documents
+# ---------------------------------------------------------------------------
+
+def get_search(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    return coll.search(dict(req.query))
+
+
+def post_add_document(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    action = req.query.get("action", "create")
+    doc = coll.add(req.json(), operation=action,
+                   dirty_values=req.query.get("dirty_values", "coerce_or_reject"))
+    return 201, doc
+
+
+def post_import_documents(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    action = req.query.get("action", "create")
+    dirty = req.query.get("dirty_values", "coerce_or_reject")
+    lines = req.body.decode("utf-8", errors="replace").splitlines()
+    out = []
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            out.append(json.dumps({"success": False, "error": "Bad JSON."}))
+            continue
+        try:
+            coll.add(doc, operation=action, dirty_values=dirty)
+            out.append('{"success":true}')
+        except Exception as e:  # noqa: BLE001 — per-line isolation like import
+            out.append(json.dumps({
+                "success": False, "error": getattr(e, "message", str(e)),
+                "document": json.dumps(doc)}))
+    return 200, ("\n".join(out) + "\n").encode()
+
+
+def get_export_documents(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    include = set(filter(None, req.query.get("include_fields", "").split(",")))
+    exclude = set(filter(None, req.query.get("exclude_fields", "").split(",")))
+    lines = []
+    for seq in sorted(coll.docs):
+        doc = coll.docs[seq]
+        if include:
+            doc = {k: v for k, v in doc.items() if k in include or k == "id"}
+        if exclude:
+            doc = {k: v for k, v in doc.items() if k not in exclude}
+        lines.append(json.dumps(doc, ensure_ascii=False))
+    return 200, ("\n".join(lines) + "\n").encode()
+
+
+def get_fetch_document(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    return coll.get(req.params["id"])
+
+
+def patch_update_document(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    body = req.json()
+    body["id"] = req.params["id"]
+    return coll.add(body, operation="update")
+
+
+def del_remove_document(server, req):
+    coll = server.manager.get_collection(req.params["collection"])
+    return coll.remove(req.params["id"])
+
+
+def del_remove_documents(server, req):
+    """Delete by filter (core_api.cpp del_remove_documents)."""
+    coll = server.manager.get_collection(req.params["collection"])
+    filter_by = req.query.get("filter_by", "")
+    if not filter_by:
+        raise BadRequest("Parameter `filter_by` must be provided.")
+    truncate = req.query.get("truncate", "false") == "true"
+    if truncate:
+        doomed = list(coll.id_to_seq.keys())
+    else:
+        res = coll.search({"q": "*", "filter_by": filter_by, "per_page": 250,
+                           "page": 1})
+        doomed = []
+        total = res["found"]
+        page = 1
+        while True:
+            doomed.extend(h["document"]["id"] for h in res["hits"])
+            if len(doomed) >= total or not res["hits"]:
+                break
+            page += 1
+            res = coll.search({"q": "*", "filter_by": filter_by, "per_page": 250,
+                               "page": page})
+    for did in doomed:
+        try:
+            coll.remove(did)
+        except NotFound:
+            pass
+    return {"num_deleted": len(doomed)}
+
+
+def post_multi_search(server, req):
+    """core_api.cpp:855 post_multi_search: batched searches in one call."""
+    body = req.json()
+    searches = body.get("searches")
+    if not isinstance(searches, list):
+        raise BadRequest("`searches` parameter should be an array of objects.")
+    if body.get("union"):
+        raise BadRequest("Union search is not yet supported.")
+    common = {k: v for k, v in req.query.items()
+              if k not in ("x-typesense-api-key",)}
+    results = []
+    for s in searches:
+        params = {**common, **s}
+        cname = params.pop("collection", None)
+        if cname is None:
+            results.append({"error": "`collection` is required", "code": 400})
+            continue
+        try:
+            coll = server.manager.get_collection(cname)
+            results.append(coll.search(params))
+        except Exception as e:  # noqa: BLE001 — per-search error isolation
+            results.append({"error": getattr(e, "message", str(e)),
+                            "code": getattr(e, "http_code", 500)})
+    return {"results": results}
+
+
+# ---------------------------------------------------------------------------
+# aliases / keys / presets / stopwords / synonym & curation sets
+# ---------------------------------------------------------------------------
+
+def get_aliases(server, req):
+    return {"aliases": [{"name": a, "collection_name": c}
+                        for a, c in server.manager.aliases.items()]}
+
+
+def put_upsert_alias(server, req):
+    body = req.json()
+    if "collection_name" not in body:
+        raise BadRequest("Parameter `collection_name` is required.")
+    server.manager.upsert_alias(req.params["alias"], body["collection_name"])
+    return {"name": req.params["alias"], "collection_name": body["collection_name"]}
+
+
+def get_alias(server, req):
+    return {"name": req.params["alias"],
+            "collection_name": server.manager.get_alias(req.params["alias"])}
+
+
+def del_alias(server, req):
+    name = req.params["alias"]
+    cname = server.manager.get_alias(name)
+    server.manager.delete_alias(name)
+    return {"name": name, "collection_name": cname}
+
+
+def get_keys(server, req):
+    return {"keys": server.auth.list_keys()}
+
+
+def post_create_key(server, req):
+    key = server.auth.create_key(req.json())
+    out = key.to_json(masked=False)
+    out["value"] = key.value
+    return 201, out
+
+
+def get_key(server, req):
+    return server.auth.get_key(int(req.params["id"])).to_json()
+
+
+def del_key(server, req):
+    k = server.auth.delete_key(int(req.params["id"]))
+    return {"id": k.id}
+
+
+def get_presets(server, req):
+    return {"presets": [{"name": n, "value": v}
+                        for n, v in server.manager.presets.items()]}
+
+
+def get_preset(server, req):
+    return {"name": req.params["name"],
+            "value": server.manager.get_preset(req.params["name"])}
+
+
+def put_upsert_preset(server, req):
+    body = req.json()
+    if "value" not in body:
+        raise BadRequest("Parameter `value` is required.")
+    server.manager.upsert_preset(req.params["name"], body["value"])
+    return {"name": req.params["name"], "value": body["value"]}
+
+
+def del_preset(server, req):
+    v = server.manager.get_preset(req.params["name"])
+    server.manager.delete_preset(req.params["name"])
+    return {"name": req.params["name"], "value": v}
+
+
+def get_stopwords(server, req):
+    return {"stopwords": server.manager.stopwords.list()}
+
+
+def get_stopword(server, req):
+    return {"stopwords": server.manager.stopwords.get(req.params["name"])}
+
+
+def put_upsert_stopword(server, req):
+    return server.manager.stopwords.upsert(req.params["name"], req.json())
+
+
+def del_stopword(server, req):
+    server.manager.stopwords.delete(req.params["name"])
+    return {"id": req.params["name"]}
+
+
+def get_synonym_sets(server, req):
+    return server.manager.synonyms.list()
+
+
+def get_synonym_set(server, req):
+    return server.manager.synonyms.get(req.params["name"])
+
+
+def put_upsert_synonym_set(server, req):
+    return server.manager.synonyms.upsert(req.params["name"], req.json())
+
+
+def del_synonym_set(server, req):
+    server.manager.synonyms.delete(req.params["name"])
+    return {"name": req.params["name"]}
+
+
+def get_curation_sets(server, req):
+    return server.manager.curations.list()
+
+
+def get_curation_set(server, req):
+    return server.manager.curations.get(req.params["name"])
+
+
+def put_upsert_curation_set(server, req):
+    return server.manager.curations.upsert(req.params["name"], req.json())
+
+
+def del_curation_set(server, req):
+    server.manager.curations.delete(req.params["name"])
+    return {"name": req.params["name"]}
+
+
+# ---------------------------------------------------------------------------
+# meta / ops
+# ---------------------------------------------------------------------------
+
+def get_health(server, req):
+    return {"ok": True}
+
+
+def get_debug(server, req):
+    return {"state": 1, "version": __version__}
+
+
+def get_status(server, req):
+    return {"state": "LEADER", "committed_index": 0, "queued_writes": 0}
+
+
+def get_stats(server, req):
+    return server.metrics.stats_json() if hasattr(server, "metrics") else {}
+
+
+def get_metrics(server, req):
+    from typesense_tpu.utils.sysmetrics import system_metrics
+    return system_metrics()
+
+
+def post_snapshot(server, req):
+    path = req.query.get("snapshot_path", "")
+    if not path:
+        raise BadRequest("Parameter `snapshot_path` is required.")
+    if server.manager.store is not None:
+        server.manager.store.create_check_point(path)
+    return 201, {"success": True}
+
+
+def post_vote(server, req):
+    return {"success": True}
+
+
+def post_cache_clear(server, req):
+    return {"success": True}

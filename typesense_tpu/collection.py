@@ -82,6 +82,7 @@ class Collection:
         self.id_to_seq: dict[str, int] = {}    # doc id -> seq_id
         self._engine: IndexEngine | None = None
         self._dirty = True
+        self.manager = None                     # set by CollectionManager
 
         # apply per-collection symbols to string fields lacking their own
         for f in self.fields:
@@ -253,13 +254,9 @@ class Collection:
         filter_by = params.get("filter_by", "")
         filter_mask = None
         if filter_by:
+            from typesense_tpu.search.filters import DeviceFilterEvaluator
             node = parse_filter_query(filter_by)
-            fe = FilterEvaluator(engine.seg, self.field_map)
-            m = fe.evaluate(node)
-            if m is not None:
-                import jax
-                import jax.numpy as jnp
-                filter_mask = jax.device_put(jnp.asarray(m))
+            filter_mask = DeviceFilterEvaluator(engine).evaluate(node, self.field_map)
 
         # --- facets ---
         facet_fields = []
@@ -285,6 +282,67 @@ class Collection:
 
         k = max(250, fetch)
 
+        # --- vector / hybrid ---
+        vec_dist_map: dict[int, float] = {}
+        vq = None
+        if params.get("vector_query"):
+            from typesense_tpu.search.vector_query import parse_vector_query
+            vq = parse_vector_query(str(params["vector_query"]), is_wildcard_query=(q == "*"))
+            if vq.query_doc_id is not None and not vq.values:
+                ref_doc = self.get(vq.query_doc_id)
+                vals = ref_doc.get(vq.field_name)
+                if not isinstance(vals, list):
+                    raise BadRequest(f"Document referenced in vector query does not have "
+                                     f"a vector field named `{vq.field_name}`.")
+                vq.values = vals
+
+        if q == "*" and vq is not None:
+            if not vq.values:
+                raise BadRequest("When a vector query value is empty, either `q` or `id` "
+                                 "parameter must be present.")
+            vk = vq.k or max(fetch, 10)
+            ids, dists = engine.vector_search(vq.field_name, np.asarray(vq.values, np.float32),
+                                              vk, filter_mask=filter_mask,
+                                              distance_threshold=vq.distance_threshold)
+            if vq.query_doc_id is not None:
+                own = self.id_to_seq.get(vq.query_doc_id)
+                keep = ids != own
+                ids, dists = ids[keep], dists[keep]
+            vec_dist_map = {int(i): float(d) for i, d in zip(ids, dists)}
+            raw = RawResult(doc_ids=ids, scores=np.zeros((len(ids), 3), np.int64),
+                            found=len(ids),
+                            facet_counts=self._host_facets(engine, ids, facet_fields),
+                            out_of=int(engine.seg.live.sum()))
+            resp = self._build_response(raw, q, [], search_fields, params,
+                                        page if page > 0 else 1, per_page, start,
+                                        facet_fields, max_facet_values,
+                                        vec_dist_map=vec_dist_map)
+            resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
+            return resp
+
+        # --- curation rules (override_t semantics) ---
+        pinned_ids: list[str] = []
+        hidden_ids: set[str] = set()
+        if self.manager is not None and _as_bool(params.get("enable_overrides"), True):
+            cur_sets = _as_list(params.get("curation_sets")) or \
+                _as_list(self.metadata.get("curation_sets"))
+            if cur_sets:
+                for rule in self.manager.curations.matching_rules(str(q), cur_sets):
+                    for inc in rule.get("includes", []):
+                        pinned_ids.append((inc.get("position", 1), inc["id"]))
+                    for exc in rule.get("excludes", []):
+                        hidden_ids.add(exc["id"])
+                    if rule.get("filter_by"):
+                        extra = rule["filter_by"]
+                        filter_by2 = f"({filter_by}) && ({extra})" if filter_by else extra
+                        from typesense_tpu.search.filters import DeviceFilterEvaluator
+                        filter_mask = DeviceFilterEvaluator(engine).evaluate(
+                            parse_filter_query(filter_by2), self.field_map)
+                    if rule.get("replace_query"):
+                        q = rule["replace_query"]
+        pinned_ids = [d for _, d in sorted(pinned_ids, key=lambda x: x[0])] \
+            if pinned_ids else []
+
         if q == "*":
             raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
                                          facet_fields=facet_fields, k=fetch or 10)
@@ -292,21 +350,47 @@ class Collection:
         else:
             first_field = self.field_map[search_fields[0]]
             q_tokens = tokenize_value(str(q), first_field)[:10]
+            # stopword removal (stopwords_manager.h)
+            sw_set = params.get("stopwords") or self.metadata.get("stopwords")
+            if sw_set and self.manager is not None:
+                q_tokens = self.manager.stopwords.apply(q_tokens, str(sw_set))
             if not q_tokens:
                 raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
                                              facet_fields=facet_fields, k=fetch or 10)
             else:
+                typo_thresh = int(params.get("typo_tokens_threshold", TYPO_TOKENS_THRESHOLD))
                 raw = self._keyword_with_drop_tokens(
                     engine, q_tokens, search_fields, weights, sort_slots,
                     filter_mask, facet_fields, k, num_typos, prefixes,
                     max_candidates, drop_tokens_threshold,
-                    prioritize_exact, prioritize_num_fields,
-                    int(params.get("typo_tokens_threshold", TYPO_TOKENS_THRESHOLD)))
+                    prioritize_exact, prioritize_num_fields, typo_thresh)
+                # synonym expansion (do_synonym_search, index.cpp:6088)
+                if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
+                    syn_sets = _as_list(params.get("synonym_sets")) or \
+                        _as_list(self.metadata.get("synonym_sets"))
+                    if syn_sets:
+                        alts = self.manager.synonyms.expand(q_tokens, syn_sets)
+                        merged = [raw]
+                        for alt in alts:
+                            merged.append(self._keyword_with_drop_tokens(
+                                engine, alt, search_fields, weights, sort_slots,
+                                filter_mask, facet_fields, k, num_typos, prefixes,
+                                max_candidates, 1, prioritize_exact,
+                                prioritize_num_fields, typo_thresh))
+                        raw = self._merge_results(merged)
+                if vq is not None and vq.values:
+                    raw, vec_dist_map = self._hybrid_fuse(engine, raw, vq, k,
+                                                          filter_mask, facet_fields)
+
+        # apply curation pins/hides
+        if pinned_ids or hidden_ids:
+            raw = self._apply_curation(raw, pinned_ids, hidden_ids)
 
         # --- hydrate + respond ---
         resp = self._build_response(raw, q, q_tokens, search_fields, params,
                                     page if page > 0 else 1, per_page, start,
-                                    facet_fields, max_facet_values)
+                                    facet_fields, max_facet_values,
+                                    vec_dist_map=vec_dist_map)
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         return resp
 
@@ -336,12 +420,14 @@ class Collection:
                 break
             tokens = tokens[:-1]  # drop right-most token (default direction)
 
+        return self._merge_results(results)
+
+    @staticmethod
+    def _merge_results(results: list[RawResult]) -> RawResult:
+        """Dedupe by doc id keeping best sort keys, re-rank (topster union)."""
         if len(results) == 1:
             return results[0]
-        # merge (earlier = more tokens matched = higher packed score anyway):
-        # dedupe by doc id keeping best keys
         best: dict[int, np.ndarray] = {}
-        total_found = results[-1].found
         for r in results:
             for i, d in enumerate(r.doc_ids):
                 cur = best.get(int(d))
@@ -353,11 +439,92 @@ class Collection:
         ids = np.array(list(best.keys()), dtype=np.int32)
         sc = np.stack([best[int(d)] for d in ids])
         order = np.lexsort((-ids.astype(np.int64), -sc[:, 2], -sc[:, 1], -sc[:, 0]))
-        merged = RawResult(doc_ids=ids[order], scores=sc[order],
-                           found=max(total_found, len(best)),
-                           facet_counts=results[0].facet_counts,
-                           out_of=results[0].out_of)
-        return merged
+        return RawResult(doc_ids=ids[order], scores=sc[order],
+                         found=max(max(r.found for r in results), len(best)),
+                         facet_counts=results[0].facet_counts,
+                         out_of=results[0].out_of)
+
+    def _apply_curation(self, raw: RawResult, pinned_ids: list[str],
+                        hidden_ids: set[str]) -> RawResult:
+        """Pin/hide curated docs (process_curated_ids, index.cpp:3520)."""
+        hidden_seqs = {self.id_to_seq[d] for d in hidden_ids if d in self.id_to_seq}
+        pin_seqs = [self.id_to_seq[d] for d in pinned_ids if d in self.id_to_seq]
+        keep = [i for i, d in enumerate(raw.doc_ids)
+                if int(d) not in hidden_seqs and int(d) not in pin_seqs]
+        ids = list(raw.doc_ids[keep])
+        scores = list(raw.scores[keep])
+        curated = set()
+        for pos, seq in enumerate(pin_seqs):
+            ids.insert(min(pos, len(ids)), np.int32(seq))
+            scores.insert(min(pos, len(scores)), np.zeros(3, np.int64))
+            curated.add(seq)
+        found = raw.found - sum(1 for i, d in enumerate(raw.doc_ids)
+                                if int(d) in hidden_seqs) \
+            + sum(1 for s in pin_seqs
+                  if s not in set(int(x) for x in raw.doc_ids))
+        out = RawResult(doc_ids=np.array(ids, dtype=np.int32),
+                        scores=(np.stack(scores) if scores
+                                else np.empty((0, 3), np.int64)),
+                        found=found, facet_counts=raw.facet_counts,
+                        out_of=raw.out_of)
+        out.curated_seqs = curated
+        return out
+
+    # ------------------------------------------------------------------
+    def _hybrid_fuse(self, engine, raw_text: RawResult, vq, k, filter_mask,
+                     facet_fields) -> tuple[RawResult, dict[int, float]]:
+        """Reciprocal-rank fusion (index.cpp:4093-4178): text results get
+        (1/dense_text_rank)*(1-alpha); vector results add (1/(rank+1))*alpha;
+        vector-only docs join the result set."""
+        alpha = vq.alpha
+        vk = vq.k or k
+        ids, dists = engine.vector_search(vq.field_name,
+                                          np.asarray(vq.values, np.float32), vk,
+                                          filter_mask=filter_mask,
+                                          distance_threshold=vq.distance_threshold)
+        vec_dist_map = {int(i): float(d) for i, d in zip(ids, dists)}
+
+        fused: dict[int, float] = {}
+        text_rank = 0
+        last_score = None
+        for i, d in enumerate(raw_text.doc_ids):
+            s = tuple(raw_text.scores[i])
+            if s != last_score:
+                text_rank += 1
+            last_score = s
+            fused[int(d)] = (1.0 / text_rank) * (1.0 - alpha)
+        for rank, d in enumerate(ids):
+            fused[int(d)] = fused.get(int(d), 0.0) + (1.0 / (rank + 1)) * alpha
+
+        order = sorted(fused.items(), key=lambda kv: (-kv[1], -kv[0]))
+        out_ids = np.array([d for d, _ in order], dtype=np.int32)
+        # order-preserving float->int64 (index.cpp:266-274) for text_match slot
+        fvals = np.array([v for _, v in order], dtype=np.float32)
+        ints = fvals.view(np.int32).astype(np.int64)
+        ints = np.where(ints < 0, ints ^ np.int64(2**31 - 1), ints)
+        scores = np.zeros((len(out_ids), 3), dtype=np.int64)
+        scores[:, 0] = ints
+        found = max(raw_text.found, len(fused))
+        facets = self._host_facets(engine, out_ids, facet_fields) if facet_fields \
+            else raw_text.facet_counts
+        return RawResult(doc_ids=out_ids, scores=scores, found=found,
+                         facet_counts=facets, out_of=raw_text.out_of), vec_dist_map
+
+    def _host_facets(self, engine, doc_ids: np.ndarray, facet_fields) -> dict:
+        """Facet counting over an explicit (small) result id list."""
+        out = {}
+        for fname in facet_fields or []:
+            col = engine.seg.facet_columns.get(fname)
+            if col is None:
+                continue
+            offs, vals = col
+            values = engine.seg.facet_values[fname]
+            counts = np.zeros(len(values), dtype=np.int64)
+            for d in doc_ids:
+                for v in vals[offs[d]:offs[d + 1]]:
+                    counts[v] += 1
+            out[fname] = (values, counts)
+        return out
 
     # ------------------------------------------------------------------
     def _parse_sort_by(self, sort_by: str, is_wildcard: bool) -> list[SortSpec]:
@@ -405,7 +572,8 @@ class Collection:
 
     # ------------------------------------------------------------------
     def _build_response(self, raw: RawResult, q, q_tokens, search_fields, params,
-                        page, per_page, start, facet_fields, max_facet_values) -> dict:
+                        page, per_page, start, facet_fields, max_facet_values,
+                        vec_dist_map: dict[int, float] | None = None) -> dict:
         include_fields = set(_as_list(params.get("include_fields")))
         exclude_fields = set(_as_list(params.get("exclude_fields")))
         highlight_full = set(_as_list(params.get("highlight_full_fields")))
@@ -445,10 +613,14 @@ class Collection:
                                            affix_tokens, highlight_full)
                 hit["highlight"] = hl
                 hit["highlights"] = legacy
-            if text_slot is not None:
+            if text_slot is not None and q != "*":
                 score = int(page_scores[rank][text_slot])
                 hit["text_match"] = score
                 hit["text_match_info"] = self._text_match_info(score, len(q_tokens))
+            if vec_dist_map and int(seq_id) in vec_dist_map:
+                hit["vector_distance"] = vec_dist_map[int(seq_id)]
+            if int(seq_id) in getattr(raw, "curated_seqs", ()):
+                hit["curated"] = True
             hits.append(hit)
 
         facet_counts = []

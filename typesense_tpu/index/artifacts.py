@@ -98,6 +98,8 @@ class DeviceIndex(NamedTuple):
     live: Any
     field_token_counts: Any
     num_columns: tuple          # aligned with num_column_names
+    num_multi_docs: tuple       # aligned with num_multi_names: element -> doc id
+    num_multi_vals: tuple       # element values
     facet_offsets: tuple        # aligned with facet_field_names
     facet_value_ids: tuple
     str_sort_columns: tuple
@@ -113,11 +115,19 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         import jax
         return jax.device_put(x)
 
+    import numpy as np
+
     num_names = sorted(seg.num_columns)
+    multi_names = sorted(seg.num_multi)
     facet_names = sorted(seg.facet_columns)
     str_sort_names = sorted(seg.str_sort_columns)
     vec_names = sorted(seg.vectors)
     geo_names = sorted(seg.geo_columns)
+
+    def multi_docs(name):
+        offs, vals = seg.num_multi[name]
+        counts = np.diff(offs)
+        return np.repeat(np.arange(len(counts), dtype=np.int32), counts)
 
     dev = DeviceIndex(
         term_chars=put(seg.term_chars),
@@ -131,6 +141,8 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         live=put(seg.live),
         field_token_counts=put(seg.field_token_counts),
         num_columns=tuple(put(seg.num_columns[n]) for n in num_names),
+        num_multi_docs=tuple(put(multi_docs(n)) for n in multi_names),
+        num_multi_vals=tuple(put(seg.num_multi[n][1]) for n in multi_names),
         facet_offsets=tuple(put(seg.facet_columns[n][0]) for n in facet_names),
         facet_value_ids=tuple(put(seg.facet_columns[n][1]) for n in facet_names),
         str_sort_columns=tuple(put(seg.str_sort_columns[n]) for n in str_sort_names),
@@ -138,7 +150,7 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         geo_columns=tuple(put(seg.geo_columns[n]) for n in geo_names),
     )
     names = {
-        "num": num_names, "facet": facet_names, "str_sort": str_sort_names,
-        "vec": vec_names, "geo": geo_names,
+        "num": num_names, "multi": multi_names, "facet": facet_names,
+        "str_sort": str_sort_names, "vec": vec_names, "geo": geo_names,
     }
     return dev, names

@@ -72,14 +72,24 @@ def _string_sort_ranks(values: dict[int, str], num_docs: int) -> np.ndarray:
 
 
 def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
-                  num_docs: int) -> SegmentArrays:
+                  num_docs: int, use_native: bool = True) -> SegmentArrays:
     """Build one immutable segment.
 
     docs: [(seq_id, document_json)] — seq ids must be < num_docs.
+    The occurrence-accumulation hot loop runs in native code
+    (native/builder.cpp) when available; Python otherwise.
     """
     search_fields = [f for f in fields if f.index and f.is_string and not f.is_vector]
     field_idx = {f.name: i for i, f in enumerate(search_fields)}
     F = len(search_fields)
+
+    nb = None
+    if use_native:
+        try:
+            from typesense_tpu.index.native import NativeBuilder
+            nb = NativeBuilder(F, num_docs)
+        except (RuntimeError, ImportError):
+            nb = None
 
     # occurrence accumulation per field: parallel python lists -> numpy
     occ_terms: list[list[int]] = [[] for _ in range(F)]
@@ -127,11 +137,26 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             fi = field_idx[f.name]
             tok_total = 0
             vindex = value_index_acc.get(f.name)
+            fast_ok = (not f.locale and not f.symbols_to_index
+                       and not f.token_separators and not f.stem)
             for elem_idx, value in enumerate(_as_values(raw)):
                 if not isinstance(value, str):
                     value = str(value)
                 if vindex is not None and len(vindex) < MAX_VALUE_INDEX_DISTINCT:
                     vindex.setdefault(value, []).append(seq_id)
+                if nb is not None:
+                    if fast_ok and value.isascii():
+                        nb.add_value(fi, seq_id, elem_idx, value)
+                    else:
+                        toks = tokenize_value(value, f)
+                        n = len(toks)
+                        for pos, tok in enumerate(toks):
+                            packed = (min(elem_idx, (1 << 18) - 1) << POS_BITS) | \
+                                min(pos, MAX_POS)
+                            nb.add_token(fi, seq_id, tok[:MAX_TERM_LEN], packed,
+                                         pos == n - 1)
+                        nb.bump_count(fi, seq_id, n)
+                    continue
                 toks = tokenize_value(value, f)
                 n = len(toks)
                 tok_total += n
@@ -142,7 +167,8 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
                     od.append(seq_id)
                     op.append((min(elem_idx, (1 << 18) - 1) << POS_BITS) | min(pos, MAX_POS))
                     ol.append(1 if pos == n - 1 else 0)
-            ftc[seq_id, fi] = tok_total
+            if nb is None:
+                ftc[seq_id, fi] = tok_total
 
         for f in numeric_fields:
             v = doc.get(f.name)
@@ -191,6 +217,29 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
                 geo_cols[f.name][seq_id] = v
             elif isinstance(v, dict) and "lat" in v:
                 geo_cols[f.name][seq_id] = [v["lat"], v["lng"]]
+
+    if nb is not None:
+        res = nb.finalize()
+        T = res["num_terms"]
+        term_chars = res["term_chars"]
+        term_lens = res["term_lens"]
+        post_offsets = res["post_offsets"]
+        post_doc_ids = res["post_doc_ids"]
+        post_flags = res["post_flags"]
+        pos_offsets = res["pos_offsets"]
+        positions = res["positions"]
+        term_doc_freq = np.zeros(max(T, 1), dtype=np.int32)
+        if T:
+            per_row = (post_offsets[1:] - post_offsets[:-1]).reshape(max(F, 1), max(T, 1))
+            term_doc_freq[:] = per_row.sum(axis=0)
+        ftc = res["field_token_counts"]
+        new_ids = {t: i for i, t in enumerate(res["terms"])}
+        return _assemble_segment(
+            docs, fields, num_docs, search_fields, T, term_chars, term_lens,
+            term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
+            positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
+            str_sort_acc, vec_acc, geo_cols, value_index_acc, new_ids,
+            numeric_multi, facet_fields, vector_fields)
 
     # ---- term table (sorted lexicographically; remap ids) ----
     terms = sorted(term_ids)
@@ -265,6 +314,20 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
         per_row = (post_offsets[1:] - post_offsets[:-1]).reshape(max(F, 1), max(T, 1))
         term_doc_freq[:] = per_row.sum(axis=0)
 
+    return _assemble_segment(
+        docs, fields, num_docs, search_fields, T, term_chars, term_lens,
+        term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
+        positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
+        str_sort_acc, vec_acc, geo_cols, value_index_acc, new_ids,
+        numeric_multi, facet_fields, vector_fields)
+
+
+def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
+                      term_lens, term_doc_freq, post_offsets, post_doc_ids,
+                      post_flags, pos_offsets, positions, live, ftc, num_cols,
+                      multi_acc, facet_acc, facet_vals, str_sort_acc, vec_acc,
+                      geo_cols, value_index_acc, new_ids, numeric_multi,
+                      facet_fields, vector_fields) -> SegmentArrays:
     # ---- columns ----
     num_multi = {}
     for f in numeric_multi:

@@ -24,10 +24,16 @@ NEXT_COLLECTION_ID_KEY = "$CI"
 
 class CollectionManager:
     def __init__(self, store: Store | None = None):
+        from typesense_tpu.managers import (
+            CurationSetManager, StopwordsManager, SynonymSetManager,
+        )
         self.store = store
         self.collections: dict[str, Collection] = {}
         self.aliases: dict[str, str] = {}
         self.presets: dict[str, dict] = {}
+        self.stopwords = StopwordsManager(store)
+        self.synonyms = SynonymSetManager(store)
+        self.curations = CurationSetManager(store)
         self._lock = threading.RLock()
         self._next_collection_id = 0
 
@@ -49,10 +55,13 @@ class CollectionManager:
                 self.aliases[key[len(SYMLINK_PREFIX) + 1:]] = target
             for key, preset in self.store.scan(PRESET_PREFIX + "_"):
                 self.presets[key[len(PRESET_PREFIX) + 1:]] = json.loads(preset)
+            self.stopwords.load()
+            self.synonyms.load()
+            self.curations.load()
 
     def _instantiate(self, meta: dict) -> Collection:
         fields = [Field.from_json(fj) for fj in meta["fields"]]
-        return Collection(
+        coll = Collection(
             name=meta["name"], fields=fields,
             default_sorting_field=meta.get("default_sorting_field", ""),
             store=self.store, collection_id=meta.get("id", 0),
@@ -62,6 +71,8 @@ class CollectionManager:
             token_separators=meta.get("token_separators", []),
             metadata=meta.get("metadata", {}),
         )
+        coll.manager = self
+        return coll
 
     # ------------------------------------------------------------------
     def create_collection(self, schema: dict) -> Collection:

@@ -1,0 +1,223 @@
+"""Aux managers: stopwords, synonym sets, curation (override) sets.
+
+Behavior contracts:
+- StopwordsManager (/root/reference/include/stopwords_manager.h): named sets
+  `{"stopwords": [...], "locale": ...}`; tokens in the set are dropped from
+  queries that pass `stopwords=<set>`.
+- SynonymIndex (/root/reference/include/synonym_index.h): synonym groups
+  `{"synonyms": [...], "root": optional}`; multi-way expansion of matching
+  query token spans (root => one-way). Search integration mirrors
+  do_synonym_search (index.cpp:6088): each expansion is an alternate query
+  whose results merge into the same top-k.
+- CurationIndex (/root/reference/include/curation_index.h, override_t in
+  include/override.h): rules with a query+match condition that pin/hide
+  docs, add filters, or replace the query.
+"""
+
+from __future__ import annotations
+
+import json
+
+from typesense_tpu.core.errors import BadRequest, NotFound
+
+STOPWORDS_PREFIX = "$SW"
+SYNONYM_PREFIX = "$SY"
+CURATION_PREFIX = "$CU"
+
+
+class StopwordsManager:
+    def __init__(self, store=None):
+        self.store = store
+        self.sets: dict[str, dict] = {}
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan(STOPWORDS_PREFIX + "_"):
+            self.sets[k[len(STOPWORDS_PREFIX) + 1:]] = json.loads(v)
+
+    def upsert(self, name: str, body: dict) -> dict:
+        if "stopwords" not in body or not isinstance(body["stopwords"], list):
+            raise BadRequest("Parameter `stopwords` is required as an array of strings.")
+        from typesense_tpu.text.tokenizer import tokenize
+        tokens = set()
+        for phrase in body["stopwords"]:
+            tokens.update(tokenize(str(phrase), locale=body.get("locale", "")))
+        entry = {"id": name, "stopwords": sorted(tokens),
+                 "locale": body.get("locale", "")}
+        self.sets[name] = entry
+        if self.store is not None:
+            self.store.insert(f"{STOPWORDS_PREFIX}_{name}", json.dumps(entry))
+        return entry
+
+    def get(self, name: str) -> dict:
+        if name not in self.sets:
+            raise NotFound(f"Stopword `{name}` not found.")
+        return self.sets[name]
+
+    def list(self) -> list[dict]:
+        return list(self.sets.values())
+
+    def delete(self, name: str):
+        if name not in self.sets:
+            raise NotFound(f"Stopword `{name}` not found.")
+        self.sets.pop(name)
+        if self.store is not None:
+            self.store.remove(f"{STOPWORDS_PREFIX}_{name}")
+
+    def apply(self, tokens: list[str], set_name: str) -> list[str]:
+        s = self.sets.get(set_name)
+        if s is None:
+            return tokens
+        sw = set(s["stopwords"])
+        out = [t for t in tokens if t not in sw]
+        return out or tokens  # never drop the whole query
+
+
+class SynonymSetManager:
+    def __init__(self, store=None):
+        self.store = store
+        self.sets: dict[str, dict] = {}   # set name -> {"items": [group...]}
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan(SYNONYM_PREFIX + "_"):
+            self.sets[k[len(SYNONYM_PREFIX) + 1:]] = json.loads(v)
+
+    def upsert(self, name: str, body: dict) -> dict:
+        items = body.get("items", body.get("synonyms"))
+        if not isinstance(items, list):
+            raise BadRequest("Parameter `items` is required as an array of synonym objects.")
+        from typesense_tpu.text.tokenizer import tokenize
+        norm_items = []
+        for it in items:
+            if "synonyms" not in it or not isinstance(it["synonyms"], list) or not it["synonyms"]:
+                raise BadRequest("Could not find a valid string array of `synonyms`.")
+            norm_items.append({
+                "id": it.get("id", f"{name}-{len(norm_items)}"),
+                "root": it.get("root", ""),
+                "synonyms": it["synonyms"],
+                "_root_tokens": tokenize(it.get("root", "")) if it.get("root") else [],
+                "_syn_tokens": [tokenize(str(s)) for s in it["synonyms"]],
+            })
+        entry = {"name": name, "items": norm_items}
+        self.sets[name] = entry
+        if self.store is not None:
+            self.store.insert(f"{SYNONYM_PREFIX}_{name}", json.dumps(entry))
+        return {"name": name, "items": [
+            {"id": i["id"], "root": i["root"], "synonyms": i["synonyms"]}
+            for i in norm_items]}
+
+    def get(self, name: str) -> dict:
+        if name not in self.sets:
+            raise NotFound("Not Found")
+        e = self.sets[name]
+        return {"name": name, "items": [
+            {"id": i["id"], "root": i["root"], "synonyms": i["synonyms"]}
+            for i in e["items"]]}
+
+    def list(self) -> list[dict]:
+        return [self.get(n) for n in self.sets]
+
+    def delete(self, name: str):
+        if name not in self.sets:
+            raise NotFound("Not Found")
+        self.sets.pop(name)
+        if self.store is not None:
+            self.store.remove(f"{SYNONYM_PREFIX}_{name}")
+
+    def expand(self, tokens: list[str], set_names: list[str],
+               max_expansions: int = 10) -> list[list[str]]:
+        """Alternate token sequences for the query (SynonymIndex::
+        synonym_reduction equivalent — contiguous span replacement)."""
+        groups = []
+        for name in set_names:
+            s = self.sets.get(name)
+            if s:
+                groups.extend(s["items"])
+        expansions: list[list[str]] = []
+        for g in groups:
+            variants = [g["_root_tokens"]] + g["_syn_tokens"] if g["_root_tokens"] \
+                else g["_syn_tokens"]
+            sources = [g["_root_tokens"]] if g["_root_tokens"] else g["_syn_tokens"]
+            for src in sources:
+                if not src:
+                    continue
+                n = len(src)
+                for start in range(len(tokens) - n + 1):
+                    if tokens[start:start + n] == src:
+                        for var in variants:
+                            if var == src or not var:
+                                continue
+                            alt = tokens[:start] + var + tokens[start + n:]
+                            if alt != tokens and alt not in expansions:
+                                expansions.append(alt)
+                                if len(expansions) >= max_expansions:
+                                    return expansions
+        return expansions
+
+
+class CurationSetManager:
+    def __init__(self, store=None):
+        self.store = store
+        self.sets: dict[str, dict] = {}
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan(CURATION_PREFIX + "_"):
+            self.sets[k[len(CURATION_PREFIX) + 1:]] = json.loads(v)
+
+    def upsert(self, name: str, body: dict) -> dict:
+        items = body.get("items")
+        if not isinstance(items, list):
+            raise BadRequest("Parameter `items` is required as an array of curation objects.")
+        for it in items:
+            rule = it.get("rule", {})
+            if not ("query" in rule or "filter_by" in rule or "tags" in rule):
+                raise BadRequest("The `rule` definition must contain a `query` and "
+                                 "`match`, or a `filter_by`.")
+            if "query" in rule and rule.get("match") not in ("exact", "contains"):
+                raise BadRequest("The `rule` definition must contain a `match`.")
+        entry = {"name": name, "items": items}
+        self.sets[name] = entry
+        if self.store is not None:
+            self.store.insert(f"{CURATION_PREFIX}_{name}", json.dumps(entry))
+        return entry
+
+    def get(self, name: str) -> dict:
+        if name not in self.sets:
+            raise NotFound("Not Found")
+        return self.sets[name]
+
+    def list(self) -> list[dict]:
+        return list(self.sets.values())
+
+    def delete(self, name: str):
+        if name not in self.sets:
+            raise NotFound("Not Found")
+        self.sets.pop(name)
+        if self.store is not None:
+            self.store.remove(f"{CURATION_PREFIX}_{name}")
+
+    def matching_rules(self, q: str, set_names: list[str]) -> list[dict]:
+        """Rules whose query condition matches `q` (override_t semantics)."""
+        ql = q.lower().strip()
+        out = []
+        for name in set_names:
+            s = self.sets.get(name)
+            if not s:
+                continue
+            for it in s["items"]:
+                rule = it.get("rule", {})
+                rq = str(rule.get("query", "")).lower()
+                match = rule.get("match")
+                if rq:
+                    if match == "exact" and ql == rq:
+                        out.append(it)
+                    elif match == "contains" and rq in ql:
+                        out.append(it)
+                elif rule.get("filter_by"):
+                    out.append(it)
+        return out

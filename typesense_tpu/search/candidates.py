@@ -69,7 +69,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
     prefix_on = prefixes[0] if prefixes else True
     max_typos = num_typos[0] if num_typos else 2
 
-    out = []
+    partial: list[tuple[list[int], list[int]]] = []
+    fuzzy_req: list[tuple[int, str, int, bool]] = []  # (token_idx, tok, budget, prefix)
     for ti, tok in enumerate(tokens):
         is_last = ti == len(tokens) - 1
         exact_id = engine.seg.term_to_id.get(tok, -1)
@@ -90,15 +91,21 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         # mirrors typo_tokens_threshold gating (index.cpp fuzzy loop)
         cost_budget = bounded_typo_cost(max_typos, len(tok))
         if cost_budget > 0 and (not ids or found_so_far < typo_tokens_threshold):
-            from typesense_tpu.ops.fuzzy import fuzzy_candidates
-            fids, fcosts = fuzzy_candidates(engine, tok, cost_budget,
-                                            prefix=is_last and prefix_on,
-                                            max_candidates=max_candidates)
+            fuzzy_req.append((ti, tok, cost_budget, is_last and prefix_on))
+        partial.append((ids, costs))
+
+    if fuzzy_req:
+        # ONE batched device call for every token needing typo expansion
+        from typesense_tpu.ops.fuzzy import fuzzy_candidates_batch
+        results = fuzzy_candidates_batch(
+            engine, [(tok, b, p) for _, tok, b, p in fuzzy_req], max_candidates)
+        for (ti, _tok, _b, _p), (fids, fcosts) in zip(fuzzy_req, results):
+            ids, costs = partial[ti]
             seen = set(ids)
             for fid, fc in zip(fids, fcosts):
                 if int(fid) not in seen:
                     ids.append(int(fid))
                     costs.append(int(fc))
-        out.append((np.asarray(ids, dtype=np.int64),
-                    np.asarray(costs, dtype=np.int64)))
-    return out
+
+    return [(np.asarray(ids, dtype=np.int64), np.asarray(costs, dtype=np.int64))
+            for ids, costs in partial]

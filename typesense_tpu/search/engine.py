@@ -65,8 +65,10 @@ class IndexEngine:
 
         self.dev, self.names = to_device(segment)
         self._num_col_idx = {n: i for i, n in enumerate(self.names["num"])}
+        self._multi_idx = {n: i for i, n in enumerate(self.names["multi"])}
         self._facet_idx = {n: i for i, n in enumerate(self.names["facet"])}
         self._vec_idx = {n: i for i, n in enumerate(self.names["vec"])}
+        self._geo_idx = {n: i for i, n in enumerate(self.names["geo"])}
 
         # sort-ready int64 device columns
         self._sort_cols: dict[str, jax.Array] = {}
@@ -184,18 +186,20 @@ class IndexEngine:
             prioritize_num_fields, len(facet_fields), f_caps, f_sizes)
 
         fmask = filter_mask if filter_mask is not None else self._live
-        weights = np.zeros(Fq, dtype=np.int32)
+        weights = np.zeros(Fq, dtype=np.int64)
         weights[:len(field_weights)] = field_weights[:Fq]
 
-        rid, r0, r1, r2, found, f_acc = kern(
-            self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
-            self.dev.positions, self.dev.field_token_counts, fmask,
-            jnp.asarray(drv_starts), jnp.asarray(drv_ends),
-            jnp.asarray(cand_starts), jnp.asarray(cand_ends),
-            jnp.asarray(cand_costs), jnp.asarray(token_valid),
-            jnp.asarray(weights), cols[0], cols[1], cols[2],
-            f_offs, f_vals)
-
+        qbuf = kernels.pack_query_buf(drv_starts.astype(np.int64),
+                                      drv_ends.astype(np.int64),
+                                      cand_starts.astype(np.int64),
+                                      cand_ends.astype(np.int64),
+                                      cand_costs.astype(np.int64),
+                                      token_valid, weights)
+        buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
+                   self.dev.positions, self.dev.field_token_counts, fmask,
+                   jnp.asarray(qbuf), cols[0], cols[1], cols[2],
+                   f_offs, f_vals)
+        rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
 
     # ------------------------------------------------------------------
@@ -214,9 +218,39 @@ class IndexEngine:
             K, tuple(slot_kinds), tuple(slot_signs),
             len(facet_fields), f_caps, f_sizes)
         fmask = filter_mask if filter_mask is not None else self._live
-        rid, r0, r1, r2, found, f_acc = kern(fmask, cols[0], cols[1], cols[2],
-                                             f_offs, f_vals)
+        buf = kern(fmask, cols[0], cols[1], cols[2], f_offs, f_vals)
+        rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
+
+    # ------------------------------------------------------------------
+    def vector_search(self, field_name: str, query_vec: np.ndarray, k: int,
+                      filter_mask=None, distance_threshold: float = 3.4e38,
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact kNN over the dense vector matrix. Returns (ids, distances),
+        already trimmed to valid entries (dist <= threshold, filter passed)."""
+        from typesense_tpu.ops.vector import build_knn_kernel
+        vi = self._vec_idx.get(field_name)
+        if vi is None:
+            raise BadRequest(f"Field `{field_name}` does not have a vector index.")
+        vecs = self.dev.vectors[vi]
+        vmask = getattr(self, "_vec_masks", {}).get(field_name)
+        if vmask is None:
+            norms = np.linalg.norm(self.seg.vectors[field_name], axis=1)
+            m = (norms > 0) & self.seg.live
+            vmask = jax.device_put(jnp.asarray(m))
+            if not hasattr(self, "_vec_masks"):
+                self._vec_masks = {}
+            self._vec_masks[field_name] = vmask
+        mask = vmask if filter_mask is None else (vmask & filter_mask)
+
+        K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
+        kern = build_knn_kernel(K, 1)
+        q = jnp.asarray(query_vec, jnp.float32)[None, :]
+        idxs, dists = kern(vecs, q, mask, jnp.float32(distance_threshold))
+        idxs = np.asarray(idxs[0])
+        dists = np.asarray(dists[0])
+        valid = np.isfinite(dists)
+        return idxs[valid][:k], dists[valid][:k]
 
     # ------------------------------------------------------------------
     def _prepare_slots(self, sort_slots: list[SortSpec]):
@@ -242,13 +276,11 @@ class IndexEngine:
         return kinds, signs, cols
 
     def _collect(self, rid, r0, r1, r2, found, f_acc, facet_fields, k) -> RawResult:
-        rid = np.asarray(rid)
-        scores = np.stack([np.asarray(r0), np.asarray(r1), np.asarray(r2)], axis=1)
+        scores = np.stack([r0, r1, r2], axis=1)
         valid = rid >= 0
         rid, scores = rid[valid][:k], scores[valid][:k]
         facets = {}
         for i, fname in enumerate(facet_fields):
-            counts = np.asarray(f_acc[i])
-            facets[fname] = (self.seg.facet_values[fname], counts)
+            facets[fname] = (self.seg.facet_values[fname], f_acc[i])
         return RawResult(doc_ids=rid, scores=scores, found=int(found),
                          facet_counts=facets, out_of=int(self.seg.live.sum()))

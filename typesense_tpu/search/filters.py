@@ -150,7 +150,157 @@ def _parse_leaf(expr: str) -> LeafNode:
 
 
 # ---------------------------------------------------------------------------
-# evaluation -> dense doc mask
+# device evaluation -> resident boolean doc mask (no host round trip)
+# ---------------------------------------------------------------------------
+
+class DeviceFilterEvaluator:
+    """Evaluates a filter AST directly on device-resident columns so the mask
+    never crosses the host boundary (critical: each transfer over the TPU
+    link costs a round trip). Numeric/bool/geo leaves are elementwise ops on
+    dense columns; multi-valued numerics scatter element-compare results back
+    to docs; string equality uploads only the (small) matching doc-id lists
+    from the host value index."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.seg = engine.seg
+        self.fields = None  # set per evaluate() call
+
+    def evaluate(self, node: FilterNode | None, fields: dict[str, Field]):
+        import jax.numpy as jnp
+        if node is None:
+            return None
+        self.fields = fields
+        mask = self._eval(node)
+        return mask & self.engine._live
+
+    def _eval(self, node: FilterNode):
+        if isinstance(node, BoolNode):
+            l = self._eval(node.left)
+            r = self._eval(node.right)
+            return (l & r) if node.op == "&&" else (l | r)
+        return self._eval_leaf(node)
+
+    def _eval_leaf(self, node: LeafNode):
+        import jax
+        import jax.numpy as jnp
+        f = self.fields.get(node.field_name)
+        if f is None:
+            raise BadRequest(f"Could not find a filter field named "
+                             f"`{node.field_name}` in the schema.")
+        eng = self.engine
+        N = self.seg.num_docs
+        if f.is_geo:
+            return self._eval_geo(node, f)
+        if f.is_numeric or f.is_bool:
+            coerce = FilterEvaluator(self.seg, self.fields)._coerce_num
+            vals = [coerce(f, s) for s in node.values]
+            if f.is_array:
+                mi = eng._multi_idx.get(f.name)
+                if mi is None:
+                    return jnp.zeros(N, bool)
+                evals = eng.dev.num_multi_vals[mi]
+                edocs = eng.dev.num_multi_docs[mi]
+                em = _cmp_jnp(evals, node.op, vals)
+                return jnp.zeros(N, bool).at[edocs].max(em, mode="drop")
+            ci = eng._num_col_idx.get(f.name)
+            if ci is None:
+                return jnp.zeros(N, bool)
+            col = eng.dev.num_columns[ci]
+            if col.dtype == jnp.float32:
+                missing = jnp.isnan(col)
+            else:
+                missing = col == jnp.iinfo(jnp.int64).min
+            return _cmp_jnp(col, node.op, vals) & ~missing
+        # string field: resolve via host value index, upload matching ids
+        vindex = self.seg.value_index.get(f.name)
+        if vindex is None:
+            raise BadRequest(f"Filtering on long-text field `{f.name}` is not supported.")
+        ids = []
+        for v in node.values:
+            arr = vindex.get(v)
+            if arr is not None:
+                ids.append(arr)
+        idvec = (np.concatenate(ids) if ids else np.empty(0, np.int32))
+        m = jnp.zeros(N, bool).at[jnp.asarray(idvec)].set(True, mode="drop")
+        if node.op in ("!=", "not_in"):
+            return ~m
+        if node.op in ("=", "in"):
+            return m
+        raise BadRequest(f"Operator not supported on string field `{f.name}`.")
+
+    def _eval_geo(self, node: LeafNode, f: Field):
+        import jax.numpy as jnp
+        eng = self.engine
+        N = self.seg.num_docs
+        gi = eng._geo_idx.get(f.name)
+        if gi is None:
+            return jnp.zeros(N, bool)
+        col = eng.dev.geo_columns[gi]
+        raw = node.values[0].strip()
+        inner = raw[1:-1] if raw.startswith("(") and raw.endswith(")") else raw
+        parts = [p.strip() for p in inner.split(",")]
+        if len(parts) == 3 and any(u in parts[2] for u in ("km", "mi")):
+            lat, lng = float(parts[0]), float(parts[1])
+            rs = parts[2]
+            radius_m = (float(rs[:-2]) * 1000.0 if rs.endswith("km")
+                        else float(rs[:-2]) * 1609.34 if rs.endswith("mi")
+                        else float(rs))
+            lat1 = jnp.radians(col[:, 0])
+            lng1 = jnp.radians(col[:, 1])
+            lat2, lng2 = math.radians(lat), math.radians(lng)
+            d = 2 * EARTH_RADIUS_M * jnp.arcsin(jnp.sqrt(
+                jnp.sin((lat2 - lat1) / 2) ** 2 +
+                jnp.cos(lat1) * math.cos(lat2) * jnp.sin((lng2 - lng1) / 2) ** 2))
+            return ~jnp.isnan(col[:, 0]) & (d <= radius_m)
+        coords = [float(p) for p in parts]
+        if len(coords) < 6 or len(coords) % 2:
+            raise BadRequest(f"Polygon is not a valid geo shape for field `{f.name}`.")
+        poly = np.array(coords, dtype=np.float64).reshape(-1, 2)
+        x, y = col[:, 1].astype(jnp.float64), col[:, 0].astype(jnp.float64)
+        inside = jnp.zeros(self.seg.num_docs, bool)
+        j = len(poly) - 1
+        for i in range(len(poly)):
+            yi, xi = poly[i]
+            yj, xj = poly[j]
+            denom = (yj - yi) if (yj - yi) != 0 else 1e-12
+            cond = ((yi > y) != (yj > y)) & (x < (xj - xi) * (y - yi) / denom + xi)
+            inside = inside ^ cond
+            j = i
+        return inside & ~jnp.isnan(col[:, 0])
+
+
+def _cmp_jnp(col, op: str, v: list):
+    import jax.numpy as jnp
+    if op == "=":
+        return col == v[0]
+    if op == "!=":
+        return col != v[0]
+    if op == ">":
+        return col > v[0]
+    if op == ">=":
+        return col >= v[0]
+    if op == "<":
+        return col < v[0]
+    if op == "<=":
+        return col <= v[0]
+    if op == "range":
+        return (col >= v[0]) & (col <= v[1])
+    if op == "in":
+        m = jnp.zeros(col.shape, bool)
+        for x in v:
+            m = m | (col == x)
+        return m
+    if op == "not_in":
+        m = jnp.ones(col.shape, bool)
+        for x in v:
+            m = m & (col != x)
+        return m
+    raise BadRequest("Unsupported numeric filter operator.")
+
+
+# ---------------------------------------------------------------------------
+# host evaluation -> dense doc mask (numpy; used as test oracle & fallback)
 # ---------------------------------------------------------------------------
 
 class FilterEvaluator:

@@ -80,6 +80,18 @@ def topk_merge(keys0, keys1, keys2, doc_ids, valid, k: int):
     return -s0[:k], -s1[:k], -s2[:k], out_ids
 
 
+def pack_query_buf(drv_starts, drv_ends, cand_starts, cand_ends, cand_costs,
+                   token_valid, field_weights):
+    """Single host->device upload per query: the tunnel charges per transfer,
+    so every small per-query array rides in one int64 buffer."""
+    import numpy as np
+    return np.concatenate([
+        drv_starts.ravel(), drv_ends.ravel(), cand_starts.ravel(),
+        cand_ends.ravel(), cand_costs.ravel(),
+        token_valid.astype(np.int64).ravel(), field_weights.ravel(),
+    ]).astype(np.int64)
+
+
 @lru_cache(maxsize=512)
 def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
                          K: int, P: int, iters: int, slot_kinds: tuple,
@@ -92,18 +104,26 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
     FCD: number of driver slices (<= F*C); D: per-slice driver bucket;
     S: scoring chunk; K: top-k size; P: positions cap per posting;
     iters: binary search depth; slot_*: 3 sort slots.
+
+    All outputs pack into ONE int64 array [ids K | k0 K | k1 K | k2 K |
+    found | facet counts...] — one device->host readback per query.
     """
 
     @jax.jit
     def kernel(post_doc_ids, post_flags, pos_offsets, positions,
                field_token_counts, filter_mask,
-               drv_starts, drv_ends,           # (FCD,) driver posting rows
-               cand_starts, cand_ends,         # (Q, F, C) posting row bounds
-               cand_costs,                     # (Q, C) typo costs (255 = invalid)
-               token_valid,                    # (Q,) bool
-               field_weights,                  # (F,) int32
+               qbuf,                           # packed per-query scalars
                sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
                facet_offs, facet_vals):        # tuples of facet CSR arrays
+        # unpack qbuf (layout mirrors pack_query_buf)
+        o = 0
+        drv_starts = qbuf[o:o + FCD].astype(jnp.int32); o += FCD
+        drv_ends = qbuf[o:o + FCD].astype(jnp.int32); o += FCD
+        cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32); o += Q * F * C
+        cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32); o += Q * F * C
+        cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32); o += Q * C
+        token_valid = qbuf[o:o + Q].astype(bool); o += Q
+        field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
         # ---- 1. driver union ----
         sl = jax.vmap(lambda s: gather_slice(post_doc_ids, s, D, fill=INT32_INF))(
             drv_starts)
@@ -244,9 +264,26 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
                 jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32), init_f)
         r0, r1, r2, rid, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
-        return rid, r0, r1, r2, found_count, f_acc
+        out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
+        out.extend(f.astype(jnp.int64) for f in f_acc)
+        return jnp.concatenate(out)
 
     return kernel
+
+
+def unpack_result(buf, K: int, facet_sizes: tuple):
+    """Host-side unpacking of the single packed result buffer."""
+    import numpy as np
+    buf = np.asarray(buf)
+    rid = buf[:K].astype(np.int32)
+    r0, r1, r2 = buf[K:2 * K], buf[2 * K:3 * K], buf[3 * K:4 * K]
+    found = int(buf[4 * K])
+    o = 4 * K + 1
+    facets = []
+    for sz in facet_sizes:
+        facets.append(buf[o:o + sz])
+        o += sz
+    return rid, r0, r1, r2, found, facets
 
 
 @lru_cache(maxsize=128)
@@ -267,7 +304,7 @@ def build_wildcard_kernel(K: int, slot_kinds: tuple, slot_signs: tuple,
         found = jnp.sum(filter_mask, dtype=jnp.int64)
         r0, r1, r2, rid = topk_merge(k0, k1, k2, doc_ids, filter_mask, K)
 
-        f_out = []
+        out = [rid.astype(jnp.int64), r0, r1, r2, found[None]]
         for fa in range(n_facets):
             offs, vals = facet_offs[fa], facet_vals[fa]
             cap = facet_caps[fa]
@@ -279,7 +316,7 @@ def build_wildcard_kernel(K: int, slot_kinds: tuple, slot_signs: tuple,
             fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
             acc = jnp.zeros(facet_sizes[fa], jnp.int32).at[fv.reshape(-1)].add(
                 vv.reshape(-1).astype(jnp.int32), mode="drop")
-            f_out.append(acc)
-        return rid, r0, r1, r2, found, tuple(f_out)
+            out.append(acc.astype(jnp.int64))
+        return jnp.concatenate(out)
 
     return kernel

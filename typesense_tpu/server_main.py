@@ -1,0 +1,51 @@
+"""Server entry point: `python -m typesense_tpu.server_main --data-dir ... --api-key ...`
+
+Boot order mirrors run_server (/root/reference/src/typesense_server_utils.cpp:471):
+config -> store -> managers.init(store) -> CollectionManager.load (startup
+index rebuild from the doc store) -> HTTP serve.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from typesense_tpu.api.auth import AuthManager
+from typesense_tpu.api.http import HttpServer
+from typesense_tpu.core.config import Config
+from typesense_tpu.core.store import Store
+from typesense_tpu.manager import CollectionManager
+from typesense_tpu.utils.sysmetrics import AppMetrics
+
+
+def make_server(argv: list[str] | None = None) -> HttpServer:
+    cfg = Config.load(argv if argv is not None else sys.argv[1:])
+    if not cfg.data_dir:
+        print("Error: data_dir is required (--data-dir or TYPESENSE_DATA_DIR)",
+              file=sys.stderr)
+        raise SystemExit(1)
+    if not cfg.api_key:
+        print("Error: api_key is required (--api-key or TYPESENSE_API_KEY)",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    store = Store(cfg.data_dir + "/db")
+    meta_store = Store(cfg.data_dir + "/meta")
+    manager = CollectionManager(store)
+    manager.load()
+    auth = AuthManager(meta_store, bootstrap_key=cfg.api_key)
+    auth.load()
+    server = HttpServer(manager, auth, host=cfg.api_address, port=cfg.api_port,
+                        num_threads=min(cfg.thread_pool_size, 64))
+    server.metrics = AppMetrics()
+    return server
+
+
+def main():
+    server = make_server()
+    print(f"typesense-tpu {sys.version.split()[0]} listening on "
+          f"{server.host}:{server.port}")
+    server.run()
+
+
+if __name__ == "__main__":
+    main()
