@@ -1,0 +1,91 @@
+"""Phrase search, exclusion, group_by tests (reference:
+collection_specific_test.cpp phrase cases, collection_grouping_test.cpp)."""
+
+import pytest
+
+from typesense_tpu.collection import Collection, parse_query_text
+from typesense_tpu.schema.field import Field
+
+
+@pytest.fixture(scope="module")
+def coll():
+    c = Collection("songs", [
+        Field("title", "string"),
+        Field("artist", "string", facet=True),
+        Field("year", "int32", facet=True),
+    ], default_sorting_field="year")
+    docs = [
+        {"id": "0", "title": "house of the rising sun", "artist": "animals", "year": 1964},
+        {"id": "1", "title": "rising house prices", "artist": "econ", "year": 2020},
+        {"id": "2", "title": "sun house blues", "artist": "animals", "year": 1930},
+        {"id": "3", "title": "house music rising", "artist": "dj", "year": 2001},
+        {"id": "4", "title": "the rising", "artist": "boss", "year": 2002},
+    ]
+    for d in docs:
+        c.add(d)
+    return c
+
+
+def ids(res):
+    return [h["document"]["id"] for h in res["hits"]]
+
+
+def test_parse_query_text():
+    f = Field("t", "string")
+    toks, pairs, excl = parse_query_text('hello "brown fox" -lazy', f)
+    assert toks == ["hello", "brown", "fox", "lazy"]
+    assert pairs == ((1, 2),)
+    assert excl == (False, False, False, True)
+
+
+def test_phrase_search(coll):
+    res = coll.search({"q": '"rising sun"', "query_by": "title", "prefix": "false"})
+    assert ids(res) == ["0"]
+    assert res["found"] == 1
+    # non-phrase finds both orders
+    res2 = coll.search({"q": "rising sun", "query_by": "title", "prefix": "false"})
+    assert res2["found"] == 1  # AND still needs both tokens; only doc 0 has both
+
+
+def test_phrase_order_matters(coll):
+    res = coll.search({"q": '"sun house"', "query_by": "title", "prefix": "false"})
+    assert ids(res) == ["2"]
+
+
+def test_exclusion(coll):
+    res = coll.search({"q": "house -rising", "query_by": "title", "prefix": "false"})
+    assert set(ids(res)) == {"2"}
+    assert res["found"] == 1
+
+
+def test_exclusion_all(coll):
+    res = coll.search({"q": "rising -house", "query_by": "title", "prefix": "false"})
+    assert set(ids(res)) == {"4"}
+
+
+def test_group_by(coll):
+    res = coll.search({"q": "*", "group_by": "artist", "group_limit": 2})
+    assert "grouped_hits" in res and "hits" not in res
+    assert res["found"] == 4  # 4 distinct artists
+    assert res["found_docs"] == 5
+    by_key = {tuple(g["group_key"]): g for g in res["grouped_hits"]}
+    assert ("animals",) in by_key
+    assert by_key[("animals",)]["found"] == 2
+    assert len(by_key[("animals",)]["hits"]) == 2
+    # groups ordered by best hit: wildcard sorts year desc -> first group = dj? no:
+    # order: 2020(econ), 2002(boss), 2001(dj), 1964(animals), 1930(animals)
+    assert res["grouped_hits"][0]["group_key"] == ["econ"]
+
+
+def test_group_by_with_query(coll):
+    res = coll.search({"q": "house", "query_by": "title", "prefix": "false",
+                       "group_by": "artist", "group_limit": 1})
+    assert res["found"] == 3  # animals, econ, dj
+    for g in res["grouped_hits"]:
+        assert len(g["hits"]) == 1
+
+
+def test_group_by_requires_facet(coll):
+    from typesense_tpu.core.errors import TypesenseError
+    with pytest.raises(TypesenseError):
+        coll.search({"q": "*", "group_by": "title"})

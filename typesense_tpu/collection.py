@@ -49,6 +49,36 @@ def _as_bool(v, default=False):
     return str(v).lower() == "true"
 
 
+_QSEG_RE = __import__("re").compile(r'-?"[^"]*"|\S+')
+
+
+def parse_query_text(q: str, field: Field):
+    """Split q into (tokens, phrase_pairs, exclude_flags): quoted spans are
+    phrases (adjacent-in-order, collection.cpp:4544 parse_search_query),
+    `-token` / `-"phrase"` are exclusions."""
+    tokens: list[str] = []
+    excludes: list[bool] = []
+    pairs: list[tuple[int, int]] = []
+    for seg in _QSEG_RE.findall(q):
+        neg = seg.startswith("-") and len(seg) > 1
+        if neg:
+            seg = seg[1:]
+        if len(seg) >= 2 and seg[0] == '"' and seg[-1] == '"':
+            toks = tokenize_value(seg[1:-1], field)
+            start = len(tokens)
+            tokens.extend(toks)
+            excludes.extend([neg] * len(toks))
+            if not neg:
+                pairs.extend((i, i + 1) for i in range(start, start + len(toks) - 1))
+        else:
+            toks = tokenize_value(seg, field)
+            tokens.extend(toks)
+            excludes.extend([neg] * len(toks))
+    tokens, excludes = tokens[:10], excludes[:10]
+    pairs = [(i, j) for i, j in pairs if j < len(tokens)]
+    return tokens, tuple(pairs), tuple(excludes)
+
+
 class Collection:
     def __init__(self, name: str, fields: list[Field],
                  default_sorting_field: str = "", store=None,
@@ -349,11 +379,13 @@ class Collection:
             q_tokens: list[str] = []
         else:
             first_field = self.field_map[search_fields[0]]
-            q_tokens = tokenize_value(str(q), first_field)[:10]
+            q_tokens, phrase_pairs, exclude_flags = parse_query_text(str(q), first_field)
             # stopword removal (stopwords_manager.h)
             sw_set = params.get("stopwords") or self.metadata.get("stopwords")
-            if sw_set and self.manager is not None:
+            if sw_set and self.manager is not None and not phrase_pairs \
+                    and not any(exclude_flags):
                 q_tokens = self.manager.stopwords.apply(q_tokens, str(sw_set))
+                exclude_flags = tuple([False] * len(q_tokens))
             if not q_tokens:
                 raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
                                              facet_fields=facet_fields, k=fetch or 10)
@@ -363,7 +395,8 @@ class Collection:
                     engine, q_tokens, search_fields, weights, sort_slots,
                     filter_mask, facet_fields, k, num_typos, prefixes,
                     max_candidates, drop_tokens_threshold,
-                    prioritize_exact, prioritize_num_fields, typo_thresh)
+                    prioritize_exact, prioritize_num_fields, typo_thresh,
+                    phrase_pairs=phrase_pairs, exclude_flags=exclude_flags)
                 # synonym expansion (do_synonym_search, index.cpp:6088)
                 if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                     syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -386,11 +419,28 @@ class Collection:
         if pinned_ids or hidden_ids:
             raw = self._apply_curation(raw, pinned_ids, hidden_ids)
 
+        # group_by (topster.h:252 group_kv_map; grouped over the ranked set)
+        group_fields = _as_list(params.get("group_by"))
+        for gf in group_fields:
+            f = self.field_map.get(gf)
+            if f is None:
+                raise NotFound(f"Could not find a field named `{gf}` in the schema.")
+            if not f.facet:
+                raise BadRequest(f"Group by field `{gf}` should be a faceted field.")
+        group_limit = int(params.get("group_limit", 3)) if group_fields else 0
+        group_missing_values = _as_bool(params.get("group_missing_values"), True)
+
         # --- hydrate + respond ---
-        resp = self._build_response(raw, q, q_tokens, search_fields, params,
-                                    page if page > 0 else 1, per_page, start,
-                                    facet_fields, max_facet_values,
-                                    vec_dist_map=vec_dist_map)
+        if group_fields:
+            resp = self._build_grouped_response(
+                raw, q, q_tokens, search_fields, params, page if page > 0 else 1,
+                per_page, start, facet_fields, max_facet_values, group_fields,
+                group_limit, group_missing_values, vec_dist_map)
+        else:
+            resp = self._build_response(raw, q, q_tokens, search_fields, params,
+                                        page if page > 0 else 1, per_page, start,
+                                        facet_fields, max_facet_values,
+                                        vec_dist_map=vec_dist_map)
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         return resp
 
@@ -399,26 +449,37 @@ class Collection:
                                   sort_slots, filter_mask, facet_fields, k,
                                   num_typos, prefixes, max_candidates,
                                   drop_tokens_threshold, prioritize_exact,
-                                  prioritize_num_fields, typo_tokens_threshold) -> RawResult:
+                                  prioritize_num_fields, typo_tokens_threshold,
+                                  phrase_pairs: tuple = (),
+                                  exclude_flags: tuple = ()) -> RawResult:
         """Run keyword search; drop tokens right-to-left while below threshold
-        (index.cpp:3851-3990 drop_tokens loop)."""
+        (index.cpp:3851-3990 drop_tokens loop). Phrase queries and exclusions
+        never drop tokens (reference behavior for phrases)."""
         from typesense_tpu.search.candidates import token_candidate_sets
 
         tokens = list(q_tokens)
+        excludes = list(exclude_flags) or [False] * len(tokens)
+        can_drop = not phrase_pairs and not any(excludes)
         results: list[RawResult] = []
         while True:
+            exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
+                          for i in range(len(tokens))]
             cands = token_candidate_sets(
                 engine, tokens, search_fields, num_typos, prefixes,
-                max_candidates, typo_tokens_threshold)
+                max_candidates, typo_tokens_threshold, exact_only=exact_only)
             raw = engine.keyword_search(
                 cands, search_fields, weights, sort_slots,
                 filter_mask=filter_mask, facet_fields=facet_fields, k=k,
                 prioritize_exact=prioritize_exact,
-                prioritize_num_fields=prioritize_num_fields)
+                prioritize_num_fields=prioritize_num_fields,
+                phrase_pairs=phrase_pairs,
+                exclude_flags=tuple(excludes[:len(tokens)]))
             results.append(raw)
-            if raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1:
+            if (raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1
+                    or not can_drop):
                 break
             tokens = tokens[:-1]  # drop right-most token (default direction)
+            excludes = excludes[:-1]
 
         return self._merge_results(results)
 
@@ -651,6 +712,65 @@ class Collection:
             },
             "search_cutoff": False,
         }
+
+    def _build_grouped_response(self, raw: RawResult, q, q_tokens, search_fields,
+                                params, page, per_page, start, facet_fields,
+                                max_facet_values, group_fields, group_limit,
+                                group_missing_values, vec_dist_map) -> dict:
+        """grouped_hits assembly (collection.cpp:3078-3206). Groups are keyed
+        by the tuple of group field values; group order = best-hit order;
+        each group keeps up to group_limit hits."""
+        groups: dict = {}
+        order: list = []
+        for i, seq in enumerate(raw.doc_ids):
+            doc = self.docs.get(int(seq))
+            if doc is None:
+                continue
+            key_vals = []
+            missing = False
+            for gf in group_fields:
+                v = doc.get(gf)
+                if v is None:
+                    missing = True
+                key_vals.append(tuple(v) if isinstance(v, list) else v)
+            gk = tuple(key_vals) if (group_missing_values or not missing) \
+                else ("__uniq__", int(seq))
+            if gk not in groups:
+                groups[gk] = []
+                order.append(gk)
+            if len(groups[gk]) < max(group_limit, 1):
+                groups[gk].append(i)
+
+        # hydrate page of groups through the normal hit builder
+        page_keys = order[start:start + per_page]
+        base = self._build_response(raw, q, q_tokens, search_fields,
+                                    {**params, "per_page": len(raw.doc_ids)},
+                                    1, max(len(raw.doc_ids), 1), 0,
+                                    facet_fields, max_facet_values,
+                                    vec_dist_map=vec_dist_map)
+        hit_by_rank = {i: h for i, h in enumerate(base["hits"])}
+        grouped = []
+        for gk in page_keys:
+            idxs = groups[gk]
+            doc0 = self.docs.get(int(raw.doc_ids[idxs[0]]))
+            gkey = []
+            for gf in group_fields:
+                v = doc0.get(gf)
+                gkey.append(v)
+            grouped.append({
+                "group_key": gkey,
+                "found": len(idxs),
+                "hits": [hit_by_rank[i] for i in idxs if i in hit_by_rank],
+            })
+        n_groups = len(order)
+        if raw.found > len(raw.doc_ids) and len(raw.doc_ids):
+            n_groups = int(raw.found * n_groups / len(raw.doc_ids))
+        base.pop("hits", None)
+        base["grouped_hits"] = grouped
+        base["found"] = n_groups
+        base["found_docs"] = raw.found
+        base["page"] = page
+        return base
 
     @staticmethod
     def _text_match_info(score: int, total_tokens: int) -> dict:

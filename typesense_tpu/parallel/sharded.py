@@ -223,7 +223,7 @@ def build_sharded_search_step(mesh: Mesh, Q: int, D: int, K: int, iters: int,
         local_step, mesh=mesh,
         in_specs=(spec_sharded,) * 8 + (P(), P()),
         out_specs=(spec_sharded, spec_sharded, spec_sharded, spec_sharded, spec_sharded),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def search_step(post_doc_ids, post_offsets, live, doc_base, vectors, col,

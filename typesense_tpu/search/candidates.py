@@ -61,9 +61,12 @@ def prefix_candidates(engine, token: str, max_candidates: int) -> tuple[np.ndarr
 def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                          num_typos: list[int], prefixes: list[bool],
                          max_candidates: int, typo_tokens_threshold: int,
-                         found_so_far: int = 0) -> list[tuple[np.ndarray, np.ndarray]]:
+                         found_so_far: int = 0,
+                         exact_only: list[bool] | None = None,
+                         ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per query token -> (term_ids, typo_costs). The last token is treated
-    as a prefix when `prefix` is enabled (instant-search semantics)."""
+    as a prefix when `prefix` is enabled (instant-search semantics).
+    exact_only marks phrase/excluded tokens (no prefix/typo expansion)."""
     if max_candidates <= 0:
         max_candidates = DEFAULT_MAX_CANDIDATES
     prefix_on = prefixes[0] if prefixes else True
@@ -72,13 +75,17 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
     partial: list[tuple[list[int], list[int]]] = []
     fuzzy_req: list[tuple[int, str, int, bool]] = []  # (token_idx, tok, budget, prefix)
     for ti, tok in enumerate(tokens):
-        is_last = ti == len(tokens) - 1
+        strict = bool(exact_only[ti]) if exact_only else False
+        is_last = ti == len(tokens) - 1 and not strict
         exact_id = engine.seg.term_to_id.get(tok, -1)
         ids: list[int] = []
         costs: list[int] = []
         if exact_id >= 0:
             ids.append(exact_id)
             costs.append(0)
+        if strict:
+            partial.append((ids, costs))
+            continue
 
         if is_last and prefix_on:
             pids, pcosts = prefix_candidates(engine, tok, max_candidates)

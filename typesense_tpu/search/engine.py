@@ -119,7 +119,9 @@ class IndexEngine:
                        sort_slots: list[SortSpec], filter_mask=None,
                        facet_fields: list[str] | None = None,
                        k: int = TOPK, prioritize_exact: bool = True,
-                       prioritize_num_fields: bool = True) -> RawResult:
+                       prioritize_num_fields: bool = True,
+                       phrase_pairs: tuple = (),
+                       exclude_flags: tuple = ()) -> RawResult:
         """token_candidates: per query token, (term_ids (C_i,), costs (C_i,))."""
         Fq = len(field_names)
         Qn = min(len(token_candidates), MAX_QUERY_TOKENS)
@@ -149,10 +151,13 @@ class IndexEngine:
         cand_ends = cand_ends.reshape(Q, Fq, C)
         row_lens = (cand_ends - cand_starts).astype(np.int64)
 
-        # driver token: valid token with smallest total postings (but nonzero
-        # rows only matter); reference picks lowest-frequency token to lead
+        # driver token: valid INCLUDE token with smallest total postings
+        # (reference picks the lowest-frequency token to lead the intersect)
         totals = row_lens.sum(axis=(1, 2))
         totals[~token_valid[:Q]] = np.iinfo(np.int64).max
+        for qi, ex in enumerate(exclude_flags[:Q]):
+            if ex:
+                totals[qi] = np.iinfo(np.int64).max
         drv = int(np.argmin(totals))
         if totals[drv] == 0:
             # driver token matches nothing anywhere -> no results (AND semantics)
@@ -183,7 +188,8 @@ class IndexEngine:
         kern = kernels.build_keyword_kernel(
             Q, Fq, C, FCD, D, S, K, MAX_POS_PER_POSTING, self._iters,
             tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-            prioritize_num_fields, len(facet_fields), f_caps, f_sizes)
+            prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+            tuple(phrase_pairs), tuple(exclude_flags))
 
         fmask = filter_mask if filter_mask is not None else self._live
         weights = np.zeros(Fq, dtype=np.int64)

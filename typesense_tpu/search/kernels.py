@@ -97,17 +97,23 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
                          K: int, P: int, iters: int, slot_kinds: tuple,
                          slot_signs: tuple, prioritize_exact: bool,
                          prioritize_num_fields: bool, n_facets: int,
-                         facet_caps: tuple, facet_sizes: tuple):
+                         facet_caps: tuple, facet_sizes: tuple,
+                         phrase_pairs: tuple = (), exclude_flags: tuple = ()):
     """Compile-cached keyword search kernel factory.
 
     Q: query token bucket; F: searched fields; C: candidates/token bucket;
     FCD: number of driver slices (<= F*C); D: per-slice driver bucket;
     S: scoring chunk; K: top-k size; P: positions cap per posting;
     iters: binary search depth; slot_*: 3 sort slots.
+    phrase_pairs: static (i, j) token index pairs that must be adjacent in
+    the same field value (do_phrase_search, index.cpp:5909 — adjacency over
+    posting offsets). exclude_flags: per-token `-token` negation
+    (q_exclude_tokens, collection.cpp:4544).
 
     All outputs pack into ONE int64 array [ids K | k0 K | k1 K | k2 K |
     found | facet counts...] — one device->host readback per query.
     """
+    exclude = tuple(bool(x) for x in exclude_flags) + (False,) * (Q - len(exclude_flags))
 
     @jax.jit
     def kernel(post_doc_ids, post_flags, pos_offsets, positions,
@@ -151,12 +157,16 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
         found = found & cvalid
         tok_field = jnp.any(found, axis=2)                     # (Q, F, A)
         tok_any = jnp.any(tok_field, axis=1)                   # (Q, A)
-        tv = token_valid[:, None]
-        all_match = jnp.all(tok_any | ~tv, axis=0) & jnp.any(tok_any & tv, axis=0)
+        excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
+        tv = token_valid[:, None] & ~excl                      # include tokens
+        tve = token_valid[:, None] & excl                      # exclude tokens
+        all_match = (jnp.all(tok_any | ~tv, axis=0)
+                     & jnp.any(tok_any & tv, axis=0)
+                     & ~jnp.any(tok_any & tve, axis=0))
+        tok_field = tok_field & ~excl[:, :, None]
 
         fmask = filter_mask[jnp.clip(docs, 0, filter_mask.shape[0] - 1)]
         matched = all_match & uniq & fmask
-        found_count = jnp.sum(matched, dtype=jnp.int64)
 
         # min typo cost per (token, doc) over all (field, cand) matches
         cost_qc = jnp.where(found, cand_costs[:, None, :, None].astype(jnp.int32), 255)
@@ -184,6 +194,7 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
 
             best_score = jnp.zeros(S, jnp.int64)
             best_weight = jnp.zeros(S, jnp.int64)
+            phrase_ok = jnp.zeros(S, bool) if phrase_pairs else None
             for f in range(F):
                 mf = tf[:, f, :]                               # (Q, S) token in field
                 gp = jnp.clip(sp[:, f, :], 0, pos_offsets.shape[0] - 2)
@@ -198,6 +209,17 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
                 pos = jnp.transpose(pos, (1, 0, 2))            # (S, Q, P)
                 pv = jnp.transpose(pvalid, (1, 0, 2))
                 wp, dist, moff = match_components(pos, pv, jnp.transpose(mf))
+
+                if phrase_pairs:
+                    # adjacency within this field: token j at position i+1
+                    ok_f = jnp.ones(S, bool)
+                    for (pi, pj) in phrase_pairs:
+                        a = jnp.where(pv[:, pi, :], pos[:, pi, :], -10)
+                        bpos = jnp.where(pv[:, pj, :], pos[:, pj, :], -20)
+                        adj = jnp.any(bpos[:, None, :] == a[:, :, None] + 1,
+                                      axis=(1, 2))
+                        ok_f = ok_f & adj
+                    phrase_ok = phrase_ok | ok_f
 
                 uw = jnp.sum(mf, axis=0).astype(jnp.int32)     # (S,) unique words
                 single = uw <= 1
@@ -232,12 +254,16 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
             ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
             text_match = pack_aggregated_score(ql, best_score, best_weight, nmf)
 
+            if phrase_pairs:
+                m = m & phrase_ok
+
             k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0)
             k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1)
             k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2)
 
             t0, t1, t2, tid = topk_merge(k0, k1, k2, d, m, K)
-            r0, r1, r2, rid, f_acc = carry
+            r0, r1, r2, rid, fnd, f_acc = carry
+            fnd = fnd + jnp.sum(m, dtype=jnp.int64)
             mk0 = jnp.concatenate([r0, t0])
             mk1 = jnp.concatenate([r1, t1])
             mk2 = jnp.concatenate([r2, t2])
@@ -258,12 +284,13 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
                 upd = f_acc[fa].at[fv.reshape(-1)].add(
                     vv.reshape(-1).astype(jnp.int32), mode="drop")
                 new_f.append(upd)
-            return (r0, r1, r2, rid, tuple(new_f))
+            return (r0, r1, r2, rid, fnd, tuple(new_f))
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
-                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32), init_f)
-        r0, r1, r2, rid, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
+                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
+                jnp.int64(0), init_f)
+        r0, r1, r2, rid, found_count, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
         return jnp.concatenate(out)
