@@ -28,6 +28,26 @@ TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
 SCORE_CHUNK_MAX = 2048
 
 
+@jax.jit
+def _geo_distance_keys(geo_col, lat, lng, exclude_radius_m, precision_m,
+                       missing_key):
+    """(N,2) [lat,lng] degrees -> int64 meter distances from (lat,lng).
+    exclude_radius collapses nearby docs to 0; precision buckets distances
+    (geo sort options, collection.cpp sort parsing)."""
+    lat1 = jnp.radians(geo_col[:, 0])
+    lng1 = jnp.radians(geo_col[:, 1])
+    lat2 = jnp.radians(lat)
+    lng2 = jnp.radians(lng)
+    d = 2.0 * 6371008.8 * jnp.arcsin(jnp.sqrt(
+        jnp.sin((lat2 - lat1) / 2) ** 2 +
+        jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin((lng2 - lng1) / 2) ** 2))
+    d = jnp.where(d <= exclude_radius_m, 0.0, d)
+    d = jnp.where(precision_m > 0, jnp.floor(d / jnp.maximum(precision_m, 1e-9))
+                  * precision_m, d)
+    keys = jnp.round(d).astype(jnp.int64)
+    return jnp.where(jnp.isnan(geo_col[:, 0]), missing_key, keys)
+
+
 def float32_sortable_int64(x: np.ndarray) -> np.ndarray:
     """Order-preserving float32 -> int64 via the radix trick: flip the sign
     bit for positives, all bits for negatives. Missing (NaN) -> very small."""
@@ -43,6 +63,9 @@ class SortSpec:
     kind: int                  # kernels.SLOT_*
     sign: int = 1              # +1 desc(better=larger), -1 asc
     column: str | None = None
+    custom_col: object = None  # precomputed device column (geo/_eval/_rand/missing)
+    geo_field: str | None = None   # set for geo-distance sorts (response needs meters)
+    geo_target: tuple | None = None  # (lat, lng)
 
 
 @dataclass
@@ -209,6 +232,20 @@ class IndexEngine:
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
 
     # ------------------------------------------------------------------
+    def infix_term_ids(self, token: str, limit: int = 64) -> np.ndarray:
+        """Term ids containing `token` as a substring (do_infix_search,
+        index.cpp:3289) — one device sliding-window scan over the term table,
+        trimmed to the most frequent `limit` terms."""
+        from typesense_tpu.ops.infix import infix_term_mask
+        mask = np.asarray(infix_term_mask(self.dev.term_chars,
+                                          self.dev.term_lens, token))
+        ids = np.flatnonzero(mask)
+        if len(ids) > limit:
+            freq = self.seg.term_doc_freq[ids]
+            ids = ids[np.argsort(-freq, kind="stable")][:limit]
+        return ids
+
+    # ------------------------------------------------------------------
     def wildcard_search(self, sort_slots: list[SortSpec], filter_mask=None,
                         facet_fields: list[str] | None = None,
                         k: int = TOPK) -> RawResult:
@@ -259,6 +296,78 @@ class IndexEngine:
         return idxs[valid][:k], dists[valid][:k]
 
     # ------------------------------------------------------------------
+    # dynamic sort columns (geo distance, _eval, _rand, missing_values)
+    # ------------------------------------------------------------------
+    def geo_sort_column(self, field_name: str, lat: float, lng: float,
+                        exclude_radius_m: float = 0.0,
+                        precision_m: float = 0.0, sign: int = -1):
+        """Haversine distance in meters from (lat, lng) to every doc, as an
+        int64 column (ascending with distance; missing docs always sort
+        last for the given order sign). Computed on device from the resident
+        geo column (geo sort, index.h:651 — S2LatLng distance per doc)."""
+        gi = self._geo_idx.get(field_name)
+        if gi is None:
+            raise BadRequest(f"Could not find a geo field named `{field_name}`.")
+        missing_key = np.int64(-(2**61)) * sign  # worst after *sign in kernel
+        return _geo_distance_keys(self.dev.geo_columns[gi], float(lat), float(lng),
+                                  float(exclude_radius_m), float(precision_m),
+                                  missing_key)
+
+    def geo_distances_host(self, field_name: str, lat: float, lng: float,
+                           doc_ids: np.ndarray) -> np.ndarray:
+        """Meters for a small id list (page hydration of geo_distance_meters)."""
+        col = self.seg.geo_columns[field_name][np.clip(doc_ids, 0, self.N - 1)]
+        lat1 = np.radians(col[:, 0]); lng1 = np.radians(col[:, 1])
+        import math
+        lat2, lng2 = math.radians(lat), math.radians(lng)
+        d = 2 * 6371008.8 * np.arcsin(np.sqrt(
+            np.sin((lat2 - lat1) / 2) ** 2 +
+            np.cos(lat1) * math.cos(lat2) * np.sin((lng2 - lng1) / 2) ** 2))
+        return np.where(np.isnan(d), -1, np.round(d)).astype(np.int64)
+
+    def missing_values_column(self, name: str, policy: str, sign: int):
+        """Sort column with explicit missing-value placement (`missing_values:
+        first|last` — collection.cpp sort param parsing). Default sentinel
+        already makes missing smallest (first on asc / last on desc)."""
+        key = (name, policy, sign)
+        cached = self._sort_cols.get(key)
+        if cached is not None:
+            return cached
+        col = self.seg.num_columns.get(name)
+        if col is None:
+            src = self.seg.str_sort_columns.get(name)
+            if src is None:
+                raise BadRequest(f"Could not find a field named `{name}` in the "
+                                 f"schema for sorting.")
+            missing = src == np.iinfo(np.int64).max
+            base = np.clip(src, -(2**61), 2**61)
+        elif col.dtype == np.float32:
+            missing = np.isnan(col)
+            base = float32_sortable_int64(col)
+        else:
+            missing = col == np.iinfo(np.int64).min
+            base = np.clip(col, -(2**61), 2**61)
+        # final key is base*sign, larger = better; "first" => missing best
+        sentinel = np.int64(2**61) * (1 if policy == "first" else -1) * sign
+        adj = np.where(missing, sentinel, base)
+        dev = jax.device_put(jnp.asarray(adj, jnp.int64))
+        self._sort_cols[key] = dev
+        return dev
+
+    def rand_column(self, seed: int):
+        """_rand(seed) sort: a seeded pseudo-random permutation of doc ids."""
+        rng = np.random.default_rng(seed & 0xFFFFFFFF)
+        return jax.device_put(jnp.asarray(
+            rng.permutation(max(self.N, 1)).astype(np.int64)))
+
+    def mask_to_column(self, masks_and_weights: list[tuple]):
+        """_eval([(filter):w, ...]) sort: weighted sum of filter masks."""
+        col = jnp.zeros(max(self.N, 1), jnp.int64)
+        for mask, w in masks_and_weights:
+            col = col + jnp.where(mask, jnp.int64(w), jnp.int64(0))
+        return col
+
+    # ------------------------------------------------------------------
     def _prepare_slots(self, sort_slots: list[SortSpec]):
         kinds, signs, cols = [], [], []
         for i in range(3):
@@ -267,6 +376,9 @@ class IndexEngine:
                 kinds.append(s.kind)
                 signs.append(s.sign)
                 if s.kind == kernels.SLOT_COLUMN:
+                    if s.custom_col is not None:
+                        cols.append(s.custom_col)
+                        continue
                     col = self._sort_cols.get(s.column)
                     if col is None:
                         raise BadRequest(

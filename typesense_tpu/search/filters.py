@@ -45,6 +45,16 @@ class BoolNode(FilterNode):
         self.right = right
 
 
+class JoinNode(FilterNode):
+    """`$Coll(expr)` reference filter (join.h:77 Join:: statics; filter syntax
+    parse in src/join.cpp). negate = `!$Coll(...)` left-excluding join."""
+
+    def __init__(self, coll_name: str, expr: str, negate: bool = False):
+        self.coll_name = coll_name
+        self.expr = expr
+        self.negate = negate
+
+
 # ---------------------------------------------------------------------------
 # parsing
 # ---------------------------------------------------------------------------
@@ -115,7 +125,15 @@ def _strip_value(v: str) -> str:
     return v
 
 
-def _parse_leaf(expr: str) -> LeafNode:
+_JOIN_RE = re.compile(r"^\s*(!?)\s*\$\s*(!?)([A-Za-z0-9_.\-]+)\s*\((.*)\)\s*$",
+                      re.DOTALL)
+
+
+def _parse_leaf(expr: str) -> FilterNode:
+    jm = _JOIN_RE.match(expr)
+    if jm:
+        negate = jm.group(1) == "!" or jm.group(2) == "!"
+        return JoinNode(jm.group(3), jm.group(4).strip(), negate)
     m = _LEAF_RE.match(expr)
     if not m:
         raise BadRequest(f"Could not parse the filter query: `{expr}`.")
@@ -161,10 +179,11 @@ class DeviceFilterEvaluator:
     to docs; string equality uploads only the (small) matching doc-id lists
     from the host value index."""
 
-    def __init__(self, engine):
+    def __init__(self, engine, join_resolver=None):
         self.engine = engine
         self.seg = engine.seg
         self.fields = None  # set per evaluate() call
+        self.join_resolver = join_resolver  # (coll_name, expr) -> numpy bool mask
 
     def evaluate(self, node: FilterNode | None, fields: dict[str, Field]):
         import jax.numpy as jnp
@@ -179,6 +198,13 @@ class DeviceFilterEvaluator:
             l = self._eval(node.left)
             r = self._eval(node.right)
             return (l & r) if node.op == "&&" else (l | r)
+        if isinstance(node, JoinNode):
+            import jax.numpy as jnp
+            if self.join_resolver is None:
+                raise BadRequest(f"Could not find a collection named "
+                                 f"`{node.coll_name}` for the reference filter.")
+            m = jnp.asarray(self.join_resolver(node.coll_name, node.expr))
+            return ~m if node.negate else m
         return self._eval_leaf(node)
 
     def _eval_leaf(self, node: LeafNode):
@@ -230,6 +256,9 @@ class DeviceFilterEvaluator:
         raise BadRequest(f"Operator not supported on string field `{f.name}`.")
 
     def _eval_geo(self, node: LeafNode, f: Field):
+        # ONE jitted program per shape: the tunnel charges a full remote
+        # compile per distinct eager op, so the whole haversine / ray-cast
+        # chain must fuse into a single XLA program.
         import jax.numpy as jnp
         eng = self.engine
         N = self.seg.num_docs
@@ -246,28 +275,61 @@ class DeviceFilterEvaluator:
             radius_m = (float(rs[:-2]) * 1000.0 if rs.endswith("km")
                         else float(rs[:-2]) * 1609.34 if rs.endswith("mi")
                         else float(rs))
-            lat1 = jnp.radians(col[:, 0])
-            lng1 = jnp.radians(col[:, 1])
-            lat2, lng2 = math.radians(lat), math.radians(lng)
-            d = 2 * EARTH_RADIUS_M * jnp.arcsin(jnp.sqrt(
-                jnp.sin((lat2 - lat1) / 2) ** 2 +
-                jnp.cos(lat1) * math.cos(lat2) * jnp.sin((lng2 - lng1) / 2) ** 2))
-            return ~jnp.isnan(col[:, 0]) & (d <= radius_m)
+            return _geo_radius_mask(col, jnp.float32(lat), jnp.float32(lng),
+                                    jnp.float32(radius_m))
         coords = [float(p) for p in parts]
         if len(coords) < 6 or len(coords) % 2:
             raise BadRequest(f"Polygon is not a valid geo shape for field `{f.name}`.")
-        poly = np.array(coords, dtype=np.float64).reshape(-1, 2)
-        x, y = col[:, 1].astype(jnp.float64), col[:, 0].astype(jnp.float64)
-        inside = jnp.zeros(self.seg.num_docs, bool)
-        j = len(poly) - 1
-        for i in range(len(poly)):
-            yi, xi = poly[i]
-            yj, xj = poly[j]
-            denom = (yj - yi) if (yj - yi) != 0 else 1e-12
-            cond = ((yi > y) != (yj > y)) & (x < (xj - xi) * (y - yi) / denom + xi)
-            inside = inside ^ cond
-            j = i
-        return inside & ~jnp.isnan(col[:, 0])
+        poly = np.array(coords, dtype=np.float32).reshape(-1, 2)
+        return _geo_polygon_mask(col, jnp.asarray(poly))
+
+
+def _geo_radius_mask_impl(col, lat, lng, radius_m):
+    import jax.numpy as jnp
+    lat1 = jnp.radians(col[:, 0])
+    lng1 = jnp.radians(col[:, 1])
+    lat2 = jnp.radians(lat)
+    lng2 = jnp.radians(lng)
+    d = 2.0 * EARTH_RADIUS_M * jnp.arcsin(jnp.sqrt(
+        jnp.sin((lat2 - lat1) / 2) ** 2 +
+        jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin((lng2 - lng1) / 2) ** 2))
+    return ~jnp.isnan(col[:, 0]) & (d <= radius_m)
+
+
+def _geo_polygon_mask_impl(col, poly):
+    """Ray casting; poly (V, 2) [lat, lng] is a traced arg so any polygon of
+    the same vertex count reuses the compiled program."""
+    import jax.numpy as jnp
+    from jax import lax
+    x, y = col[:, 1], col[:, 0]
+    V = poly.shape[0]
+
+    def body(i, inside):
+        yi, xi = poly[i, 0], poly[i, 1]
+        j = (i - 1) % V
+        yj, xj = poly[j, 0], poly[j, 1]
+        denom = jnp.where(yj - yi == 0, jnp.float32(1e-12), yj - yi)
+        cond = ((yi > y) != (yj > y)) & (x < (xj - xi) * (y - yi) / denom + xi)
+        return inside ^ cond
+
+    inside = lax.fori_loop(0, V, body, jnp.zeros(col.shape[0], bool))
+    return inside & ~jnp.isnan(col[:, 0])
+
+
+def _jit_lazy(fn):
+    """jax.jit at first call (jax import stays inside functions here)."""
+    box = {}
+
+    def wrapper(*args):
+        if "f" not in box:
+            import jax
+            box["f"] = jax.jit(fn)
+        return box["f"](*args)
+    return wrapper
+
+
+_geo_radius_mask = _jit_lazy(_geo_radius_mask_impl)
+_geo_polygon_mask = _jit_lazy(_geo_polygon_mask_impl)
 
 
 def _cmp_jnp(col, op: str, v: list):
