@@ -1,0 +1,187 @@
+"""Analytics subsystem: rules + event aggregation + flush.
+
+Behavior contract: /root/reference/include/analytics_manager.h:24-80,
+src/analytics_manager.cpp, search_analytics.h:118-119 (rule types
+`popular_queries`, `nohits_queries`, `counter`; log_* event types), and
+doc_analytics.h:106. Rules aggregate search queries / events in memory and
+flush them into a destination collection periodically or on demand
+(POST /analytics/flush)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from typesense_tpu.core.errors import BadRequest, NotFound
+
+RULE_PREFIX = "$AR"
+
+VALID_RULE_TYPES = {"popular_queries", "nohits_queries", "counter",
+                    "log", "popular_clicks"}
+
+
+class AnalyticsManager:
+    def __init__(self, store=None, collection_manager=None):
+        self.store = store
+        self.collections = collection_manager
+        self.rules: dict[str, dict] = {}
+        # aggregation buffers
+        self.query_counts: dict[str, dict[str, int]] = {}   # rule -> q -> count
+        self.counter_counts: dict[str, dict[str, int]] = {} # rule -> doc_id -> weight
+        self.events_log: list[dict] = []
+        self._lock = threading.Lock()
+        self.last_flush = int(time.time())
+
+    # -- persistence ----------------------------------------------------
+    def load(self):
+        if self.store is None:
+            return
+        for _k, v in self.store.scan(RULE_PREFIX + "_"):
+            rule = json.loads(v)
+            self.rules[rule["name"]] = rule
+
+    def _persist(self, rule: dict):
+        if self.store is not None:
+            self.store.batch_write({f"{RULE_PREFIX}_{rule['name']}":
+                                    json.dumps(rule)})
+
+    # -- rule CRUD (analytics_manager.h create_rule/remove_rule) --------
+    def upsert_rule(self, rule: dict, name: str | None = None) -> dict:
+        if name is not None:
+            rule = {**rule, "name": name}
+        if "name" not in rule:
+            raise BadRequest("Request payload is missing `name`.")
+        rtype = rule.get("type")
+        if rtype not in VALID_RULE_TYPES:
+            raise BadRequest(f"Invalid analytics rule type `{rtype}`.")
+        params = rule.get("params", {})
+        if rtype in ("popular_queries", "nohits_queries", "counter"):
+            if not params.get("destination", {}).get("collection"):
+                raise BadRequest("Property `params.destination.collection` is required.")
+        self.rules[rule["name"]] = rule
+        self._persist(rule)
+        return rule
+
+    def list_rules(self) -> list[dict]:
+        return list(self.rules.values())
+
+    def get_rule(self, name: str) -> dict:
+        r = self.rules.get(name)
+        if r is None:
+            raise NotFound(f"Rule `{name}` not found.")
+        return r
+
+    def delete_rule(self, name: str) -> dict:
+        r = self.rules.pop(name, None)
+        if r is None:
+            raise NotFound(f"Rule `{name}` not found.")
+        if self.store is not None:
+            self.store.batch_write({}, deletes=[f"{RULE_PREFIX}_{name}"])
+        self.query_counts.pop(name, None)
+        self.counter_counts.pop(name, None)
+        return r
+
+    # -- capture ---------------------------------------------------------
+    def record_search(self, collection: str, query: str, found: int):
+        """Called on every search (core_api.cpp get_search analytics hook)."""
+        if not query or query == "*":
+            return
+        with self._lock:
+            for rule in self.rules.values():
+                src = rule.get("params", {}).get("source", {})
+                colls = src.get("collections", [])
+                if colls and collection not in colls:
+                    continue
+                if rule["type"] == "popular_queries":
+                    self.query_counts.setdefault(rule["name"], {})
+                    self.query_counts[rule["name"]][query] = \
+                        self.query_counts[rule["name"]].get(query, 0) + 1
+                elif rule["type"] == "nohits_queries" and found == 0:
+                    self.query_counts.setdefault(rule["name"], {})
+                    self.query_counts[rule["name"]][query] = \
+                        self.query_counts[rule["name"]].get(query, 0) + 1
+
+    def add_event(self, body: dict) -> dict:
+        """POST /analytics/events: click/conversion/visit events feed counter
+        rules (doc_analytics.h counter events)."""
+        etype = body.get("type")
+        name = body.get("name")
+        data = body.get("data", {})
+        if not etype or not name:
+            raise BadRequest("`type` and `name` are required.")
+        rule = self.rules.get(name)
+        with self._lock:
+            self.events_log.append({**body, "ts": int(time.time())})
+            if rule is not None and rule["type"] == "counter":
+                weights = rule.get("params", {}).get("counter_events", [])
+                w = 1
+                for we in weights:
+                    if we.get("type") == etype:
+                        w = int(we.get("weight", 1))
+                doc_id = data.get("doc_id")
+                if doc_id is not None:
+                    cc = self.counter_counts.setdefault(name, {})
+                    cc[doc_id] = cc.get(doc_id, 0) + w
+        return {"ok": True}
+
+    def list_events(self, name: str | None = None, limit: int = 100) -> list[dict]:
+        evs = self.events_log[-limit:]
+        if name:
+            evs = [e for e in evs if e.get("name") == name]
+        return evs
+
+    # -- flush -----------------------------------------------------------
+    def flush(self) -> dict:
+        """Aggregate buffers into destination collections
+        (analytics flush through the write path, analytics_manager.cpp)."""
+        if self.collections is None:
+            raise BadRequest("Analytics flush requires the collection manager.")
+        flushed = 0
+        with self._lock:
+            for rname, counts in list(self.query_counts.items()):
+                rule = self.rules.get(rname)
+                if rule is None:
+                    continue
+                dest = rule["params"]["destination"]["collection"]
+                limit = int(rule["params"].get("limit", 1000))
+                try:
+                    coll = self.collections.get_collection(dest)
+                except Exception:  # noqa: BLE001 — destination may not exist yet
+                    continue
+                top = sorted(counts.items(), key=lambda kv: -kv[1])[:limit]
+                for q, cnt in top:
+                    coll.add({"id": str(abs(hash(q)) % (10**12)), "q": q,
+                              "count": cnt}, operation="upsert")
+                    flushed += 1
+                counts.clear()
+            for rname, counts in list(self.counter_counts.items()):
+                rule = self.rules.get(rname)
+                if rule is None:
+                    continue
+                dest = rule["params"]["destination"]["collection"]
+                cfield = rule["params"].get("counter_field", "popularity")
+                try:
+                    coll = self.collections.get_collection(dest)
+                except Exception:  # noqa: BLE001
+                    continue
+                for doc_id, w in counts.items():
+                    try:
+                        doc = coll.get(doc_id)
+                        coll.add({"id": doc_id,
+                                  cfield: int(doc.get(cfield, 0)) + w},
+                                 operation="update")
+                        flushed += 1
+                    except NotFound:
+                        pass
+                counts.clear()
+        self.last_flush = int(time.time())
+        return {"ok": True, "flushed": flushed}
+
+    def status(self) -> dict:
+        return {
+            "rules": len(self.rules),
+            "pending_queries": {k: len(v) for k, v in self.query_counts.items()},
+            "pending_counters": {k: len(v) for k, v in self.counter_counts.items()},
+            "last_flush": self.last_flush,
+        }

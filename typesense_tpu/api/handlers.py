@@ -60,7 +60,12 @@ def del_drop_collection(server, req):
 
 def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
-    return coll.search(dict(req.query))
+    res = coll.search(dict(req.query))
+    analytics = getattr(server, "analytics", None)
+    if analytics is not None:
+        analytics.record_search(coll.name, str(req.query.get("q", "")),
+                                res.get("found", 0))
+    return res
 
 
 def post_add_document(server, req):
@@ -164,8 +169,7 @@ def post_multi_search(server, req):
     searches = body.get("searches")
     if not isinstance(searches, list):
         raise BadRequest("`searches` parameter should be an array of objects.")
-    if body.get("union"):
-        raise BadRequest("Union search is not yet supported.")
+    union = bool(body.get("union"))
     common = {k: v for k, v in req.query.items()
               if k not in ("x-typesense-api-key",)}
     results = []
@@ -181,6 +185,27 @@ def post_multi_search(server, req):
         except Exception as e:  # noqa: BLE001 — per-search error isolation
             results.append({"error": getattr(e, "message", str(e)),
                             "code": getattr(e, "http_code", 500)})
+    if union:
+        # do_union (collection_manager.cpp:1513): merge ranked lists across
+        # collections into one result (Union_KV merge, topster.h:169)
+        per_page = int(common.get("per_page", 10))
+        page = int(common.get("page", 1) or 1)
+        merged = []
+        found = 0
+        out_of = 0
+        for r in results:
+            if "error" in r:
+                return 400, {"message": r["error"]}
+            found += r.get("found", 0)
+            out_of += r.get("out_of", 0)
+            for rank, h in enumerate(r.get("hits", [])):
+                merged.append((h.get("text_match", 0), -rank, h))
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        start = (page - 1) * per_page
+        return {"found": found, "out_of": out_of, "page": page,
+                "hits": [h for _, _, h in merged[start:start + per_page]],
+                "search_time_ms": sum(r.get("search_time_ms", 0)
+                                      for r in results)}
     return {"results": results}
 
 
@@ -347,4 +372,90 @@ def post_vote(server, req):
 
 
 def post_cache_clear(server, req):
+    return {"success": True}
+
+
+# ---------------------------------------------------------------------------
+# analytics (typesense_server.cpp:88-98)
+# ---------------------------------------------------------------------------
+
+def get_analytics_rules(server, req):
+    return {"rules": server.analytics.list_rules()}
+
+
+def get_analytics_rule(server, req):
+    return server.analytics.get_rule(req.params["name"])
+
+
+def post_create_analytics_rules(server, req):
+    body = req.json()
+    rules = body if isinstance(body, list) else [body]
+    created = [server.analytics.upsert_rule(r) for r in rules]
+    return 201, (created[0] if not isinstance(body, list) else created)
+
+
+def put_upsert_analytics_rules(server, req):
+    return server.analytics.upsert_rule(req.json(), name=req.params["name"])
+
+
+def del_analytics_rules(server, req):
+    return server.analytics.delete_rule(req.params["name"])
+
+
+def post_create_event(server, req):
+    return 201, server.analytics.add_event(req.json())
+
+
+def get_analytics_events(server, req):
+    return {"events": server.analytics.list_events(
+        req.query.get("name"), int(req.query.get("limit", 100)))}
+
+
+def post_analytics_flush(server, req):
+    return server.analytics.flush()
+
+
+def get_analytics_status(server, req):
+    return server.analytics.status()
+
+
+# ---------------------------------------------------------------------------
+# rate limits (typesense_server.cpp:134-142)
+# ---------------------------------------------------------------------------
+
+def get_rate_limits(server, req):
+    return {"limits": server.ratelimits.list_rules()}
+
+
+def get_rate_limit(server, req):
+    return server.ratelimits.get_rule(int(req.params["id"]))
+
+
+def post_rate_limit(server, req):
+    return 201, server.ratelimits.create_rule(req.json())
+
+
+def put_rate_limit(server, req):
+    return server.ratelimits.update_rule(int(req.params["id"]), req.json())
+
+
+def del_rate_limit(server, req):
+    return server.ratelimits.delete_rule(int(req.params["id"]))
+
+
+def get_active_throttles(server, req):
+    return {"active_throttles": server.ratelimits.active_throttles()}
+
+
+def get_limit_exceed_counts(server, req):
+    return {"exceed_counts": server.ratelimits.exceed_counts()}
+
+
+def del_throttle(server, req):
+    server.ratelimits.delete_throttle(req.params["id"])
+    return {"success": True}
+
+
+def del_exceed(server, req):
+    server.ratelimits.delete_exceed(req.params["id"])
     return {"success": True}

@@ -136,6 +136,26 @@ class HttpServer:
         r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
         r("POST", "/operations/vote", h.post_vote, "operations:vote")
         r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+        # analytics (typesense_server.cpp:88-98)
+        r("GET", "/analytics/rules", h.get_analytics_rules, "analytics:list")
+        r("GET", "/analytics/rules/:name", h.get_analytics_rule, "analytics:get")
+        r("POST", "/analytics/rules", h.post_create_analytics_rules, "analytics:create")
+        r("PUT", "/analytics/rules/:name", h.put_upsert_analytics_rules, "analytics:upsert")
+        r("DELETE", "/analytics/rules/:name", h.del_analytics_rules, "analytics:delete")
+        r("POST", "/analytics/events", h.post_create_event, "analytics:events")
+        r("GET", "/analytics/events", h.get_analytics_events, "analytics:list")
+        r("POST", "/analytics/flush", h.post_analytics_flush, "analytics:flush")
+        r("GET", "/analytics/status", h.get_analytics_status, "analytics:get")
+        # rate limits (typesense_server.cpp:134-142)
+        r("GET", "/limits", h.get_rate_limits, "limits:list")
+        r("GET", "/limits/active", h.get_active_throttles, "limits:list")
+        r("GET", "/limits/exceeds", h.get_limit_exceed_counts, "limits:list")
+        r("GET", "/limits/:id", h.get_rate_limit, "limits:get")
+        r("POST", "/limits", h.post_rate_limit, "limits:create")
+        r("PUT", "/limits/:id", h.put_rate_limit, "limits:upsert")
+        r("DELETE", "/limits/:id", h.del_rate_limit, "limits:delete")
+        r("DELETE", "/limits/active/:id", h.del_throttle, "limits:delete")
+        r("DELETE", "/limits/exceeds/:id", h.del_exceed, "limits:delete")
 
     # ------------------------------------------------------------------
     def match(self, method: str, path: str):
@@ -181,6 +201,8 @@ class HttpServer:
                 query = {k: v[-1] for k, v in
                          urllib.parse.parse_qs(parsed.query, keep_blank_values=True).items()}
                 req = Request(method, parsed.path, query, headers, body)
+                peer = writer.get_extra_info("peername")
+                req.remote_ip = peer[0] if peer else ""
                 status, payload, ctype = await self.dispatch(req)
                 resp = (f"HTTP/1.1 {status} {_reason(status)}\r\n"
                         f"content-type: {ctype}\r\n"
@@ -200,6 +222,14 @@ class HttpServer:
         if handler is None:
             return 404, _json_bytes({"message": "Not Found"}), "application/json"
         req.params = params or {}
+        # rate limiting pre-hook (typesense_server_utils.cpp:593 auth/limit
+        # handler chain)
+        rl = getattr(self, "ratelimits", None)
+        if rl is not None and rl.rules and not rl.check(
+                req.api_key, req.headers.get("x-forwarded-for",
+                                             getattr(req, "remote_ip", ""))):
+            return 429, _json_bytes({"message": "Rate limit exceeded or blocked."}), \
+                "application/json"
         try:
             if action != "public":
                 colls = [params.get("collection")] if params and params.get("collection") else []

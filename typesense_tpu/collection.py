@@ -32,6 +32,8 @@ FIELD_MAX_WEIGHT = 15    # index.h:667
 DROP_TOKENS_THRESHOLD = 1
 TYPO_TOKENS_THRESHOLD = 1
 
+_DEFAULT_EMBEDDERS = None  # lazy EmbedderManager for manager-less collections
+
 
 def _as_list(v, sep=","):
     if v is None:
@@ -112,6 +114,7 @@ class Collection:
         self.id_to_seq: dict[str, int] = {}    # doc id -> seq_id
         self._engine: IndexEngine | None = None
         self._dirty = True
+        self._join_cache_dirty = True
         self.manager = None                     # set by CollectionManager
 
         # apply per-collection symbols to string fields lacking their own
@@ -143,19 +146,26 @@ class Collection:
         if operation == "update" and not exists:
             raise NotFound(f"Could not find a document with id: {doc_id}")
 
+        # auto/dynamic schema: materialize concrete fields from this doc
+        # (.* / pattern fields, collection.cpp auto schema handling)
+        from typesense_tpu.schema.nested import materialize_dynamic_fields
+        for nf in materialize_dynamic_fields(self, doc):
+            self.fields.append(nf)
+            self.field_map[nf.name] = nf
+
         if exists and operation in ("upsert", "update", "emplace"):
             seq_id = self.id_to_seq[doc_id]
             if operation in ("update", "emplace"):
                 merged = dict(self.docs[seq_id])
                 merged.update(doc)
                 doc = merged
-            validate_document(doc, self.fields, dirty_values)
+            self._validate(doc, dirty_values)
             self.docs[seq_id] = doc
         else:
             if doc_id is None:
                 doc_id = str(self.next_seq_id)
                 doc["id"] = doc_id
-            validate_document(doc, self.fields, dirty_values)
+            self._validate(doc, dirty_values)
             seq_id = self.next_seq_id
             self.next_seq_id += 1
             self.docs[seq_id] = doc
@@ -168,7 +178,20 @@ class Collection:
                 self._id_key(doc["id"]): str(seq_id),
             })
         self._dirty = True
+        self._join_cache_dirty = True
         return doc
+
+    def _validate(self, doc: dict, dirty_values: str):
+        """Validate against the flattened view so dotted/nested fields resolve
+        (validator_t::validate_index_in_memory over flattened fields)."""
+        if not self._needs_flatten():
+            validate_document(doc, self.fields, dirty_values)
+            return
+        flat = self._flat_doc(doc)
+        validate_document(flat, self.fields, dirty_values)
+        for k, v in flat.items():
+            if "." not in k:
+                doc[k] = v
 
     def add_many(self, docs: list[dict], operation: str = "create",
                  dirty_values: str = COERCE_OR_REJECT) -> list[dict]:
@@ -198,6 +221,7 @@ class Collection:
         if self.store is not None:
             self.store.batch_write({}, deletes=[self._doc_key(seq), self._id_key(doc_id)])
         self._dirty = True
+        self._join_cache_dirty = True
         return doc
 
     @property
@@ -222,14 +246,72 @@ class Collection:
                 max_seq = max(max_seq, seq)
         self.next_seq_id = max_seq + 1
         self._dirty = True
+        self._join_cache_dirty = True
 
     # ------------------------------------------------------------------
     # index lifecycle
     # ------------------------------------------------------------------
+    def _needs_flatten(self) -> bool:
+        return self.enable_nested_fields or any("." in f.name for f in self.fields)
+
+    def _flat_doc(self, doc: dict) -> dict:
+        """Dotted-path view for indexing/highlighting of nested fields
+        (field::flatten_doc, src/field.cpp)."""
+        if not self._needs_flatten():
+            return doc
+        from typesense_tpu.schema.nested import flatten_paths
+        flat = dict(doc)
+        flat.update(flatten_paths(doc))
+        return flat
+
+    def _get_embedder(self, f: Field):
+        from typesense_tpu.models.embedder import EmbedderManager
+        mcfg = (f.embed or {}).get("model_config", {})
+        if self.manager is not None:
+            return self.manager.embedders.get(mcfg)
+        global _DEFAULT_EMBEDDERS
+        if _DEFAULT_EMBEDDERS is None:
+            _DEFAULT_EMBEDDERS = EmbedderManager()
+        return _DEFAULT_EMBEDDERS.get(mcfg)
+
+    def _auto_embed(self):
+        """Generate embeddings for `embed.from` fields on docs lacking them
+        (batched — index.cpp:1009-1054 embeds at index time; ours runs the
+        JAX encoder on the same TPU that serves the search)."""
+        for f in self.fields:
+            if not f.embed or not f.embed.get("from"):
+                continue
+            emb = self._get_embedder(f)
+            if not f.num_dim:
+                f.num_dim = emb.num_dim
+                f.type = ftypes.FLOAT_ARRAY
+            src_fields = f.embed["from"]
+            todo_seqs, todo_texts = [], []
+            for seq, doc in self.docs.items():
+                if isinstance(doc.get(f.name), list):
+                    continue
+                parts = []
+                for sf in src_fields:
+                    v = doc.get(sf)
+                    if isinstance(v, list):
+                        parts.extend(str(x) for x in v)
+                    elif v is not None:
+                        parts.append(str(v))
+                todo_seqs.append(seq)
+                todo_texts.append(" ".join(parts))
+            if todo_seqs:
+                vecs = emb.embed_batch(todo_texts)
+                for seq, vec in zip(todo_seqs, vecs):
+                    self.docs[seq][f.name] = [float(x) for x in vec]
+
     def _ensure_index(self) -> IndexEngine:
         if self._engine is None or self._dirty:
+            self._auto_embed()
             num_docs = max(self.next_seq_id, 1)
-            seg = build_segment(sorted(self.docs.items()), self.fields, num_docs)
+            items = sorted(self.docs.items())
+            if self._needs_flatten():
+                items = [(s, self._flat_doc(d)) for s, d in items]
+            seg = build_segment(items, self.fields, num_docs)
             self._engine = IndexEngine(seg, self.fields)
             self._dirty = False
         return self._engine
@@ -249,13 +331,19 @@ class Collection:
         engine = self._ensure_index()
 
         # --- resolve search fields + weights ---
+        # embedding fields in query_by trigger hybrid/semantic search
+        # (collection.cpp hybrid search detection for embed fields)
         search_fields: list[str] = []
+        embed_fields: list[str] = []
         for fname in raw_query_by:
             f = self.field_map.get(fname)
             if f is None:
                 raise NotFound(f"Could not find a field named `{fname}` in the schema.")
             if not f.index:
                 raise BadRequest(f"Field `{fname}` is marked as a non-indexed field in the schema.")
+            if f.embed:
+                embed_fields.append(fname)
+                continue
             if not f.is_string:
                 raise BadRequest(f"Field `{fname}` should be a string or a string array.")
             search_fields.append(fname)
@@ -285,23 +373,28 @@ class Collection:
         filter_mask = None
         if filter_by:
             from typesense_tpu.search.filters import DeviceFilterEvaluator
+            from typesense_tpu.search.joins import make_join_resolver
             node = parse_filter_query(filter_by)
-            filter_mask = DeviceFilterEvaluator(engine).evaluate(node, self.field_map)
+            filter_mask = DeviceFilterEvaluator(
+                engine, join_resolver=make_join_resolver(self)).evaluate(
+                node, self.field_map)
 
         # --- facets ---
-        facet_fields = []
-        for fspec in _as_list(params.get("facet_by")):
-            fname = fspec.split("(")[0].strip()
-            f = self.field_map.get(fname)
-            if f is None:
-                raise NotFound(f"Could not find a facet field named `{fname}` in the schema.")
-            if not f.facet:
-                raise BadRequest(f"Field `{fname}` is not a facet field in the schema.")
-            facet_fields.append(fname)
+        facet_specs = self._parse_facet_by(params.get("facet_by"))
+        facet_fields = [fs["name"] for fs in facet_specs]
         max_facet_values = int(params.get("max_facet_values", 10))
+        facet_query = str(params.get("facet_query", "") or "")
+        if facet_query:
+            if ":" not in facet_query:
+                raise BadRequest("Facet query must be in the `facet_field: value` format.")
+            fq_field, fq_value = (s.strip() for s in facet_query.split(":", 1))
+            if fq_field not in facet_fields:
+                raise BadRequest("The `facet_query` parameter is supplied without "
+                                 "a `facet_by` parameter.")
 
         # --- sort spec ---
-        sort_slots = self._parse_sort_by(params.get("sort_by", ""), is_wildcard=(q == "*"))
+        sort_slots = self._parse_sort_by(params.get("sort_by", ""),
+                                         is_wildcard=(q == "*"), engine=engine)
 
         prioritize_exact = _as_bool(params.get("prioritize_exact_match"), True)
         prioritize_num_fields = _as_bool(params.get("prioritize_num_matching_fields"), True)
@@ -326,7 +419,21 @@ class Collection:
                                      f"a vector field named `{vq.field_name}`.")
                 vq.values = vals
 
-        if q == "*" and vq is not None:
+        if embed_fields and q != "*":
+            # hybrid / semantic search: embed q with the field's model
+            from typesense_tpu.search.vector_query import VectorQuery
+            ef = embed_fields[0]
+            self._ensure_index()  # resolves embed field num_dim
+            emb = self._get_embedder(self.field_map[ef])
+            qvec = emb.embed_one(str(q))
+            if vq is None:
+                vq = VectorQuery(field_name=ef)
+            if not vq.values:
+                vq.values = [float(x) for x in qvec]
+            if not vq.k:
+                vq.k = max(fetch, 10)
+
+        if (q == "*" or not search_fields) and vq is not None:
             if not vq.values:
                 raise BadRequest("When a vector query value is empty, either `q` or `id` "
                                  "parameter must be present.")
@@ -346,7 +453,9 @@ class Collection:
             resp = self._build_response(raw, q, [], search_fields, params,
                                         page if page > 0 else 1, per_page, start,
                                         facet_fields, max_facet_values,
-                                        vec_dist_map=vec_dist_map)
+                                        vec_dist_map=vec_dist_map,
+                                        sort_slots=sort_slots,
+                                        facet_specs=facet_specs)
             resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
             return resp
 
@@ -366,7 +475,9 @@ class Collection:
                         extra = rule["filter_by"]
                         filter_by2 = f"({filter_by}) && ({extra})" if filter_by else extra
                         from typesense_tpu.search.filters import DeviceFilterEvaluator
-                        filter_mask = DeviceFilterEvaluator(engine).evaluate(
+                        from typesense_tpu.search.joins import make_join_resolver
+                        filter_mask = DeviceFilterEvaluator(
+                            engine, join_resolver=make_join_resolver(self)).evaluate(
                             parse_filter_query(filter_by2), self.field_map)
                     if rule.get("replace_query"):
                         q = rule["replace_query"]
@@ -411,6 +522,32 @@ class Collection:
                                 max_candidates, 1, prioritize_exact,
                                 prioritize_num_fields, typo_thresh))
                         raw = self._merge_results(merged)
+                # infix search (do_infix_search, index.cpp:6144): substring
+                # term matches, `always` or `fallback` (only when 0 results)
+                infix_modes = [m.lower() for m in _as_list(params.get("infix"))] \
+                    or ["off"]
+                imode = infix_modes[0]
+                if imode in ("always", "fallback") and \
+                        (imode == "always" or raw.found == 0):
+                    infix_fields = [fn for fn in search_fields
+                                    if self.field_map[fn].infix]
+                    if not infix_fields:
+                        raise BadRequest(
+                            f"Could not find `{search_fields[0]}` in the infix "
+                            f"index. Make sure to enable infix search by "
+                            f"specifying `infix: true` in the schema.")
+                    icands = []
+                    for tok in q_tokens:
+                        tids = engine.infix_term_ids(
+                            tok, limit=max_candidates or 64)
+                        icands.append((tids, np.full(len(tids), 2, np.int64)))
+                    raw_i = engine.keyword_search(
+                        icands, infix_fields,
+                        weights[:len(infix_fields)], sort_slots,
+                        filter_mask=filter_mask, facet_fields=facet_fields,
+                        k=k, prioritize_exact=prioritize_exact,
+                        prioritize_num_fields=prioritize_num_fields)
+                    raw = self._merge_results([raw, raw_i])
                 if vq is not None and vq.values:
                     raw, vec_dist_map = self._hybrid_fuse(engine, raw, vq, k,
                                                           filter_mask, facet_fields)
@@ -435,12 +572,15 @@ class Collection:
             resp = self._build_grouped_response(
                 raw, q, q_tokens, search_fields, params, page if page > 0 else 1,
                 per_page, start, facet_fields, max_facet_values, group_fields,
-                group_limit, group_missing_values, vec_dist_map)
+                group_limit, group_missing_values, vec_dist_map, sort_slots,
+                facet_specs)
         else:
             resp = self._build_response(raw, q, q_tokens, search_fields, params,
                                         page if page > 0 else 1, per_page, start,
                                         facet_fields, max_facet_values,
-                                        vec_dist_map=vec_dist_map)
+                                        vec_dist_map=vec_dist_map,
+                                        sort_slots=sort_slots,
+                                        facet_specs=facet_specs)
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         return resp
 
@@ -588,10 +728,72 @@ class Collection:
         return out
 
     # ------------------------------------------------------------------
-    def _parse_sort_by(self, sort_by: str, is_wildcard: bool) -> list[SortSpec]:
-        """collection.cpp:1735-1825 default sort assembly."""
+    def _parse_facet_by(self, facet_by) -> list[dict]:
+        """Parse facet_by specs: `name`, `name(sort_by: _alpha:asc)`,
+        range facets `price(Economy:[0,100], Luxury:[100,500])`
+        (facet parsing, collection.cpp parse_facet — ranges are
+        [inclusive_start, exclusive_end))."""
+        from typesense_tpu.search.filters import _split_top_level
+        specs: list[dict] = []
+        for fspec in (s.strip() for s in _split_top_level(str(facet_by or ""), ",")):
+            if not fspec:
+                continue
+            name, args = fspec, None
+            if "(" in fspec and fspec.endswith(")"):
+                name, argstr = fspec.split("(", 1)
+                name = name.strip()
+                args = argstr[:-1]
+            f = self.field_map.get(name)
+            if f is None:
+                raise NotFound(f"Could not find a facet field named `{name}` in the schema.")
+            if not f.facet:
+                raise BadRequest(f"Field `{name}` is not a facet field in the schema.")
+            spec = {"name": name, "ranges": [], "sort_field": "count",
+                    "sort_order": "desc", "field": f}
+            if args:
+                for part in (p.strip() for p in _split_top_level(args, ",")):
+                    if not part or ":" not in part:
+                        continue
+                    key, val = part.split(":", 1)
+                    key, val = key.strip(), val.strip()
+                    if key == "sort_by":
+                        sb = [x.strip() for x in val.split(":")]
+                        spec["sort_field"] = sb[0]
+                        spec["sort_order"] = sb[1].lower() if len(sb) > 1 else "asc"
+                    elif val.startswith("[") and val.endswith("]"):
+                        if not (f.is_numeric and not f.is_bool):
+                            raise BadRequest(f"Range facets can only be applied to "
+                                             f"numerical fields (`{name}`).")
+                        lo, hi = (x.strip() for x in val[1:-1].split(",", 1))
+                        conv = float if f.is_float else int
+                        spec["ranges"].append((key, conv(lo), conv(hi)))
+                    else:
+                        raise BadRequest(f"Invalid facet param `{key}` for `{name}`.")
+            specs.append(spec)
+        return specs
+
+    # ------------------------------------------------------------------
+    _DIST_UNIT_M = {"km": 1000.0, "mi": 1609.34, "m": 1.0}
+
+    @classmethod
+    def _parse_dist_m(cls, s: str) -> float:
+        s = s.strip()
+        for u in ("km", "mi"):
+            if s.endswith(u):
+                return float(s[:-len(u)]) * cls._DIST_UNIT_M[u]
+        return float(s)
+
+    def _parse_sort_by(self, sort_by: str, is_wildcard: bool,
+                       engine=None) -> list[SortSpec]:
+        """collection.cpp:1735-1825 default sort assembly. Supports
+        `field:asc|desc`, `_text_match:desc`, `_vector_distance:asc`,
+        geo `loc(48.8, 2.3, precision: 2km, exclude_radius: 1km):asc`,
+        `_eval(filter):desc` / `_eval([(f1):3,(f2):1]):desc`, `_rand(seed)`,
+        and `field(missing_values: first|last):asc`."""
+        from typesense_tpu.search.filters import _split_top_level
         slots: list[SortSpec] = []
-        specs = _as_list(sort_by)
+        specs = [s.strip() for s in _split_top_level(str(sort_by or ""), ",")
+                 if s.strip()]
         if len(specs) > 3:
             raise BadRequest("Only upto 3 sort_by fields can be specified.")
         found_text_match = False
@@ -603,6 +805,13 @@ class Collection:
             if order not in ("asc", "desc"):
                 raise BadRequest(f"Order for field` {name}` should be either ASC or DESC.")
             sign = 1 if order == "desc" else -1
+
+            args = None
+            if "(" in name and name.endswith(")"):
+                base, argstr = name.split("(", 1)
+                args = argstr[:-1]
+                name = base.strip()
+
             if name == "_text_match":
                 slots.append(SortSpec(kernels.SLOT_TEXT, sign))
                 found_text_match = True
@@ -610,14 +819,45 @@ class Collection:
                 slots.append(SortSpec(kernels.SLOT_SEQ_ID, sign))
             elif name == "_vector_distance":
                 slots.append(SortSpec(kernels.SLOT_VECTOR, -sign))
+            elif name == "_rand":
+                seed = int(args) if args and args.strip() else 42
+                col = engine.rand_column(seed) if engine is not None else None
+                slots.append(SortSpec(kernels.SLOT_COLUMN, sign, custom_col=col))
+            elif name == "_eval":
+                if engine is None or args is None:
+                    raise BadRequest("sort_by `_eval` requires a filter expression.")
+                slots.append(self._eval_sort_slot(engine, args, sign))
+            elif name.startswith("$"):
+                # reference sort `$Coll(field):order` (join.h:77)
+                from typesense_tpu.search.joins import join_sort_column
+                import jax
+                import jax.numpy as jnp
+                if args is None:
+                    raise BadRequest("Reference sort must be `$Coll(field):order`.")
+                col_np = join_sort_column(self, name[1:], args.strip())
+                slots.append(SortSpec(kernels.SLOT_COLUMN, sign,
+                                      custom_col=jax.device_put(
+                                          jnp.asarray(col_np))))
             else:
                 f = self.field_map.get(name)
                 if f is None:
                     raise NotFound(f"Could not find a field named `{name}` in the schema for sorting.")
+                if f.is_geo:
+                    slots.append(self._geo_sort_slot(engine, name, args, sign))
+                    continue
                 if not f.sort:
                     raise BadRequest(f"Field `{name}` is not a sortable type or `sort` has not "
                                      f"been enabled in the schema.")
-                slots.append(SortSpec(kernels.SLOT_COLUMN, sign, column=name))
+                if args and "missing_values" in args:
+                    policy = args.split(":", 1)[1].strip().lower()
+                    if policy not in ("first", "last"):
+                        raise BadRequest("missing_values must be `first` or `last`.")
+                    col = engine.missing_values_column(name, policy, sign) \
+                        if engine is not None else None
+                    slots.append(SortSpec(kernels.SLOT_COLUMN, sign, column=name,
+                                          custom_col=col))
+                else:
+                    slots.append(SortSpec(kernels.SLOT_COLUMN, sign, column=name))
 
         if not specs:
             if not is_wildcard:
@@ -631,11 +871,91 @@ class Collection:
             slots.append(SortSpec(kernels.SLOT_TEXT, 1))
         return slots[:3]
 
+    def _geo_sort_slot(self, engine, name: str, args: str | None, sign: int) -> SortSpec:
+        """`loc(48.8, 2.3[, precision: 2km][, exclude_radius: 1km]):asc`."""
+        if args is None:
+            raise BadRequest(f"Geopoint field `{name}` sort must specify "
+                             f"coordinates, e.g. {name}(48.853, 2.344):asc.")
+        from typesense_tpu.search.filters import _split_top_level
+        parts = [p.strip() for p in _split_top_level(args, ",") if p.strip()]
+        coords = []
+        exclude_m = 0.0
+        precision_m = 0.0
+        for p in parts:
+            if ":" in p:
+                k, v = p.split(":", 1)
+                k = k.strip().lower()
+                if k == "exclude_radius":
+                    exclude_m = self._parse_dist_m(v)
+                elif k == "precision":
+                    precision_m = self._parse_dist_m(v)
+                else:
+                    raise BadRequest(f"Invalid geo sort option `{k}`.")
+            else:
+                coords.append(float(p))
+        if len(coords) != 2:
+            raise BadRequest(f"Geopoint sort on `{name}` needs (lat, lng).")
+        col = engine.geo_sort_column(name, coords[0], coords[1], exclude_m,
+                                     precision_m, sign) if engine is not None else None
+        return SortSpec(kernels.SLOT_COLUMN, sign, custom_col=col,
+                        geo_field=name, geo_target=(coords[0], coords[1]))
+
+    def _eval_sort_slot(self, engine, args: str, sign: int) -> SortSpec:
+        """`_eval(filter)` -> 1/0; `_eval([(f1):3, (f2):1])` -> weighted sum
+        (sort_by_eval_t, collection.cpp sort parsing)."""
+        from typesense_tpu.search.filters import DeviceFilterEvaluator, _split_top_level
+        args = args.strip()
+        pairs: list[tuple[str, int]] = []
+        if args.startswith("[") and args.endswith("]"):
+            for part in _split_top_level(args[1:-1], ","):
+                part = part.strip()
+                if not part:
+                    continue
+                if part.endswith(")") or ":" not in part.rsplit(")", 1)[-1]:
+                    pairs.append((part, 1))
+                else:
+                    expr, w = part.rsplit(":", 1)
+                    pairs.append((expr.strip(), int(w)))
+        else:
+            pairs.append((args, 1))
+        from typesense_tpu.search.joins import make_join_resolver
+        ev = DeviceFilterEvaluator(engine, join_resolver=make_join_resolver(self))
+        mw = []
+        for expr, w in pairs:
+            expr = expr.strip()
+            if expr.startswith("(") and expr.endswith(")"):
+                expr = expr[1:-1]
+            node = parse_filter_query(expr)
+            mask = ev.evaluate(node, self.field_map)
+            mw.append((mask, w))
+        return SortSpec(kernels.SLOT_COLUMN, sign,
+                        custom_col=engine.mask_to_column(mw))
+
     # ------------------------------------------------------------------
     def _build_response(self, raw: RawResult, q, q_tokens, search_fields, params,
                         page, per_page, start, facet_fields, max_facet_values,
-                        vec_dist_map: dict[int, float] | None = None) -> dict:
-        include_fields = set(_as_list(params.get("include_fields")))
+                        vec_dist_map: dict[int, float] | None = None,
+                        sort_slots: list[SortSpec] | None = None,
+                        facet_specs: list[dict] | None = None) -> dict:
+        from typesense_tpu.search.filters import _split_top_level
+        include_fields: set[str] = set()
+        join_includes: list[tuple[str, list[str], str]] = []  # (coll, fields, strategy)
+        for inc in (s.strip() for s in
+                    _split_top_level(str(params.get("include_fields") or ""), ",")):
+            if not inc:
+                continue
+            if inc.startswith("$") and "(" in inc and inc.endswith(")"):
+                cname, argstr = inc[1:-1].split("(", 1)
+                strategy = "nest"
+                flds: list[str] = []
+                for p in (x.strip() for x in _split_top_level(argstr, ",")):
+                    if p.startswith("strategy"):
+                        strategy = p.split(":", 1)[1].strip()
+                    elif p and p != "*":
+                        flds.append(p)
+                join_includes.append((cname.strip(), flds, strategy))
+            else:
+                include_fields.add(inc)
         exclude_fields = set(_as_list(params.get("exclude_fields")))
         highlight_full = set(_as_list(params.get("highlight_full_fields")))
         hl_fields = _as_list(params.get("highlight_fields"))
@@ -649,11 +969,23 @@ class Collection:
         page_scores = raw.scores[start:start + per_page]
         text_slot = None
         # find which slot carries text match for text_match_info
-        sort_slots = self._parse_sort_by(params.get("sort_by", ""), is_wildcard=(q == "*"))
+        if sort_slots is None:
+            sort_slots = self._parse_sort_by(params.get("sort_by", ""),
+                                             is_wildcard=(q == "*"))
         for i, s in enumerate(sort_slots):
             if s.kind == kernels.SLOT_TEXT:
                 text_slot = i
                 break
+
+        # geo sorts expose per-hit distance (geo_distance_meters, collection.cpp
+        # hit assembly for geopoint sorts)
+        geo_dists: dict[str, np.ndarray] = {}
+        for s in sort_slots:
+            if s.geo_field is not None and len(page_ids):
+                engine = self._ensure_index()
+                geo_dists[s.geo_field] = engine.geo_distances_host(
+                    s.geo_field, s.geo_target[0], s.geo_target[1],
+                    np.asarray(page_ids))
 
         for rank, seq_id in enumerate(page_ids):
             doc = self.docs.get(int(seq_id))
@@ -666,10 +998,26 @@ class Collection:
             for ex in exclude_fields:
                 out_doc.pop(ex, None)
 
+            # join hydration: $Coll(fields) include (join.h ref_include)
+            for cname, flds, strategy in join_includes:
+                from typesense_tpu.search.joins import referenced_docs
+                refs = referenced_docs(self, doc, cname)
+                if flds:
+                    refs = [{k: v for k, v in r.items() if k in flds}
+                            for r in refs]
+                if strategy == "merge":
+                    for r in refs:
+                        out_doc.update(r)
+                elif len(refs) == 1:
+                    out_doc[cname] = refs[0]
+                elif refs:
+                    out_doc[cname] = refs
+
             hit = {"document": out_doc, "highlight": {}, "highlights": []}
             if q != "*" and q_tokens:
                 hl_targets = hl_fields or search_fields
-                hl, legacy = highlight_doc(doc, hl_targets, q_tokens, self.field_map,
+                hl, legacy = highlight_doc(self._flat_doc(doc), hl_targets,
+                                           q_tokens, self.field_map,
                                            hl_start, hl_end, snippet_threshold,
                                            affix_tokens, highlight_full)
                 hit["highlight"] = hl
@@ -680,23 +1028,15 @@ class Collection:
                 hit["text_match_info"] = self._text_match_info(score, len(q_tokens))
             if vec_dist_map and int(seq_id) in vec_dist_map:
                 hit["vector_distance"] = vec_dist_map[int(seq_id)]
+            if geo_dists:
+                hit["geo_distance_meters"] = {
+                    f: int(d[rank]) for f, d in geo_dists.items() if d[rank] >= 0}
             if int(seq_id) in getattr(raw, "curated_seqs", ()):
                 hit["curated"] = True
             hits.append(hit)
 
-        facet_counts = []
-        for fname in facet_fields:
-            values, counts = raw.facet_counts.get(fname, ([], np.zeros(0, np.int32)))
-            order = np.argsort(-counts, kind="stable")[:max_facet_values]
-            facet_counts.append({
-                "field_name": fname,
-                "sampled": False,
-                "counts": [
-                    {"count": int(counts[i]), "highlighted": values[i], "value": values[i]}
-                    for i in order if counts[i] > 0
-                ],
-                "stats": {"total_values": int((counts > 0).sum())},
-            })
+        facet_counts = self._assemble_facets(raw, facet_fields, max_facet_values,
+                                             params, facet_specs)
 
         return {
             "facet_counts": facet_counts,
@@ -716,7 +1056,8 @@ class Collection:
     def _build_grouped_response(self, raw: RawResult, q, q_tokens, search_fields,
                                 params, page, per_page, start, facet_fields,
                                 max_facet_values, group_fields, group_limit,
-                                group_missing_values, vec_dist_map) -> dict:
+                                group_missing_values, vec_dist_map,
+                                sort_slots=None, facet_specs=None) -> dict:
         """grouped_hits assembly (collection.cpp:3078-3206). Groups are keyed
         by the tuple of group field values; group order = best-hit order;
         each group keeps up to group_limit hits."""
@@ -747,7 +1088,9 @@ class Collection:
                                     {**params, "per_page": len(raw.doc_ids)},
                                     1, max(len(raw.doc_ids), 1), 0,
                                     facet_fields, max_facet_values,
-                                    vec_dist_map=vec_dist_map)
+                                    vec_dist_map=vec_dist_map,
+                                    sort_slots=sort_slots,
+                                    facet_specs=facet_specs)
         hit_by_rank = {i: h for i, h in enumerate(base["hits"])}
         grouped = []
         for gk in page_keys:
@@ -771,6 +1114,92 @@ class Collection:
         base["found_docs"] = raw.found
         base["page"] = page
         return base
+
+    def _assemble_facets(self, raw: RawResult, facet_fields, max_facet_values,
+                         params, facet_specs: list[dict] | None) -> list[dict]:
+        """Facet response assembly: value counts (with facet_query narrowing +
+        highlighting), range facets over distinct numeric values, and numeric
+        stats min/max/sum/avg (do_facets + Collection facet JSON,
+        collection.cpp facet_counts assembly)."""
+        if facet_specs is None:
+            facet_specs = [{"name": n, "ranges": [], "sort_field": "count",
+                            "sort_order": "desc", "field": self.field_map.get(n)}
+                           for n in facet_fields]
+        fq_field = fq_value = None
+        facet_query = str(params.get("facet_query", "") or "")
+        if facet_query and ":" in facet_query:
+            fq_field, fq_value = (s.strip() for s in facet_query.split(":", 1))
+
+        hl_start = params.get("highlight_start_tag", "<mark>")
+        hl_end = params.get("highlight_end_tag", "</mark>")
+
+        out = []
+        for spec in facet_specs:
+            fname = spec["name"]
+            f = spec.get("field") or self.field_map.get(fname)
+            values, counts = raw.facet_counts.get(fname, ([], np.zeros(0, np.int64)))
+            counts = np.asarray(counts)
+
+            # numeric stats over distinct (value, count) pairs
+            stats = {"total_values": int((counts > 0).sum())}
+            if f is not None and f.is_numeric and not f.is_bool and len(values):
+                present = counts > 0
+                if present.any():
+                    nums = np.array([float(v) for v in values])
+                    pv, pc = nums[present], counts[present]
+                    stats.update({
+                        "min": float(pv.min()), "max": float(pv.max()),
+                        "sum": float((pv * pc).sum()),
+                        "avg": float((pv * pc).sum() / pc.sum()),
+                    })
+
+            if spec["ranges"]:
+                nums = np.array([float(v) for v in values]) if len(values) else \
+                    np.zeros(0)
+                entries = []
+                for label, lo, hi in spec["ranges"]:
+                    inb = (nums >= lo) & (nums < hi)
+                    c = int(counts[inb].sum()) if len(values) else 0
+                    if c > 0:
+                        entries.append({"count": c, "highlighted": label,
+                                        "value": label})
+                out.append({"field_name": fname, "sampled": False,
+                            "counts": entries, "stats": stats})
+                continue
+
+            idx = [i for i in range(len(values)) if counts[i] > 0]
+            highlighted = {i: values[i] for i in idx}
+            if fq_field == fname and fq_value:
+                fql = fq_value.lower()
+                kept = []
+                for i in idx:
+                    v = values[i]
+                    pos = v.lower().find(fql) if isinstance(v, str) else -1
+                    if pos == 0 or (pos > 0 and not v[pos - 1].isalnum()):
+                        highlighted[i] = (v[:pos] + hl_start + v[pos:pos + len(fql)]
+                                          + hl_end + v[pos + len(fql):])
+                        kept.append(i)
+                idx = kept
+
+            if spec["sort_field"] == "_alpha":
+                idx.sort(key=lambda i: str(values[i]).lower(),
+                         reverse=(spec["sort_order"] == "desc"))
+            elif spec["sort_field"] == "_value" and f is not None and f.is_numeric:
+                idx.sort(key=lambda i: float(values[i]),
+                         reverse=(spec["sort_order"] == "desc"))
+            else:
+                idx.sort(key=lambda i: (-int(counts[i]), str(values[i])))
+            idx = idx[:max_facet_values]
+
+            out.append({
+                "field_name": fname,
+                "sampled": False,
+                "counts": [{"count": int(counts[i]),
+                            "highlighted": highlighted[i],
+                            "value": values[i]} for i in idx],
+                "stats": stats,
+            })
+        return out
 
     @staticmethod
     def _text_match_info(score: int, total_tokens: int) -> dict:

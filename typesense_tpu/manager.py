@@ -34,6 +34,8 @@ class CollectionManager:
         self.stopwords = StopwordsManager(store)
         self.synonyms = SynonymSetManager(store)
         self.curations = CurationSetManager(store)
+        from typesense_tpu.models.embedder import EmbedderManager
+        self.embedders = EmbedderManager()
         self._lock = threading.RLock()
         self._next_collection_id = 0
 

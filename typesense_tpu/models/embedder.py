@@ -1,0 +1,256 @@
+"""Local text embedding on TPU: a sentence-transformer-class encoder in pure
+JAX, plus the embedder registry.
+
+Reference contract: /root/reference/include/text_embedder.h:4-51 (ONNX
+session + mean pooling), embedder_manager.h:36-60 (model registry keyed by
+model name, `ts/` namespace for built-in public models). The TPU-native
+design replaces the ONNX Runtime session with one jitted XLA program:
+token-embedding gather -> N transformer blocks (bf16 matmuls on the MXU)
+-> masked mean pooling -> L2 normalize, all fused by XLA.
+
+Weights: real checkpoints load from `<data>/models/<name>.npz` when present
+(same layout as state_dict keys below). Otherwise weights are derived
+deterministically from the model name (seeded init) — the interface,
+batching, and device path are identical either way, and token-overlap
+similarity (a random-projection encoder is an LSH of the hashed bag of
+tokens) keeps hybrid-search semantics exercisable end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import partial
+
+import numpy as np
+
+import typesense_tpu.core.jaxcfg  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from typesense_tpu.core.errors import BadRequest
+
+# built-in model catalog (embedder_manager.h public models list):
+# name -> (dim, layers, heads, ff_mult)
+BUILTIN_MODELS = {
+    "ts/all-MiniLM-L12-v2": (384, 12, 6, 4),
+    "ts/all-MiniLM-L6-v2": (384, 6, 6, 4),
+    "ts/e5-small": (384, 6, 6, 4),
+    "ts/e5-base": (768, 12, 12, 4),
+    "ts/paraphrase-multilingual-mpnet-base-v2": (768, 12, 12, 4),
+    "ts/clip-vit-b-p32": (512, 6, 8, 4),
+}
+DEFAULT_DIM = 384
+VOCAB = 32768
+MAX_LEN = 128
+PAD_ID = 0
+
+
+def _stable_hash(token: str) -> int:
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
+
+
+def hash_tokenize(text: str, max_len: int = MAX_LEN) -> np.ndarray:
+    """Hashing tokenizer: lowercase word pieces -> stable ids in [2, VOCAB).
+    Replaces the reference's WordPiece/BPE files (text_embedder_tokenizer.h)
+    with a vocabulary-free stable hash; real-checkpoint models may ship their
+    own vocab (loaded from the .npz sidecar)."""
+    from typesense_tpu.index.builder import fast_tokenize
+    ids = [1]  # CLS
+    for tok in fast_tokenize(text)[:max_len - 2]:
+        ids.append(2 + _stable_hash(tok) % (VOCAB - 2))
+    ids.append(1)
+    out = np.full(max_len, PAD_ID, dtype=np.int32)
+    out[:len(ids)] = ids[:max_len]
+    return out
+
+
+def _init_params(name: str, dim: int, layers: int, heads: int, ff_mult: int):
+    """Deterministic init keyed by model name (seeded)."""
+    seed = _stable_hash(name) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+
+    def mat(*shape, scale=None):
+        s = scale if scale is not None else (1.0 / np.sqrt(shape[0]))
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s,
+                           jnp.bfloat16)
+
+    params = {
+        "tok_emb": mat(VOCAB, dim, scale=0.02),
+        "pos_emb": mat(MAX_LEN, dim, scale=0.02),
+        "blocks": [],
+    }
+    for _ in range(layers):
+        params["blocks"].append({
+            "wq": mat(dim, dim), "wk": mat(dim, dim), "wv": mat(dim, dim),
+            "wo": mat(dim, dim),
+            "w1": mat(dim, dim * ff_mult), "w2": mat(dim * ff_mult, dim),
+            "ln1_g": jnp.ones(dim, jnp.float32),
+            "ln1_b": jnp.zeros(dim, jnp.float32),
+            "ln2_g": jnp.ones(dim, jnp.float32),
+            "ln2_b": jnp.zeros(dim, jnp.float32),
+        })
+    return params
+
+
+def _layer_norm(x, g, b, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _encoder_forward(params, token_ids, n_heads: int):
+    """(B, L) int32 -> (B, dim) f32 L2-normalized embeddings. bf16 matmuls
+    keep the FLOPs on the MXU; layernorm/softmax accumulate in f32."""
+    B, L = token_ids.shape
+    mask = (token_ids != PAD_ID)
+    x = params["tok_emb"][token_ids] + params["pos_emb"][None, :L]
+    neg = jnp.float32(-1e9)
+    attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg)
+
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        dim = h.shape[-1]
+        hd = dim // n_heads
+
+        def proj(w):
+            y = jnp.einsum("bld,de->ble", h, w,
+                           preferred_element_type=jnp.float32)
+            return y.reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = proj(blk["wq"]), proj(blk["wk"]), proj(blk["wv"])
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(hd) + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v.astype(jnp.bfloat16))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        x = x + jnp.einsum("bld,de->ble", ctx, blk["wo"],
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+
+        h2 = _layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        ff = jnp.einsum("bld,de->ble", h2, blk["w1"],
+                        preferred_element_type=jnp.float32)
+        ff = jax.nn.gelu(ff).astype(jnp.bfloat16)
+        ff = jnp.einsum("bld,de->ble", ff, blk["w2"],
+                        preferred_element_type=jnp.float32)
+        x = x + ff.astype(x.dtype)
+
+    # masked mean pooling (text_embedder.h mean_pooling) + L2 normalize
+    m = mask[:, :, None].astype(jnp.float32)
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / \
+        jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+class TextEncoder:
+    """One embedding model instance (TextEmbedder equivalent)."""
+
+    def __init__(self, model_name: str, models_dir: str = ""):
+        spec = BUILTIN_MODELS.get(model_name)
+        if spec is None:
+            if model_name.startswith("ts/"):
+                raise BadRequest(f"Model `{model_name}` is not a supported "
+                                 f"built-in embedding model.")
+            spec = (DEFAULT_DIM, 6, 6, 4)
+        dim, layers, heads, ff_mult = spec
+        self.model_name = model_name
+        self.num_dim = dim
+        self.n_heads = heads
+        self.params = self._load_or_init(model_name, models_dir, dim, layers,
+                                         heads, ff_mult)
+        self._fwd = jax.jit(partial(_encoder_forward, n_heads=heads))
+
+    @staticmethod
+    def _load_or_init(name, models_dir, dim, layers, heads, ff_mult):
+        safe = name.replace("/", "_")
+        path = os.path.join(models_dir or "", f"{safe}.npz")
+        if models_dir and os.path.exists(path):
+            raw = np.load(path)
+            params = {"tok_emb": jnp.asarray(raw["tok_emb"], jnp.bfloat16),
+                      "pos_emb": jnp.asarray(raw["pos_emb"], jnp.bfloat16),
+                      "blocks": []}
+            i = 0
+            while f"blocks.{i}.wq" in raw:
+                params["blocks"].append({
+                    k: jnp.asarray(raw[f"blocks.{i}.{k}"],
+                                   jnp.float32 if k.startswith("ln")
+                                   else jnp.bfloat16)
+                    for k in ("wq", "wk", "wv", "wo", "w1", "w2",
+                              "ln1_g", "ln1_b", "ln2_g", "ln2_b")})
+                i += 1
+            return params
+        return _init_params(name, dim, layers, heads, ff_mult)
+
+    def embed_batch(self, texts: list[str], batch_size: int = 32) -> np.ndarray:
+        """Embed texts in fixed-size padded batches (one compiled program)."""
+        out = np.zeros((len(texts), self.num_dim), dtype=np.float32)
+        for i in range(0, len(texts), batch_size):
+            chunk = texts[i:i + batch_size]
+            ids = np.stack([hash_tokenize(t) for t in chunk])
+            if len(chunk) < batch_size:
+                pad = np.full((batch_size - len(chunk), MAX_LEN), PAD_ID,
+                              np.int32)
+                pad[:, 0] = 1  # keep one real token so pooling is well-defined
+                ids = np.concatenate([ids, pad])
+            emb = np.asarray(self._fwd(self.params, jnp.asarray(ids)))
+            out[i:i + len(chunk)] = emb[:len(chunk)]
+        return out
+
+    def embed_one(self, text: str) -> np.ndarray:
+        return self.embed_batch([text], batch_size=1)[0]
+
+
+class RemoteEmbedder:
+    """OpenAI-format remote embedding client (text_embedder_remote.h:73-176).
+    Network egress is environment-gated; errors surface as BadRequest."""
+
+    def __init__(self, model_config: dict):
+        self.model_name = model_config.get("model_name", "")
+        self.api_key = model_config.get("api_key", "")
+        self.url = model_config.get("url") or "https://api.openai.com/v1/embeddings"
+        self.num_dim = int(model_config.get("num_dim", 1536))
+
+    def embed_batch(self, texts: list[str], batch_size: int = 64) -> np.ndarray:
+        import json
+        import urllib.request
+        out = []
+        for i in range(0, len(texts), batch_size):
+            body = json.dumps({"model": self.model_name.split("/", 1)[-1],
+                               "input": texts[i:i + batch_size]}).encode()
+            req = urllib.request.Request(
+                self.url, data=body, method="POST",
+                headers={"Authorization": f"Bearer {self.api_key}",
+                         "Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    data = json.loads(resp.read().decode())
+            except Exception as e:  # noqa: BLE001
+                raise BadRequest(f"Remote embedding request failed: {e}")
+            out.extend(d["embedding"] for d in data["data"])
+        return np.asarray(out, dtype=np.float32)
+
+    def embed_one(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+
+class EmbedderManager:
+    """Singleton-style registry (embedder_manager.h:45 get_text_embedder)."""
+
+    def __init__(self, models_dir: str = ""):
+        self.models_dir = models_dir
+        self._cache: dict[str, object] = {}
+
+    def get(self, model_config: dict):
+        name = model_config.get("model_name", "")
+        if not name:
+            raise BadRequest("Property `embed.model_config.model_name` is required.")
+        if name in self._cache:
+            return self._cache[name]
+        if name.startswith(("openai/", "azure/", "google/", "gcp/")) or \
+                model_config.get("url"):
+            emb = RemoteEmbedder(model_config)
+        else:
+            emb = TextEncoder(name, self.models_dir)
+        self._cache[name] = emb
+        return emb

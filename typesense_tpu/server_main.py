@@ -37,6 +37,12 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
     server = HttpServer(manager, auth, host=cfg.api_address, port=cfg.api_port,
                         num_threads=min(cfg.thread_pool_size, 64))
     server.metrics = AppMetrics()
+    from typesense_tpu.analytics import AnalyticsManager
+    from typesense_tpu.ratelimit import RateLimitManager
+    server.analytics = AnalyticsManager(meta_store, manager)
+    server.analytics.load()
+    server.ratelimits = RateLimitManager(meta_store)
+    server.ratelimits.load()
     return server
 
 
