@@ -1,0 +1,78 @@
+"""Stemming + locale tokenization tests (reference: stemmer_test.cpp,
+collection_locale_test.cpp)."""
+
+import pytest
+
+from typesense_tpu.collection import Collection
+from typesense_tpu.schema.field import Field
+from typesense_tpu.text.stemmer import StemmerManager, porter2_stem
+from typesense_tpu.text.tokenizer import Tokenizer
+
+
+def ids(res):
+    return sorted(h["document"]["id"] for h in res["hits"])
+
+
+def test_porter2_basics():
+    assert porter2_stem("running") == "run"
+    assert porter2_stem("searches") == "search"
+    assert porter2_stem("searched") == "search"
+    assert porter2_stem("connection") == "connect"
+    assert porter2_stem("happily") == "happili"
+
+
+def test_stemmed_field_search():
+    c = Collection("s", [Field("title", "string", stem=True)])
+    c.add({"id": "0", "title": "running shoes"})
+    c.add({"id": "1", "title": "walked miles"})
+    # query token stems to the same root as the document token
+    res = c.search({"q": "run", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    assert ids(res) == ["0"]
+    res = c.search({"q": "walking", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    assert ids(res) == ["1"]
+
+
+def test_stemming_dictionary_override():
+    sm = StemmerManager()
+    sm.import_dictionary("irregular", '{"word": "people", "root": "person"}\n'
+                                      '{"word": "geese", "root": "goose"}')
+    c = Collection("d", [Field("title", "string", stem=True,
+                               stem_dictionary="irregular")])
+    c.add({"id": "0", "title": "many people here"})
+    res = c.search({"q": "person", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    assert ids(res) == ["0"]
+    assert sm.get_dictionary("irregular")["words"][0]["word"] in ("people", "geese")
+
+
+def test_cjk_tokenization():
+    toks = Tokenizer("日本語テスト", locale="ja").tokenize()
+    assert len(toks) >= 4  # per-codepoint segmentation
+    toks_zh = Tokenizer("中文搜索", locale="zh").tokenize()
+    assert toks_zh == ["中", "文", "搜", "索"]
+
+
+def test_cjk_field_search():
+    c = Collection("zh", [Field("title", "string", locale="zh")])
+    c.add({"id": "0", "title": "中文搜索引擎"})
+    c.add({"id": "1", "title": "日本料理"})
+    res = c.search({"q": "搜索", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    assert ids(res) == ["0"]
+
+
+def test_accented_transliteration():
+    c = Collection("fr", [Field("title", "string")])
+    c.add({"id": "0", "title": "crème brûlée"})
+    res = c.search({"q": "creme brulee", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    assert ids(res) == ["0"]
+
+
+def test_search_cutoff_flag():
+    c = Collection("t", [Field("title", "string")])
+    c.add({"id": "0", "title": "hello"})
+    res = c.search({"q": "hello", "query_by": "title"})
+    assert res["search_cutoff"] is False

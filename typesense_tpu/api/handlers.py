@@ -58,12 +58,62 @@ def del_drop_collection(server, req):
 # documents
 # ---------------------------------------------------------------------------
 
+def _apply_preset(server, params: dict) -> dict:
+    """Merge a named preset under explicit request params
+    (collection_search_args_t::init preset handling,
+    collection_manager.cpp:1421 — request params win)."""
+    pname = params.get("preset")
+    if not pname:
+        return params
+    try:
+        preset = server.manager.get_preset(str(pname))
+    except Exception:  # noqa: BLE001 — unknown preset is ignored like reference
+        return params
+    if isinstance(preset, dict):
+        merged = dict(preset)
+        merged.update(params)
+        return merged
+    return params
+
+
 def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
-    res = coll.search(dict(req.query))
+    params = _apply_preset(server, dict(req.query))
+
+    # response cache (core_api.cpp:573-601 LRU with use_cache + cache_ttl)
+    cache = getattr(server, "res_cache", None)
+    use_cache = str(params.get("use_cache", "false")).lower() == "true"
+    key = None
+    if cache is not None and use_cache:
+        import time as _t
+        key = (coll.name, tuple(sorted(
+            (k, v) for k, v in params.items() if k != "use_cache")))
+        hit = cache.get(key)
+        if hit is not None and hit[0] > _t.time():
+            return hit[1]
+
+    res = coll.search(params)
+
+    if key is not None:
+        import time as _t
+        ttl = int(params.get("cache_ttl", 60))
+        cache[key] = (_t.time() + ttl, res)
+        while len(cache) > 1000:
+            cache.pop(next(iter(cache)))
+
+    # RAG conversation (core_api.cpp:633-688 conversation augmentation)
+    if str(params.get("conversation", "false")).lower() == "true":
+        model_id = params.get("conversation_model_id")
+        if not model_id:
+            raise BadRequest("Parameter `conversation_model_id` is required "
+                             "for conversational search.")
+        res["conversation"] = server.conv_models.converse(
+            str(model_id), str(params.get("q", "")), res.get("hits", []),
+            params.get("conversation_id"))
+
     analytics = getattr(server, "analytics", None)
     if analytics is not None:
-        analytics.record_search(coll.name, str(req.query.get("q", "")),
+        analytics.record_search(coll.name, str(params.get("q", "")),
                                 res.get("found", 0))
     return res
 
@@ -459,3 +509,91 @@ def del_throttle(server, req):
 def del_exceed(server, req):
     server.ratelimits.delete_exceed(req.params["id"])
     return {"success": True}
+
+
+# ---------------------------------------------------------------------------
+# stemming dictionaries (typesense_server.cpp:101-104)
+# ---------------------------------------------------------------------------
+
+def post_import_stemming_dictionary(server, req):
+    dict_id = req.query.get("id")
+    if not dict_id:
+        raise BadRequest("Parameter `id` is required.")
+    return server.manager.stemmers.import_dictionary(
+        dict_id, req.body.decode("utf-8", errors="replace"))
+
+
+def get_stemming_dictionaries(server, req):
+    return server.manager.stemmers.list_dictionaries()
+
+
+def get_stemming_dictionary(server, req):
+    return server.manager.stemmers.get_dictionary(req.params["id"])
+
+
+def del_stemming_dictionary(server, req):
+    return server.manager.stemmers.delete_dictionary(req.params["id"])
+
+
+# ---------------------------------------------------------------------------
+# conversation / NL search / personalization models (typesense_server.cpp:122-154)
+# ---------------------------------------------------------------------------
+
+def post_conversation_model(server, req):
+    return 201, server.conv_models.create(req.json())
+
+
+def get_conversation_models(server, req):
+    return server.conv_models.list()
+
+
+def get_conversation_model(server, req):
+    return server.conv_models.get(req.params["id"])
+
+
+def put_conversation_model(server, req):
+    return server.conv_models.update(req.params["id"], req.json())
+
+
+def del_conversation_model(server, req):
+    return server.conv_models.delete(req.params["id"])
+
+
+def post_nl_search_model(server, req):
+    return 201, server.nl_models.create(req.json())
+
+
+def get_nl_search_models(server, req):
+    return server.nl_models.list()
+
+
+def get_nl_search_model(server, req):
+    return server.nl_models.get(req.params["id"])
+
+
+def put_nl_search_model(server, req):
+    return server.nl_models.update(req.params["id"], req.json())
+
+
+def delete_nl_search_model(server, req):
+    return server.nl_models.delete(req.params["id"])
+
+
+def post_personalization_model(server, req):
+    return 201, server.pers_models.create(req.json())
+
+
+def get_personalization_models(server, req):
+    return server.pers_models.list()
+
+
+def get_personalization_model(server, req):
+    return server.pers_models.get(req.params["id"])
+
+
+def put_personalization_model(server, req):
+    return server.pers_models.update(req.params["id"], req.json())
+
+
+def del_personalization_model(server, req):
+    return server.pers_models.delete(req.params["id"])

@@ -71,6 +71,7 @@ class HttpServer:
         self.routes: list[tuple[str, list[str], callable, str]] = []
         self.executor = ThreadPoolExecutor(max_workers=num_threads)
         self.start_time = time.time()
+        self.res_cache: dict = {}  # response LRU (core_api.cpp init_api cache)
         self._register_routes()
 
     # ------------------------------------------------------------------
@@ -136,6 +137,27 @@ class HttpServer:
         r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
         r("POST", "/operations/vote", h.post_vote, "operations:vote")
         r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+        # conversation / nl search / personalization models
+        r("POST", "/conversations/models", h.post_conversation_model, "conversations:create")
+        r("GET", "/conversations/models", h.get_conversation_models, "conversations:list")
+        r("GET", "/conversations/models/:id", h.get_conversation_model, "conversations:get")
+        r("PUT", "/conversations/models/:id", h.put_conversation_model, "conversations:upsert")
+        r("DELETE", "/conversations/models/:id", h.del_conversation_model, "conversations:delete")
+        r("POST", "/nl_search_models", h.post_nl_search_model, "nl_search_models:create")
+        r("GET", "/nl_search_models", h.get_nl_search_models, "nl_search_models:list")
+        r("GET", "/nl_search_models/:id", h.get_nl_search_model, "nl_search_models:get")
+        r("PUT", "/nl_search_models/:id", h.put_nl_search_model, "nl_search_models:upsert")
+        r("DELETE", "/nl_search_models/:id", h.delete_nl_search_model, "nl_search_models:delete")
+        r("POST", "/personalization/models", h.post_personalization_model, "personalization:create")
+        r("GET", "/personalization/models", h.get_personalization_models, "personalization:list")
+        r("GET", "/personalization/models/:id", h.get_personalization_model, "personalization:get")
+        r("PUT", "/personalization/models/:id", h.put_personalization_model, "personalization:upsert")
+        r("DELETE", "/personalization/models/:id", h.del_personalization_model, "personalization:delete")
+        # stemming dictionaries (typesense_server.cpp:101-104)
+        r("POST", "/stemming/dictionaries/import", h.post_import_stemming_dictionary, "stemming:create")
+        r("GET", "/stemming/dictionaries", h.get_stemming_dictionaries, "stemming:list")
+        r("GET", "/stemming/dictionaries/:id", h.get_stemming_dictionary, "stemming:get")
+        r("DELETE", "/stemming/dictionaries/:id", h.del_stemming_dictionary, "stemming:delete")
         # analytics (typesense_server.cpp:88-98)
         r("GET", "/analytics/rules", h.get_analytics_rules, "analytics:list")
         r("GET", "/analytics/rules/:name", h.get_analytics_rule, "analytics:get")

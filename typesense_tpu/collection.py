@@ -321,6 +321,10 @@ class Collection:
     # ------------------------------------------------------------------
     def search(self, params: dict) -> dict:
         t0 = time.monotonic()
+        # bounded search budget (thread_local_vars.h:5-9 search_stop_us;
+        # kernels are fixed-trip so the budget gates optional passes instead)
+        cutoff_ms = int(params.get("search_cutoff_ms", 30000) or 30000)
+        self._deadline = t0 + cutoff_ms / 1000.0
         q = params.get("q")
         if q is None:
             raise BadRequest("Parameter `q` is required.")
@@ -582,6 +586,7 @@ class Collection:
                                         sort_slots=sort_slots,
                                         facet_specs=facet_specs)
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
+        resp["search_cutoff"] = time.monotonic() > self._deadline
         return resp
 
     # ------------------------------------------------------------------
@@ -616,7 +621,8 @@ class Collection:
                 exclude_flags=tuple(excludes[:len(tokens)]))
             results.append(raw)
             if (raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1
-                    or not can_drop):
+                    or not can_drop
+                    or time.monotonic() > getattr(self, "_deadline", float("inf"))):
                 break
             tokens = tokens[:-1]  # drop right-most token (default direction)
             excludes = excludes[:-1]

@@ -37,15 +37,25 @@ def fast_tokenize(text: str) -> list[str]:
     return _ASCII_WORD_RE.findall(text.lower())
 
 
-def tokenize_value(text: str, field: Field) -> list[str]:
+def tokenize_value(text: str, field: Field, stemmers=None) -> list[str]:
     if not isinstance(text, str):
         text = str(text)
     if (not field.locale and not field.symbols_to_index and not field.token_separators
-            and not field.stem and text.isascii()):
+            and not field.stem and not field.stem_dictionary and text.isascii()):
         return fast_tokenize(text)
+    stemmer = None
+    if field.stem or field.stem_dictionary:
+        from typesense_tpu.text.stemmer import Stemmer, active_manager
+        mgr = stemmers or active_manager()
+        if mgr is not None:
+            stemmer = mgr.get_stemmer(field.locale or "en",
+                                      field.stem_dictionary)
+        else:
+            stemmer = Stemmer(field.locale or "en")
     return Tokenizer(text, locale=field.locale,
                      symbols_to_index=field.symbols_to_index,
-                     separators=field.token_separators).tokenize()
+                     separators=field.token_separators,
+                     stemmer=stemmer).tokenize()
 
 
 def _as_values(raw) -> list:
@@ -138,7 +148,8 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             tok_total = 0
             vindex = value_index_acc.get(f.name)
             fast_ok = (not f.locale and not f.symbols_to_index
-                       and not f.token_separators and not f.stem)
+                       and not f.token_separators and not f.stem
+                       and not f.stem_dictionary)
             for elem_idx, value in enumerate(_as_values(raw)):
                 if not isinstance(value, str):
                     value = str(value)

@@ -36,6 +36,8 @@ class CollectionManager:
         self.curations = CurationSetManager(store)
         from typesense_tpu.models.embedder import EmbedderManager
         self.embedders = EmbedderManager()
+        from typesense_tpu.text.stemmer import StemmerManager
+        self.stemmers = StemmerManager(store)
         self._lock = threading.RLock()
         self._next_collection_id = 0
 

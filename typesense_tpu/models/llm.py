@@ -1,0 +1,327 @@
+"""LLM-backed subsystems: conversation (RAG) models, natural-language search
+models, and personalization models.
+
+Reference contract: /root/reference/src/conversation_model.cpp (providers
+OpenAI/Azure/Cloudflare/vLLM; standalone-question rewrite + context stuffing
++ answer generation), conversation_manager.cpp:461 (TTL'd history
+collection), natural_language_search_model.cpp (LLM -> structured
+filter_by/sort_by/q params with schema-prompt caching),
+personalization_model.h:12-40 (user event history -> query vector).
+
+All remote providers speak an OpenAI-compatible chat completions API over
+HTTP. Egress is environment-gated: network failures surface as 400s, and the
+registries/validation/history plumbing work without any provider reachable.
+The personalization path runs locally on TPU via the JAX text encoder
+(models/embedder.py) instead of an ONNX session.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from typesense_tpu.core.errors import BadRequest, NotFound
+
+SUPPORTED_PROVIDERS = ("openai", "azure", "cloudflare", "vllm", "google")
+
+
+def _provider_of(model_name: str) -> str:
+    return model_name.split("/", 1)[0] if "/" in model_name else ""
+
+
+def chat_complete(model: dict, messages: list[dict],
+                  max_tokens: int = 1024) -> str:
+    """One chat-completions call (conversation_model.cpp get_answer)."""
+    import urllib.request
+    name = model.get("model_name", "")
+    provider = _provider_of(name)
+    url = model.get("api_url") or {
+        "openai": "https://api.openai.com/v1/chat/completions",
+    }.get(provider)
+    if not url:
+        raise BadRequest(f"Model provider `{provider}` needs an `api_url`.")
+    body = json.dumps({
+        "model": name.split("/", 1)[-1],
+        "messages": messages,
+        "max_tokens": max_tokens,
+    }).encode()
+    req = urllib.request.Request(url, data=body, method="POST", headers={
+        "Authorization": f"Bearer {model.get('api_key', '')}",
+        "Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            data = json.loads(resp.read().decode())
+        return data["choices"][0]["message"]["content"]
+    except Exception as e:  # noqa: BLE001 — egress-gated environment
+        raise BadRequest(f"LLM request failed: {e}")
+
+
+class ConversationModelManager:
+    """conversations/models registry + RAG search glue
+    (conversation_model.cpp, conversation_manager.cpp)."""
+
+    def __init__(self, store=None, collection_manager=None):
+        self.store = store
+        self.collections = collection_manager
+        self.models: dict[str, dict] = {}
+        self._next = 0
+        self._lock = threading.Lock()
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan("$CVM_"):
+            m = json.loads(v)
+            self.models[m["id"]] = m
+
+    def _persist(self, m: dict):
+        if self.store is not None:
+            self.store.batch_write({f"$CVM_{m['id']}": json.dumps(m)})
+
+    def create(self, body: dict) -> dict:
+        name = body.get("model_name", "")
+        if _provider_of(name) not in SUPPORTED_PROVIDERS:
+            raise BadRequest(f"Model namespace `{_provider_of(name)}` is not "
+                             f"supported.")
+        if not body.get("history_collection"):
+            raise BadRequest("Property `history_collection` is missing.")
+        if "max_bytes" not in body:
+            raise BadRequest("Property `max_bytes` is missing.")
+        with self._lock:
+            mid = body.get("id") or f"conv-model-{self._next}"
+            self._next += 1
+            m = {**body, "id": mid, "ttl": int(body.get("ttl", 86400))}
+            self.models[mid] = m
+            self._persist(m)
+        return m
+
+    def update(self, mid: str, body: dict) -> dict:
+        if mid not in self.models:
+            raise NotFound("Model not found")
+        m = {**self.models[mid], **body, "id": mid}
+        self.models[mid] = m
+        self._persist(m)
+        return m
+
+    def get(self, mid: str) -> dict:
+        m = self.models.get(mid)
+        if m is None:
+            raise NotFound("Model not found")
+        return m
+
+    def list(self) -> list[dict]:
+        return list(self.models.values())
+
+    def delete(self, mid: str) -> dict:
+        m = self.models.pop(mid, None)
+        if m is None:
+            raise NotFound("Model not found")
+        if self.store is not None:
+            self.store.batch_write({}, deletes=[f"$CVM_{mid}"])
+        return m
+
+    # -- RAG flow (get_answer + context stuffing) ------------------------
+    def converse(self, model_id: str, question: str, search_results: list[dict],
+                 conversation_id: str | None = None) -> dict:
+        m = self.get(model_id)
+        max_bytes = int(m.get("max_bytes", 16384))
+        ctx_lines = []
+        used = 0
+        for hit in search_results:
+            line = json.dumps(hit.get("document", {}), ensure_ascii=False)
+            if used + len(line) > max_bytes:
+                break
+            ctx_lines.append(line)
+            used += len(line)
+        history = self._history(m, conversation_id)
+        messages = [{"role": "system",
+                     "content": m.get("system_prompt",
+                                      "Answer using only the given context.")}]
+        messages += history
+        messages.append({"role": "user",
+                         "content": f"Context:\n" + "\n".join(ctx_lines) +
+                                    f"\n\nQuestion: {question}"})
+        answer = chat_complete(m, messages)
+        cid = conversation_id or f"conv-{int(time.time() * 1000)}"
+        self._append_history(m, cid, question, answer)
+        return {"answer": answer, "conversation_id": cid,
+                "query": question}
+
+    def _history_coll(self, m: dict):
+        if self.collections is None:
+            return None
+        try:
+            return self.collections.get_collection(m["history_collection"])
+        except Exception:  # noqa: BLE001
+            return None
+
+    def _history(self, m: dict, cid: str | None) -> list[dict]:
+        coll = self._history_coll(m)
+        if coll is None or not cid:
+            return []
+        out = []
+        ttl = int(m.get("ttl", 86400))
+        now = int(time.time())
+        for _seq, doc in sorted(coll.docs.items()):
+            if doc.get("conversation_id") == cid and \
+                    now - int(doc.get("timestamp", now)) <= ttl:
+                out.append({"role": doc.get("role", "user"),
+                            "content": doc.get("message", "")})
+        return out
+
+    def _append_history(self, m: dict, cid: str, question: str, answer: str):
+        coll = self._history_coll(m)
+        if coll is None:
+            return
+        ts = int(time.time())
+        coll.add({"conversation_id": cid, "role": "user",
+                  "message": question, "timestamp": ts}, operation="create")
+        coll.add({"conversation_id": cid, "role": "assistant",
+                  "message": answer, "timestamp": ts}, operation="create")
+
+
+class NLSearchModelManager:
+    """nl_search_models registry: LLM translates a free-form query into
+    structured search params (natural_language_search_model.cpp)."""
+
+    def __init__(self, store=None):
+        self.store = store
+        self.models: dict[str, dict] = {}
+        self._next = 0
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan("$NLM_"):
+            m = json.loads(v)
+            self.models[m["id"]] = m
+
+    def create(self, body: dict) -> dict:
+        name = body.get("model_name", "")
+        if _provider_of(name) not in SUPPORTED_PROVIDERS:
+            raise BadRequest(f"Model namespace `{_provider_of(name)}` is not "
+                             f"supported.")
+        mid = body.get("id") or f"nl-model-{self._next}"
+        self._next += 1
+        m = {**body, "id": mid}
+        self.models[mid] = m
+        if self.store is not None:
+            self.store.batch_write({f"$NLM_{mid}": json.dumps(m)})
+        return m
+
+    def update(self, mid: str, body: dict) -> dict:
+        if mid not in self.models:
+            raise NotFound("Model not found")
+        m = {**self.models[mid], **body, "id": mid}
+        self.models[mid] = m
+        if self.store is not None:
+            self.store.batch_write({f"$NLM_{mid}": json.dumps(m)})
+        return m
+
+    def get(self, mid: str) -> dict:
+        m = self.models.get(mid)
+        if m is None:
+            raise NotFound("Model not found")
+        return m
+
+    def list(self) -> list[dict]:
+        return list(self.models.values())
+
+    def delete(self, mid: str) -> dict:
+        m = self.models.pop(mid, None)
+        if m is None:
+            raise NotFound("Model not found")
+        if self.store is not None:
+            self.store.batch_write({}, deletes=[f"$NLM_{mid}"])
+        return m
+
+    def generate_params(self, mid: str, query: str, schema_prompt: str) -> dict:
+        """Free-form query -> {q, filter_by, sort_by} via the LLM
+        (core_api.cpp:687 NL param augmentation)."""
+        m = self.get(mid)
+        sys_p = (m.get("system_prompt") or
+                 "Translate the user's request into JSON with keys q, "
+                 "filter_by, sort_by for a search engine. Schema:\n")
+        content = chat_complete(m, [
+            {"role": "system", "content": sys_p + schema_prompt},
+            {"role": "user", "content": query}])
+        try:
+            start = content.index("{")
+            end = content.rindex("}")
+            return json.loads(content[start:end + 1])
+        except (ValueError, json.JSONDecodeError):
+            raise BadRequest("NL model returned unparseable params.")
+
+
+class PersonalizationModelManager:
+    """personalization/models registry (personalization_model.h:12-40).
+    The reference runs an ONNX "tyrec-1" recommendation model; here user
+    event history embeds through the JAX text encoder into a query vector on
+    the TPU."""
+
+    def __init__(self, store=None, embedders=None):
+        self.store = store
+        self.embedders = embedders
+        self.models: dict[str, dict] = {}
+        self._next = 0
+
+    def load(self):
+        if self.store is None:
+            return
+        for k, v in self.store.scan("$PSM_"):
+            m = json.loads(v)
+            self.models[m["id"]] = m
+
+    def create(self, body: dict) -> dict:
+        if body.get("type") not in ("recommendation", "search"):
+            raise BadRequest("Property `type` must be `recommendation` or `search`.")
+        if not body.get("collection"):
+            raise BadRequest("Property `collection` is missing.")
+        mid = body.get("id") or f"pers-model-{self._next}"
+        self._next += 1
+        m = {**body, "id": mid}
+        self.models[mid] = m
+        if self.store is not None:
+            self.store.batch_write({f"$PSM_{mid}": json.dumps(m)})
+        return m
+
+    def update(self, mid: str, body: dict) -> dict:
+        if mid not in self.models:
+            raise NotFound("Model not found")
+        m = {**self.models[mid], **body, "id": mid}
+        self.models[mid] = m
+        if self.store is not None:
+            self.store.batch_write({f"$PSM_{mid}": json.dumps(m)})
+        return m
+
+    def get(self, mid: str) -> dict:
+        m = self.models.get(mid)
+        if m is None:
+            raise NotFound("Model not found")
+        return m
+
+    def list(self) -> list[dict]:
+        return list(self.models.values())
+
+    def delete(self, mid: str) -> dict:
+        m = self.models.pop(mid, None)
+        if m is None:
+            raise NotFound("Model not found")
+        if self.store is not None:
+            self.store.batch_write({}, deletes=[f"$PSM_{mid}"])
+        return m
+
+    def user_vector(self, mid: str, event_texts: list[str]):
+        """Embed user event history into one query vector (mean of event
+        embeddings, L2 normalized) — runs on the TPU."""
+        import numpy as np
+        m = self.get(mid)
+        if self.embedders is None or not event_texts:
+            raise BadRequest("No embedder or events available.")
+        enc = self.embedders.get({"model_name":
+                                  m.get("model_name", "ts/all-MiniLM-L6-v2")})
+        vecs = enc.embed_batch(event_texts)
+        v = vecs.mean(axis=0)
+        n = float(np.linalg.norm(v))
+        return (v / n if n > 0 else v).tolist()

@@ -179,6 +179,8 @@ class Field:
             "stem": self.stem,
             "store": self.store,
         }
+        if self.stem_dictionary:
+            out["stem_dictionary"] = self.stem_dictionary
         if self.num_dim:
             out["num_dim"] = self.num_dim
             out["vec_dist"] = self.vec_dist

@@ -43,6 +43,18 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
     server.analytics.load()
     server.ratelimits = RateLimitManager(meta_store)
     server.ratelimits.load()
+    from typesense_tpu.models.llm import (
+        ConversationModelManager, NLSearchModelManager,
+        PersonalizationModelManager,
+    )
+    server.conv_models = ConversationModelManager(meta_store, manager)
+    server.conv_models.load()
+    server.nl_models = NLSearchModelManager(meta_store)
+    server.nl_models.load()
+    server.pers_models = PersonalizationModelManager(meta_store,
+                                                     manager.embedders)
+    server.pers_models.load()
+    manager.stemmers.load()
     return server
 
 
