@@ -87,3 +87,52 @@ def test_hybrid_search_embed_field():
     # keyword AND gives doc 0; hybrid keeps it first and pulls in neighbors
     assert got[0] == "0"
     assert len(got) >= 2
+
+
+def test_image_encoder():
+    import base64
+    import io
+    from PIL import Image
+    import numpy as np
+    from typesense_tpu.models.embedder import ImageEncoder
+
+    def img_b64(color):
+        im = Image.new("RGB", (32, 32), color)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    enc = ImageEncoder("ts/clip-vit-b-p32")
+    e = enc.embed_images_base64([img_b64("red"), img_b64("red"),
+                                 img_b64("blue")])
+    assert e.shape == (3, 512)
+    assert np.allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-3)
+    assert np.allclose(e[0], e[1], atol=1e-3)          # identical images
+    assert float(e[0] @ e[2]) < 0.999                   # different images
+
+
+def test_image_field_auto_embed():
+    import base64
+    import io
+    from PIL import Image
+    from typesense_tpu.collection import Collection
+
+    def img_b64(color):
+        im = Image.new("RGB", (16, 16), color)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    c = Collection("imgs", [
+        Field("photo", "image", index=False, optional=True),
+        Field("emb", "float[]",
+              embed={"from": ["photo"],
+                     "model_config": {"model_name": "ts/clip-vit-b-p32"}}),
+    ])
+    c.add({"id": "0", "photo": img_b64("red")})
+    c.add({"id": "1", "photo": img_b64("green")})
+    c._ensure_index()
+    assert len(c.docs[0]["emb"]) == 512
+    # image similarity search by doc reference
+    res = c.search({"q": "*", "vector_query": "emb:([], id: 0)"})
+    assert [h["document"]["id"] for h in res["hits"]][0] == "1"

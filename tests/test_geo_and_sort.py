@@ -124,3 +124,32 @@ def test_missing_values_first_last():
     # default: missing treated as smallest (first on asc, last on desc)
     dflt_desc = c.search({"q": "*", "sort_by": "score:desc"})
     assert ids(dflt_desc) == ["0", "2", "1"]
+
+
+def test_geopolygon_field_contains_point():
+    c = Collection("zones", [
+        Field("name", "string"),
+        Field("area", "geopolygon", optional=True),
+    ])
+    # square around central Paris
+    c.add({"id": "0", "name": "paris zone",
+           "area": [48.80, 2.25, 48.92, 2.25, 48.92, 2.45, 48.80, 2.45]})
+    # square around London
+    c.add({"id": "1", "name": "london zone",
+           "area": [51.40, -0.3, 51.60, -0.3, 51.60, 0.1, 51.40, 0.1]})
+    c.add({"id": "2", "name": "no zone"})
+
+    res = c.search({"q": "*", "filter_by": "area:(48.8584, 2.2945)"})
+    assert ids(res) == ["0"]
+    res = c.search({"q": "*", "filter_by": "area:(51.5007, -0.1246)"})
+    assert ids(res) == ["1"]
+    res = c.search({"q": "*", "filter_by": "area:(40.0, -74.0)"})
+    assert res["found"] == 0
+
+
+def test_geopolygon_validation():
+    c = Collection("z2", [Field("area", "geopolygon")])
+    with pytest.raises(BadRequest):
+        c.add({"area": [1.0, 2.0]})          # too few points
+    with pytest.raises(BadRequest):
+        c.add({"area": [1.0, 2.0, 3.0]})     # odd count

@@ -388,7 +388,11 @@ def del_curation_set(server, req):
 # ---------------------------------------------------------------------------
 
 def get_health(server, req):
-    return {"ok": True}
+    repl = getattr(server, "replication", None)
+    if repl is None:
+        return {"ok": True}
+    ok, body = repl.health()
+    return (200 if ok else 503), body
 
 
 def get_debug(server, req):
@@ -396,7 +400,10 @@ def get_debug(server, req):
 
 
 def get_status(server, req):
-    return {"state": "LEADER", "committed_index": 0, "queued_writes": 0}
+    repl = getattr(server, "replication", None)
+    if repl is None:
+        return {"state": "LEADER", "committed_index": 0, "queued_writes": 0}
+    return repl.status()
 
 
 def get_stats(server, req):
@@ -418,6 +425,9 @@ def post_snapshot(server, req):
 
 
 def post_vote(server, req):
+    repl = getattr(server, "replication", None)
+    if repl is not None:
+        repl.refresh_leader()
     return {"success": True}
 
 
@@ -597,3 +607,22 @@ def put_personalization_model(server, req):
 
 def del_personalization_model(server, req):
     return server.pers_models.delete(req.params["id"])
+
+
+# ---------------------------------------------------------------------------
+# replication control plane
+# ---------------------------------------------------------------------------
+
+def get_replication_log(server, req):
+    repl = server.replication
+    if repl is None:
+        return {"ops": []}
+    return {"ops": repl.log_since(int(req.query.get("from", 0)))}
+
+
+def get_replication_status(server, req):
+    repl = server.replication
+    if repl is None:
+        return {"applied_seq": -1, "state": "LEADER"}
+    return {"applied_seq": repl.applied_seq, "state":
+            "LEADER" if repl.is_leader else "FOLLOWER"}

@@ -72,6 +72,7 @@ class HttpServer:
         self.executor = ThreadPoolExecutor(max_workers=num_threads)
         self.start_time = time.time()
         self.res_cache: dict = {}  # response LRU (core_api.cpp init_api cache)
+        self.replication = None    # ReplicationState when clustered
         self._register_routes()
 
     # ------------------------------------------------------------------
@@ -137,6 +138,9 @@ class HttpServer:
         r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
         r("POST", "/operations/vote", h.post_vote, "operations:vote")
         r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+        # replication control plane (raft_server.h equivalents)
+        r("GET", "/replication/log", h.get_replication_log, "public")
+        r("GET", "/replication/status", h.get_replication_status, "public")
         # conversation / nl search / personalization models
         r("POST", "/conversations/models", h.post_conversation_model, "conversations:create")
         r("GET", "/conversations/models", h.get_conversation_models, "conversations:list")
@@ -239,6 +243,57 @@ class HttpServer:
         finally:
             writer.close()
 
+
+    # ------------------------------------------------------------------
+    WRITE_EXEMPT = ("replication", "operations", "health", "status", "debug",
+                    "stats.json", "metrics.json", "multi_search")
+
+    def is_write_route(self, method: str, path: str) -> bool:
+        """Mutating data-plane routes that must replicate (is_write_request,
+        http_server.h:199). Search/multi_search GET/POSTs are reads."""
+        if method in ("GET", "HEAD"):
+            return False
+        head = path.strip("/").split("/", 1)[0]
+        if head in self.WRITE_EXEMPT:
+            return False
+        if path.rstrip("/").endswith("/documents/search"):
+            return False
+        return True
+
+    def forward_to_leader(self, req):
+        """Follower -> leader HTTP write forwarding (raft_server.cpp:387)."""
+        import urllib.parse
+        import urllib.request
+        host, port = self.replication.leader
+        qs = urllib.parse.urlencode(req.query)
+        url = f"http://{host}:{port}{req.path}" + (f"?{qs}" if qs else "")
+        fr = urllib.request.Request(url, data=req.body or None,
+                                    method=req.method, headers={
+                                        "X-TYPESENSE-API-KEY": req.api_key,
+                                        "Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(fr, timeout=30) as resp:
+                return resp.status, resp.read(), \
+                    resp.headers.get("content-type", "application/json")
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), \
+                e.headers.get("content-type", "application/json")
+
+    def apply_replicated(self, op: dict):
+        """Apply one replicated write locally (BatchedIndexer::run re-invoking
+        the route handler, batched_indexer.cpp:195-330)."""
+        handler, params, _action = self.match(op["method"], op["path"])
+        if handler is None:
+            return
+        req = Request(op["method"], op["path"], dict(op.get("query") or {}),
+                      {"x-ts-replicated": "1"},
+                      op.get("body", "").encode())
+        req.params = params or {}
+        try:
+            handler(self, req)
+        except TypesenseError:
+            pass  # deterministic rejections replay identically on every node
+
     async def dispatch(self, req: Request) -> tuple[int, bytes, str]:
         handler, params, action = self.match(req.method, req.path)
         if handler is None:
@@ -252,6 +307,23 @@ class HttpServer:
                                              getattr(req, "remote_ip", ""))):
             return 429, _json_bytes({"message": "Rate limit exceeded or blocked."}), \
                 "application/json"
+        # clustered writes: log on the leader / forward from followers
+        # (is_write_request routing, http_server.h:199 + raft_server.cpp:292)
+        repl = self.replication
+        if (repl is not None and self.is_write_route(req.method, req.path)
+                and "x-ts-replicated" not in req.headers):
+            if repl.is_leader:
+                repl.log_write({"method": req.method, "path": req.path,
+                                "query": req.query, "body":
+                                req.body.decode("utf-8", errors="replace")})
+            else:
+                try:
+                    return await asyncio.get_running_loop().run_in_executor(
+                        self.executor, self.forward_to_leader, req)
+                except Exception as e:  # noqa: BLE001 — leader unreachable
+                    return 503, _json_bytes(
+                        {"message": f"Could not reach leader: {e}"}), \
+                        "application/json"
         try:
             if action != "public":
                 colls = [params.get("collection")] if params and params.get("collection") else []
@@ -260,8 +332,15 @@ class HttpServer:
                     for k, v in embedded.items():
                         req.query.setdefault(k, v if isinstance(v, str) else json.dumps(v))
             loop = asyncio.get_running_loop()
+            t0 = time.monotonic()
             result = await loop.run_in_executor(
                 self.executor, handler, self, req)
+            metrics = getattr(self, "metrics", None)
+            if metrics is not None:
+                label = "search" if req.path.endswith("/documents/search") or \
+                    req.path == "/multi_search" else \
+                    ("write" if req.method not in ("GET", "HEAD") else "read")
+                metrics.record(label, (time.monotonic() - t0) * 1000)
             if isinstance(result, tuple):
                 status, obj = result
             else:

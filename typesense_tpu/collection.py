@@ -286,12 +286,19 @@ class Collection:
                 f.num_dim = emb.num_dim
                 f.type = ftypes.FLOAT_ARRAY
             src_fields = f.embed["from"]
-            todo_seqs, todo_texts = [], []
+            img_srcs = [sf for sf in src_fields
+                        if self.field_map.get(sf) is not None
+                        and self.field_map[sf].type == ftypes.IMAGE]
+            txt_srcs = [sf for sf in src_fields if sf not in img_srcs]
+            todo_seqs, todo_texts, todo_imgs = [], [], []
             for seq, doc in self.docs.items():
                 if isinstance(doc.get(f.name), list):
                     continue
+                if img_srcs and isinstance(doc.get(img_srcs[0]), str):
+                    todo_imgs.append((seq, doc[img_srcs[0]]))
+                    continue
                 parts = []
-                for sf in src_fields:
+                for sf in txt_srcs:
                     v = doc.get(sf)
                     if isinstance(v, list):
                         parts.extend(str(x) for x in v)
@@ -302,6 +309,22 @@ class Collection:
             if todo_seqs:
                 vecs = emb.embed_batch(todo_texts)
                 for seq, vec in zip(todo_seqs, vecs):
+                    self.docs[seq][f.name] = [float(x) for x in vec]
+            if todo_imgs:
+                # image docs embed through the CLIP-vision tower
+                # (image_embedder.h; same space as the text tower)
+                from typesense_tpu.models.embedder import EmbedderManager
+                mgr = self.manager.embedders if self.manager is not None \
+                    else _DEFAULT_EMBEDDERS
+                ienc = mgr.get_image((f.embed or {}).get("model_config", {}))
+                vecs = ienc.embed_images_base64([b for _, b in todo_imgs])
+                if vecs.shape[1] != f.num_dim:
+                    # pad/trim into the field's space (mismatched towers)
+                    out = np.zeros((len(vecs), f.num_dim), np.float32)
+                    d = min(f.num_dim, vecs.shape[1])
+                    out[:, :d] = vecs[:, :d]
+                    vecs = out
+                for (seq, _), vec in zip(todo_imgs, vecs):
                     self.docs[seq][f.name] = [float(x) for x in vec]
 
     def _ensure_index(self) -> IndexEngine:

@@ -74,6 +74,7 @@ class SegmentArrays:
     str_sort_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)  # (N,) int64 order-preserving rank
     vectors: dict[str, np.ndarray] = dc_field(default_factory=dict)        # (N, D) float32 (unit-normalized if cosine)
     geo_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)    # (N, 2) float32 lat,lng (NaN = missing)
+    geopoly_columns: dict[str, tuple[np.ndarray, np.ndarray]] = dc_field(default_factory=dict)  # ((N, Vmax, 2) f32, (N,) int32 vert counts)
 
     # host-only lookup structures
     term_to_id: dict[str, int] = dc_field(default_factory=dict)
@@ -105,6 +106,8 @@ class DeviceIndex(NamedTuple):
     str_sort_columns: tuple
     vectors: tuple              # aligned with vector_field_names
     geo_columns: tuple
+    geopoly_verts: tuple        # aligned with geopoly_field_names
+    geopoly_counts: tuple
 
 
 def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
@@ -123,6 +126,7 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
     str_sort_names = sorted(seg.str_sort_columns)
     vec_names = sorted(seg.vectors)
     geo_names = sorted(seg.geo_columns)
+    geopoly_names = sorted(seg.geopoly_columns)
 
     def multi_docs(name):
         offs, vals = seg.num_multi[name]
@@ -148,9 +152,12 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         str_sort_columns=tuple(put(seg.str_sort_columns[n]) for n in str_sort_names),
         vectors=tuple(put(seg.vectors[n]) for n in vec_names),
         geo_columns=tuple(put(seg.geo_columns[n]) for n in geo_names),
+        geopoly_verts=tuple(put(seg.geopoly_columns[n][0]) for n in geopoly_names),
+        geopoly_counts=tuple(put(seg.geopoly_columns[n][1]) for n in geopoly_names),
     )
     names = {
         "num": num_names, "multi": multi_names, "facet": facet_names,
         "str_sort": str_sort_names, "vec": vec_names, "geo": geo_names,
+        "geopoly": geopoly_names,
     }
     return dev, names

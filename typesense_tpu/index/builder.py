@@ -116,6 +116,7 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
     facet_fields = [f for f in fields if f.facet]
     vector_fields = [f for f in fields if f.is_vector]
     geo_fields = [f for f in fields if f.is_geo]
+    geopoly_fields = [f for f in fields if f.type == "geopolygon"]
     str_sort_fields = [f for f in fields if f.is_string and f.sort and not f.is_array]
 
     num_cols: dict[str, np.ndarray] = {}
@@ -133,6 +134,7 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
     geo_cols: dict[str, np.ndarray] = {
         f.name: np.full((num_docs, 2), np.nan, dtype=np.float32) for f in geo_fields
     }
+    geopoly_acc: dict[str, dict[int, list]] = {f.name: {} for f in geopoly_fields}
     value_index_acc: dict[str, dict[str, list[int]]] = {}
     for f in fields:
         if f.index and f.is_string and not f.is_vector:
@@ -229,6 +231,11 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             elif isinstance(v, dict) and "lat" in v:
                 geo_cols[f.name][seq_id] = [v["lat"], v["lng"]]
 
+        for f in geopoly_fields:
+            v = doc.get(f.name)
+            if isinstance(v, list) and len(v) >= 6 and len(v) % 2 == 0:
+                geopoly_acc[f.name][seq_id] = v
+
     if nb is not None:
         res = nb.finalize()
         T = res["num_terms"]
@@ -249,8 +256,8 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             docs, fields, num_docs, search_fields, T, term_chars, term_lens,
             term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
             positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
-            str_sort_acc, vec_acc, geo_cols, value_index_acc, new_ids,
-            numeric_multi, facet_fields, vector_fields)
+            str_sort_acc, vec_acc, geo_cols, geopoly_acc, value_index_acc,
+            new_ids, numeric_multi, facet_fields, vector_fields)
 
     # ---- term table (sorted lexicographically; remap ids) ----
     terms = sorted(term_ids)
@@ -329,16 +336,16 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
         docs, fields, num_docs, search_fields, T, term_chars, term_lens,
         term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
         positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
-        str_sort_acc, vec_acc, geo_cols, value_index_acc, new_ids,
-        numeric_multi, facet_fields, vector_fields)
+        str_sort_acc, vec_acc, geo_cols, geopoly_acc, value_index_acc,
+        new_ids, numeric_multi, facet_fields, vector_fields)
 
 
 def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
                       term_lens, term_doc_freq, post_offsets, post_doc_ids,
                       post_flags, pos_offsets, positions, live, ftc, num_cols,
                       multi_acc, facet_acc, facet_vals, str_sort_acc, vec_acc,
-                      geo_cols, value_index_acc, new_ids, numeric_multi,
-                      facet_fields, vector_fields) -> SegmentArrays:
+                      geo_cols, geopoly_acc, value_index_acc, new_ids,
+                      numeric_multi, facet_fields, vector_fields) -> SegmentArrays:
     # ---- columns ----
     num_multi = {}
     for f in numeric_multi:
@@ -382,6 +389,18 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
             mat = np.where(norms > 0, mat / np.maximum(norms, 1e-30), mat)
         vectors[f.name] = mat
 
+    geopoly_columns = {}
+    for name, per_doc in geopoly_acc.items():
+        vmax = max((len(v) // 2 for v in per_doc.values()), default=3)
+        vmax = min(vmax, 64)
+        verts = np.full((num_docs, vmax, 2), np.nan, dtype=np.float32)
+        counts = np.zeros(num_docs, dtype=np.int32)
+        for seq, flat in per_doc.items():
+            pts = np.asarray(flat, dtype=np.float32).reshape(-1, 2)[:vmax]
+            verts[seq, :len(pts)] = pts
+            counts[seq] = len(pts)
+        geopoly_columns[name] = (verts, counts)
+
     value_index = {
         fname: {v: np.asarray(sorted(set(ids)), dtype=np.int32)
                 for v, ids in vals.items()}
@@ -410,6 +429,7 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
         str_sort_columns=str_sort_columns,
         vectors=vectors,
         geo_columns=geo_cols,
+        geopoly_columns=geopoly_columns,
         term_to_id=new_ids,
         facet_value_to_id=facet_vals,
         value_index=value_index,

@@ -241,6 +241,13 @@ class EmbedderManager:
         self.models_dir = models_dir
         self._cache: dict[str, object] = {}
 
+    def get_image(self, model_config: dict) -> "ImageEncoder":
+        name = model_config.get("model_name", "ts/clip-vit-b-p32")
+        key = name + "#vision"
+        if key not in self._cache:
+            self._cache[key] = ImageEncoder(name)
+        return self._cache[key]
+
     def get(self, model_config: dict):
         name = model_config.get("model_name", "")
         if not name:
@@ -254,3 +261,107 @@ class EmbedderManager:
             emb = TextEncoder(name, self.models_dir)
         self._cache[name] = emb
         return emb
+
+
+# ---------------------------------------------------------------------------
+# image embedding (CLIP-vision equivalent — image_embedder.h)
+# ---------------------------------------------------------------------------
+
+IMG_SIZE = 64
+IMG_PATCH = 16
+N_PATCHES = (IMG_SIZE // IMG_PATCH) ** 2
+
+
+def _decode_image_base64(b64: str) -> np.ndarray:
+    """base64 -> (IMG_SIZE, IMG_SIZE, 3) float32 in [0,1] (image_processor.h
+    decode+resize; PIL replaces the reference's stb/ONNX preprocessing)."""
+    import base64
+    import io
+    from PIL import Image
+    raw = base64.b64decode(b64)
+    img = Image.open(io.BytesIO(raw)).convert("RGB").resize((IMG_SIZE, IMG_SIZE))
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _vit_forward(params, pixels, n_heads: int):
+    """(B, IMG_SIZE, IMG_SIZE, 3) -> (B, dim) f32 normalized. Patchify ->
+    linear projection -> the same transformer blocks as the text tower
+    (bf16 MXU matmuls) -> mean pool -> L2 normalize."""
+    B = pixels.shape[0]
+    p = IMG_PATCH
+    n = IMG_SIZE // p
+    x = pixels.reshape(B, n, p, n, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, n * n, p * p * 3).astype(jnp.bfloat16)
+    x = jnp.einsum("bld,de->ble", x, params["patch_proj"],
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    x = x + params["pos_emb"][None, :n * n]
+    ids = jnp.ones((B, n * n), jnp.int32)  # all patches valid
+    # reuse the text-tower block stack via a fake token mask
+    mask = ids != 0
+    neg = jnp.float32(-1e9)
+    attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg)
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        dim = h.shape[-1]
+        hd = dim // n_heads
+
+        def proj(w):
+            y = jnp.einsum("bld,de->ble", h, w,
+                           preferred_element_type=jnp.float32)
+            return y.reshape(B, n * n, n_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = proj(blk["wq"]), proj(blk["wk"]), proj(blk["wv"])
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(hd) + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v.astype(jnp.bfloat16))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, n * n, dim)
+        x = x + jnp.einsum("bld,de->ble", ctx, blk["wo"],
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        h2 = _layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        ff = jnp.einsum("bld,de->ble", h2, blk["w1"],
+                        preferred_element_type=jnp.float32)
+        ff = jax.nn.gelu(ff).astype(jnp.bfloat16)
+        ff = jnp.einsum("bld,de->ble", ff, blk["w2"],
+                        preferred_element_type=jnp.float32)
+        x = x + ff.astype(x.dtype)
+    pooled = jnp.mean(x.astype(jnp.float32), axis=1)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+class ImageEncoder:
+    """CLIP-vision-equivalent tower sharing the embedding space convention
+    with TextEncoder (same model name -> same dim)."""
+
+    def __init__(self, model_name: str = "ts/clip-vit-b-p32"):
+        spec = BUILTIN_MODELS.get(model_name, (512, 6, 8, 4))
+        dim, layers, heads, ff_mult = spec
+        self.model_name = model_name
+        self.num_dim = dim
+        self.n_heads = heads
+        seed = (_stable_hash(model_name + "#vision")) & 0x7FFFFFFF
+        rng = np.random.default_rng(seed)
+        base = _init_params(model_name, dim, layers, heads, ff_mult)
+        base["patch_proj"] = jnp.asarray(
+            rng.standard_normal((IMG_PATCH * IMG_PATCH * 3, dim))
+            .astype(np.float32) / np.sqrt(IMG_PATCH * IMG_PATCH * 3),
+            jnp.bfloat16)
+        base["pos_emb"] = jnp.asarray(
+            rng.standard_normal((N_PATCHES, dim)).astype(np.float32) * 0.02,
+            jnp.bfloat16)
+        self.params = base
+        self._fwd = jax.jit(partial(_vit_forward, n_heads=heads))
+
+    def embed_images_base64(self, images_b64: list[str],
+                            batch_size: int = 16) -> np.ndarray:
+        out = np.zeros((len(images_b64), self.num_dim), np.float32)
+        for i in range(0, len(images_b64), batch_size):
+            chunk = images_b64[i:i + batch_size]
+            px = np.stack([_decode_image_base64(b) for b in chunk])
+            if len(chunk) < batch_size:
+                px = np.concatenate([px, np.zeros(
+                    (batch_size - len(chunk), IMG_SIZE, IMG_SIZE, 3),
+                    np.float32)])
+            emb = np.asarray(self._fwd(self.params, jnp.asarray(px)))
+            out[i:i + len(chunk)] = emb[:len(chunk)]
+        return out

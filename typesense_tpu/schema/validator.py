@@ -127,6 +127,13 @@ def validate_document(doc: dict, fields: list[Field],
             doc[f.name] = [float(x) for x in v]
             continue
 
+        if f.type == ftypes.GEOPOLYGON:
+            if not (isinstance(v, list) and len(v) >= 6 and len(v) % 2 == 0
+                    and all(isinstance(x, (int, float)) and not isinstance(x, bool)
+                            for x in v)):
+                raise _type_error(f, "a flat array of at least 3 lat,lng pairs")
+            doc[f.name] = [float(x) for x in v]
+            continue
         if f.type == ftypes.GEOPOINT:
             doc[f.name] = _validate_geopoint(f, v)
             continue

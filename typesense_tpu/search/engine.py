@@ -20,12 +20,14 @@ from typesense_tpu.core.errors import BadRequest
 from typesense_tpu.index.artifacts import SegmentArrays, to_device
 from typesense_tpu.schema.field import Field
 from typesense_tpu.search import kernels
-from typesense_tpu.utils.buckets import bucket
+from typesense_tpu.utils.buckets import bucket, bucket4
 
 MAX_QUERY_TOKENS = 10   # proximity window is capped at WINDOW_SIZE anyway
 MAX_POS_PER_POSTING = 16
 TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
-SCORE_CHUNK_MAX = 2048
+SCORE_CHUNK_MAX = 8192
+SCORE_CHUNK_WIDE = 32768
+PROBE_MAX_DRIVER = 4096
 
 
 @jax.jit
@@ -92,6 +94,7 @@ class IndexEngine:
         self._facet_idx = {n: i for i, n in enumerate(self.names["facet"])}
         self._vec_idx = {n: i for i, n in enumerate(self.names["vec"])}
         self._geo_idx = {n: i for i, n in enumerate(self.names["geo"])}
+        self._geopoly_idx = {n: i for i, n in enumerate(self.names["geopoly"])}
 
         # sort-ready int64 device columns
         self._sort_cols: dict[str, jax.Array] = {}
@@ -153,7 +156,7 @@ class IndexEngine:
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
 
         Q = max(Qn, 1)
-        C = bucket(max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
+        C = bucket4(max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
 
         cand_rows = np.full((Q, Fq, C), -1, dtype=np.int64)
         cand_costs = np.full((Q, C), 255, dtype=np.int32)
@@ -186,20 +189,70 @@ class IndexEngine:
             # driver token matches nothing anywhere -> no results (AND semantics)
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
 
-        drv_rows = [(cand_starts[drv, f, c], cand_ends[drv, f, c])
-                    for f in range(Fq) for c in range(C)
-                    if cand_ends[drv, f, c] > cand_starts[drv, f, c]]
-        FCD = bucket(len(drv_rows), lo=1, hi=256)
-        drv_starts = np.zeros(FCD, dtype=np.int32)
-        drv_ends = np.zeros(FCD, dtype=np.int32)
-        for i, (s, e) in enumerate(drv_rows):
-            drv_starts[i], drv_ends[i] = s, e
-        D = bucket(int(max((e - s for s, e in drv_rows), default=1)), lo=8)
-        S = min(D, SCORE_CHUNK_MAX)
-        # keep chunk small enough that (S, Q*P, Q, P) proximity temps fit VMEM-ish
-        while S > 256 and S * (Q * MAX_POS_PER_POSTING) ** 2 * 4 > 1 << 28:
+        # driver rows stream through fixed-size chunks with a DYNAMIC trip
+        # count — posting-list length never enters the compile signature.
+        # Two chunk tiers only: small queries (rare driver token) take the
+        # narrow program, everything else the wide one.
+        max_row = int(row_lens[drv].max())
+        if max_row <= 256:
+            S = 256
+        elif max_row <= 2 * SCORE_CHUNK_MAX:
+            S = SCORE_CHUNK_MAX
+        else:
+            S = SCORE_CHUNK_WIDE   # huge posting lists: amortize the per-
+            # chunk top-k sort + loop overhead over a much wider chunk
+        # cap the (S, Q, P) position-gather temp (per field) to ~64 MB
+        while S > 1024 and S * Q * MAX_POS_PER_POSTING * 8 > 1 << 26:
             S //= 2
+        chunk_starts: list[int] = []
+        chunk_lens: list[int] = []
+        chunk_rows: list[int] = []
+        for f in range(Fq):
+            for c in range(C):
+                s, e = int(cand_starts[drv, f, c]), int(cand_ends[drv, f, c])
+                for off in range(s, e, S):
+                    chunk_starts.append(off)
+                    chunk_lens.append(min(S, e - off))
+                    chunk_rows.append(f * C + c)
+        n_chunks = len(chunk_starts)
+        CB = bucket4(max(n_chunks, 1), lo=64, hi=1 << 22)
+        pad = CB - n_chunks
+        ch_starts = np.asarray(chunk_starts + [0] * pad, dtype=np.int64)
+        ch_lens = np.asarray(chunk_lens + [0] * pad, dtype=np.int64)
+        ch_rows = np.asarray(chunk_rows + [0] * pad, dtype=np.int64)
+
+        # strategy: small drivers take the probe kernel (binary-search
+        # membership — O(drv * QFC * log P) random gathers); large drivers
+        # take the scatter-plane kernel (O(total postings) sequential)
+        drv_total = int(row_lens[drv].sum())
+        use_probe = drv_total <= PROBE_MAX_DRIVER
+
+        # scatter chunks: EVERY (token, field, cand) row, descending candidate
+        # order so the lowest (best) candidate wins each dense-plane cell
+        s_starts: list[int] = []
+        s_lens: list[int] = []
+        s_qf: list[int] = []
+        s_c: list[int] = []
+        for c in range(C - 1, -1, -1):
+            for q in range(Q):
+                for f in range(Fq):
+                    s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
+                    if e0 <= s0 or cand_costs[q, c] >= 255:
+                        continue
+                    for off in range(s0, e0, S):
+                        s_starts.append(off)
+                        s_lens.append(min(S, e0 - off))
+                        s_qf.append(q * Fq + f)
+                        s_c.append(c)
+        n_sc = len(s_starts)
+        SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
+        spad = SCB - n_sc
+        sc_starts = np.asarray(s_starts + [0] * spad, dtype=np.int64)
+        sc_lens = np.asarray(s_lens + [0] * spad, dtype=np.int64)
+        sc_qf = np.asarray(s_qf + [0] * spad, dtype=np.int64)
+        sc_c = np.asarray(s_c + [0] * spad, dtype=np.int64)
         K = bucket(k, lo=16, hi=1 << 14)
+        del spad
 
         slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
         facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
@@ -208,22 +261,36 @@ class IndexEngine:
         f_caps = tuple(self._facet_caps[f] for f in facet_fields)
         f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
 
-        kern = kernels.build_keyword_kernel(
-            Q, Fq, C, FCD, D, S, K, MAX_POS_PER_POSTING, self._iters,
-            tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-            prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-            tuple(phrase_pairs), tuple(exclude_flags))
+        if use_probe:
+            kern = kernels.build_probe_kernel(
+                Q, Fq, C, CB, S, K, MAX_POS_PER_POSTING, self._iters,
+                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                tuple(phrase_pairs), tuple(exclude_flags))
+        else:
+            kern = kernels.build_keyword_kernel(
+                Q, Fq, C, SCB, CB, S, K, MAX_POS_PER_POSTING, self._iters,
+                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                tuple(phrase_pairs), tuple(exclude_flags))
 
         fmask = filter_mask if filter_mask is not None else self._live
         weights = np.zeros(Fq, dtype=np.int64)
         weights[:len(field_weights)] = field_weights[:Fq]
 
-        qbuf = kernels.pack_query_buf(drv_starts.astype(np.int64),
-                                      drv_ends.astype(np.int64),
-                                      cand_starts.astype(np.int64),
-                                      cand_ends.astype(np.int64),
-                                      cand_costs.astype(np.int64),
-                                      token_valid, weights)
+        if use_probe:
+            qbuf = kernels.pack_probe_buf(ch_starts, ch_lens, ch_rows,
+                                          n_chunks, drv,
+                                          cand_starts.astype(np.int64),
+                                          cand_ends.astype(np.int64),
+                                          cand_costs.astype(np.int64),
+                                          token_valid, weights)
+        else:
+            qbuf = kernels.pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c,
+                                          n_sc, ch_starts, ch_lens, ch_rows,
+                                          n_chunks, drv,
+                                          cand_costs.astype(np.int64),
+                                          token_valid, weights)
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
                    self.dev.positions, self.dev.field_token_counts, fmask,
                    jnp.asarray(qbuf), cols[0], cols[1], cols[2],

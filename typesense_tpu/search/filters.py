@@ -216,6 +216,8 @@ class DeviceFilterEvaluator:
                              f"`{node.field_name}` in the schema.")
         eng = self.engine
         N = self.seg.num_docs
+        if f.type == "geopolygon":
+            return self._eval_geopoly(node, f)
         if f.is_geo:
             return self._eval_geo(node, f)
         if f.is_numeric or f.is_bool:
@@ -283,6 +285,25 @@ class DeviceFilterEvaluator:
         poly = np.array(coords, dtype=np.float32).reshape(-1, 2)
         return _geo_polygon_mask(col, jnp.asarray(poly))
 
+    def _eval_geopoly(self, node: LeafNode, f: Field):
+        """`polyfield:(lat, lng)` -> docs whose stored polygon contains the
+        point (GeoPolygonIndex::findContainingPolygonsRecords,
+        geopolygon_index.h:15-28) — one jitted ray-cast over all docs."""
+        import jax.numpy as jnp
+        eng = self.engine
+        gi = eng._geopoly_idx.get(f.name)
+        if gi is None:
+            return jnp.zeros(self.seg.num_docs, bool)
+        raw = node.values[0].strip()
+        inner = raw[1:-1] if raw.startswith("(") and raw.endswith(")") else raw
+        parts = [p.strip() for p in inner.split(",")]
+        if len(parts) != 2:
+            raise BadRequest(f"Geopolygon filter on `{f.name}` expects (lat, lng).")
+        return _point_in_polys_mask(eng.dev.geopoly_verts[gi],
+                                    eng.dev.geopoly_counts[gi],
+                                    jnp.float32(float(parts[0])),
+                                    jnp.float32(float(parts[1])))
+
 
 def _geo_radius_mask_impl(col, lat, lng, radius_m):
     import jax.numpy as jnp
@@ -316,6 +337,27 @@ def _geo_polygon_mask_impl(col, poly):
     return inside & ~jnp.isnan(col[:, 0])
 
 
+def _point_in_polys_impl(verts, counts, lat, lng):
+    """verts (N, V, 2) [lat,lng]; counts (N,). Ray cast the query point
+    against every doc's polygon in one vectorized pass."""
+    import jax.numpy as jnp
+    N, V, _ = verts.shape
+    yi = verts[:, :, 0]
+    xi = verts[:, :, 1]
+    idx = jnp.arange(V)
+    cnt = counts[:, None]
+    prev = jnp.where(idx[None, :] == 0, cnt - 1, idx[None, :] - 1)
+    prev = jnp.clip(prev, 0, V - 1)
+    yj = jnp.take_along_axis(yi, prev, axis=1)
+    xj = jnp.take_along_axis(xi, prev, axis=1)
+    valid = idx[None, :] < cnt
+    denom = jnp.where(yj - yi == 0, jnp.float32(1e-12), yj - yi)
+    cond = (((yi > lat) != (yj > lat)) &
+            (lng < (xj - xi) * (lat - yi) / denom + xi) & valid)
+    crossings = jnp.sum(cond, axis=1)
+    return (crossings % 2 == 1) & (counts >= 3)
+
+
 def _jit_lazy(fn):
     """jax.jit at first call (jax import stays inside functions here)."""
     box = {}
@@ -330,6 +372,7 @@ def _jit_lazy(fn):
 
 _geo_radius_mask = _jit_lazy(_geo_radius_mask_impl)
 _geo_polygon_mask = _jit_lazy(_geo_polygon_mask_impl)
+_point_in_polys_mask = _jit_lazy(_point_in_polys_impl)
 
 
 def _cmp_jnp(col, op: str, v: list):

@@ -80,35 +80,170 @@ def topk_merge(keys0, keys1, keys2, doc_ids, valid, k: int):
     return -s0[:k], -s1[:k], -s2[:k], out_ids
 
 
-def pack_query_buf(drv_starts, drv_ends, cand_starts, cand_ends, cand_costs,
-                   token_valid, field_weights):
+def pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
+                   chunk_starts, chunk_lens, chunk_rows, n_chunks, drv,
+                   cand_costs, token_valid, field_weights):
     """Single host->device upload per query: the tunnel charges per transfer,
     so every small per-query array rides in one int64 buffer."""
     import numpy as np
     return np.concatenate([
-        drv_starts.ravel(), drv_ends.ravel(), cand_starts.ravel(),
-        cand_ends.ravel(), cand_costs.ravel(),
+        sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
+        np.array([n_sc], dtype=np.int64),
+        chunk_starts.ravel(), chunk_lens.ravel(), chunk_rows.ravel(),
+        np.array([n_chunks, drv], dtype=np.int64),
+        cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
     ]).astype(np.int64)
 
 
+def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
+                     post_flags, pos_offsets, positions, field_token_counts,
+                     field_weights, sort_col0, sort_col1, sort_col2,
+                     facet_offs, facet_vals,
+                     Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
+                     prioritize_num_fields, n_facets, facet_caps, facet_sizes,
+                     phrase_pairs):
+    """Shared per-chunk scoring tail: proximity Match + packed text score,
+    3-slot sort keys, running top-K merge, facet scatter-add (used by both
+    the scatter-plane and probe kernels)."""
+    query_len = jnp.sum(ta & tv, axis=0).astype(jnp.int32)  # (S,)
+    dsafe = jnp.clip(d, 0, field_token_counts.shape[0] - 1)
+
+    best_score = jnp.zeros(S, jnp.int64)
+    best_weight = jnp.zeros(S, jnp.int64)
+    phrase_ok = jnp.zeros(S, bool) if phrase_pairs else None
+    single_token = Q == 1 and not phrase_pairs
+    for f in range(F):
+        mf = tok_field[:, f, :]                               # (Q, S) token in field
+        gp = jnp.clip(sp[:, f, :], 0, pos_offsets.shape[0] - 2)
+        base = pos_offsets[gp]                         # (Q, S) int64
+        cnt = pos_offsets[gp + 1] - base
+        cnt = jnp.where(mf, cnt, 0)
+        if single_token:
+            # one query token: proximity is degenerate (wp=1, dist=0,
+            # match_score.h single-token path) — skip the position
+            # gather entirely, the chunk's HBM hot spot
+            wp = jnp.ones(S, jnp.int32)
+            dist = jnp.zeros(S, jnp.int32)
+        else:
+            # positions (S, Q, P)
+            pidx2 = base[:, :, None] + jnp.arange(P, dtype=jnp.int64)[None, None, :]
+            pvalid = jnp.arange(P)[None, None, :] < cnt[:, :, None]
+            psafe = jnp.clip(pidx2, 0, positions.shape[0] - 1)
+            pos = jnp.where(pvalid, positions[psafe], 0)
+            pos = jnp.transpose(pos, (1, 0, 2))        # (S, Q, P)
+            pv = jnp.transpose(pvalid, (1, 0, 2))
+            wp, dist, moff = match_components(pos, pv, jnp.transpose(mf))
+
+        if phrase_pairs:
+            # adjacency within this field: token j at position i+1
+            ok_f = jnp.ones(S, bool)
+            for (pi, pj) in phrase_pairs:
+                a = jnp.where(pv[:, pi, :], pos[:, pi, :], -10)
+                bpos = jnp.where(pv[:, pj, :], pos[:, pj, :], -20)
+                adj = jnp.any(bpos[:, None, :] == a[:, :, None] + 1,
+                              axis=(1, 2))
+                ok_f = ok_f & adj
+            phrase_ok = phrase_ok | ok_f
+
+        uw = jnp.sum(mf, axis=0).astype(jnp.int32)     # (S,) unique words
+        single = uw <= 1
+        wp = jnp.where(single, 1, wp)
+        dist = jnp.where(single, 0, dist)
+
+        # exact match (match_score.h:242-274)
+        flags = post_flags[jnp.clip(sp[:, f, :], 0, post_flags.shape[0] - 1)]
+        has_last = jnp.any((flags & 1).astype(bool) & mf, axis=0)  # (S,)
+        total_off = jnp.sum(jnp.where(mf, cnt, 0), axis=0).astype(jnp.int32)
+        ftc = field_token_counts[dsafe, f]
+        if prioritize_exact:
+            exact_multi = (has_last & (ftc == uw) &
+                           (((total_off == uw) & (dist == uw - 1)) | (dist < uw - 1)))
+            exact_single = (has_last & (ftc == 1) & (tc == 0) &
+                            (jnp.sum(tv) == 1))
+            exact = jnp.where(single, exact_single, exact_multi).astype(jnp.int32)
+        else:
+            exact = jnp.zeros(S, jnp.int32)
+
+        fs = pack_field_score(wp, uw, tc, dist, exact,
+                              jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32))
+        fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
+        better = fs > best_score
+        best_weight = jnp.where(better, field_weights[f].astype(jnp.int64), best_weight)
+        best_score = jnp.maximum(best_score, fs)
+
+    if prioritize_num_fields:
+        nmf = jnp.sum(jnp.any(tok_field, axis=0), axis=0).astype(jnp.int32)
+    else:
+        nmf = jnp.zeros(S, jnp.int32)
+    ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
+    text_match = pack_aggregated_score(ql, best_score, best_weight, nmf)
+
+    if phrase_pairs:
+        m = m & phrase_ok
+
+    k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0)
+    k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1)
+    k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2)
+
+    t0, t1, t2, tid = topk_merge(k0, k1, k2, d, m, K)
+    r0, r1, r2, rid, fnd, f_acc = carry
+    fnd = fnd + jnp.sum(m, dtype=jnp.int64)
+    mk0 = jnp.concatenate([r0, t0])
+    mk1 = jnp.concatenate([r1, t1])
+    mk2 = jnp.concatenate([r2, t2])
+    mid = jnp.concatenate([rid, tid])
+    r0, r1, r2, rid = topk_merge(mk0, mk1, mk2, mid, mid >= 0, K)
+
+    # facet counting over the chunk's matched docs
+    new_f = []
+    for fa in range(n_facets):
+        offs, vals = facet_offs[fa], facet_vals[fa]
+        cap = facet_caps[fa]
+        fb = offs[dsafe]
+        fcnt = offs[dsafe + 1] - fb
+        vidx = fb[:, None] + jnp.arange(cap, dtype=jnp.int64)[None, :]
+        vv = (jnp.arange(cap)[None, :] < fcnt[:, None]) & m[:, None]
+        vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
+        fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
+        upd = f_acc[fa].at[fv.reshape(-1)].add(
+            vv.reshape(-1).astype(jnp.int32), mode="drop")
+        new_f.append(upd)
+    return (r0, r1, r2, rid, fnd, tuple(new_f))
+
+
 @lru_cache(maxsize=512)
-def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
+def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
                          K: int, P: int, iters: int, slot_kinds: tuple,
                          slot_signs: tuple, prioritize_exact: bool,
                          prioritize_num_fields: bool, n_facets: int,
                          facet_caps: tuple, facet_sizes: tuple,
                          phrase_pairs: tuple = (), exclude_flags: tuple = ()):
-    """Compile-cached keyword search kernel factory.
+    """Compile-cached keyword search kernel factory — scatter + dynamic scan.
 
-    Q: query token bucket; F: searched fields; C: candidates/token bucket;
-    FCD: number of driver slices (<= F*C); D: per-slice driver bucket;
-    S: scoring chunk; K: top-k size; P: positions cap per posting;
-    iters: binary search depth; slot_*: 3 sort slots.
+    Two phases inside ONE XLA program, both with DYNAMIC trip counts so a
+    single compiled program serves every posting-list length:
+
+      1. SCATTER: every (token, field, candidate) posting row streams through
+         fixed-size chunks and scatters (candidate_id+1, posting_idx) into
+         dense (Q*F, N) membership planes — sequential reads + one random
+         write per posting. This replaces per-driver-element binary search
+         (the old or_iterator-style probe cost O(drv_len * QFC * log P)
+         random gathers; the planes cost O(total postings) writes).
+         Rows scatter in DESCENDING candidate order so the lowest (best
+         typo-cost) candidate wins each cell.
+      2. DRIVER SCAN: the driver token's rows stream through (S,) chunks;
+         membership/cost/position lookups are single plane gathers; docs are
+         deduped by ownership (first driver (field, cand) row containing the
+         doc, derived from the planes); proximity scoring, filter mask,
+         3-slot sort keys, running top-K merge, facet scatter-add.
+
+    Q: query token count; F: searched fields; C: candidate bucket;
+    SCB/CB: scatter/driver chunk-descriptor pads (tiny ints, loop never
+    visits padding); S: chunk size; K: top-k; P: positions cap.
     phrase_pairs: static (i, j) token index pairs that must be adjacent in
-    the same field value (do_phrase_search, index.cpp:5909 — adjacency over
-    posting offsets). exclude_flags: per-token `-token` negation
-    (q_exclude_tokens, collection.cpp:4544).
+    the same field value (do_phrase_search, index.cpp:5909). exclude_flags:
+    per-token `-token` negation (collection.cpp:4544).
 
     All outputs pack into ONE int64 array [ids K | k0 K | k1 K | k2 K |
     found | facet counts...] — one device->host readback per query.
@@ -123,168 +258,216 @@ def build_keyword_kernel(Q: int, F: int, C: int, FCD: int, D: int, S: int,
                facet_offs, facet_vals):        # tuples of facet CSR arrays
         # unpack qbuf (layout mirrors pack_query_buf)
         o = 0
-        drv_starts = qbuf[o:o + FCD].astype(jnp.int32); o += FCD
-        drv_ends = qbuf[o:o + FCD].astype(jnp.int32); o += FCD
+        sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_qf = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        n_sc = qbuf[o].astype(jnp.int32); o += 1
+        chunk_starts = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        chunk_lens = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        chunk_rows = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        n_chunks = qbuf[o].astype(jnp.int32); o += 1
+        drv = qbuf[o].astype(jnp.int32); o += 1
+        cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32); o += Q * C
+        token_valid = qbuf[o:o + Q].astype(bool); o += Q
+        field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
+
+        N = filter_mask.shape[0]
+        excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
+        tv = token_valid[:, None] & ~excl                      # include tokens
+        tve = token_valid[:, None] & excl                      # exclude tokens
+
+        # ---- phase 1: scatter membership planes ----
+        def scatter_chunk(i, st):
+            dc, dp = st
+            base = sc_starts[i]
+            ln = sc_lens[i]
+            qf = sc_qf[i]
+            c = sc_c[i]
+            idx = base + jnp.arange(S, dtype=jnp.int32)
+            valid = jnp.arange(S) < ln
+            docs = jnp.where(valid,
+                             post_doc_ids[jnp.clip(idx, 0,
+                                                   post_doc_ids.shape[0] - 1)],
+                             jnp.int32(N))   # out of range -> dropped
+            qf_vec = jnp.full((S,), qf, jnp.int32)
+            dc = dc.at[qf_vec, docs].set((c + 1).astype(jnp.int32), mode="drop")
+            dp = dp.at[qf_vec, docs].set(idx, mode="drop")
+            return dc, dp
+
+        dense_cand = jnp.zeros((Q * F, N), jnp.int32)
+        dense_pidx = jnp.zeros((Q * F, N), jnp.int32)
+        dense_cand, dense_pidx = lax.fori_loop(
+            0, n_sc, scatter_chunk, (dense_cand, dense_pidx))
+
+        # ---- phase 2: driver scan ----
+        def score_chunk(chunk_i, carry):
+            cbase = chunk_starts[chunk_i]
+            ln = chunk_lens[chunk_i]
+            row_fc = chunk_rows[chunk_i]
+            idx = cbase + jnp.arange(S, dtype=jnp.int32)
+            in_range = jnp.arange(S) < ln
+            d = jnp.where(in_range,
+                          post_doc_ids[jnp.clip(idx, 0,
+                                                post_doc_ids.shape[0] - 1)], 0)
+
+            cand_id = dense_cand[:, d].reshape(Q, F, S)        # (Q, F, S)
+            pidx = dense_pidx[:, d].reshape(Q, F, S)
+            tok_field = cand_id > 0                            # (Q, F, S)
+            tok_any = jnp.any(tok_field, axis=1)               # (Q, S)
+            all_match = (jnp.all(tok_any | ~tv, axis=0)
+                         & jnp.any(tok_any & tv, axis=0)
+                         & ~jnp.any(tok_any & tve, axis=0))
+            tok_field = tok_field & ~excl[:, :, None]
+
+            # ownership: first driver (field, cand) row containing d
+            zero = jnp.int32(0)
+            drv_cand = lax.dynamic_slice(cand_id, (drv, zero, zero),
+                                         (1, F, S))[0]         # (F, S)
+            has_f = drv_cand > 0
+            first_f = jnp.argmax(has_f, axis=0).astype(jnp.int32)  # (S,)
+            f_of_row = row_fc // C
+            c_of_row = row_fc % C
+            c_sel = lax.dynamic_slice(drv_cand, (f_of_row, zero), (1, S))[0]
+            own = (first_f == f_of_row) & (c_sel == c_of_row + 1)
+
+            fmask = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
+            m = all_match & in_range & own & fmask
+
+            # typo cost of the selected (lowest) candidate per (token, field)
+            cc = cand_costs[jnp.arange(Q)[:, None, None],
+                            jnp.clip(cand_id - 1, 0, C - 1)]   # (Q, F, S)
+            cc = jnp.where(tok_field, cc, 255)
+            min_cost_q = jnp.min(cc, axis=1)                   # (Q, S)
+            tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
+
+            sp = pidx                                          # (Q, F, S)
+            tf = tok_field
+            ta = tok_any
+
+            return _score_and_merge(
+                carry, d, m, tc, tf, ta, sp, tv,
+                post_flags, pos_offsets, positions, field_token_counts,
+                field_weights, sort_col0, sort_col1, sort_col2,
+                facet_offs, facet_vals,
+                Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
+                prioritize_num_fields, n_facets, facet_caps, facet_sizes,
+                phrase_pairs)
+
+        init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
+        init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
+                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
+                jnp.int64(0), init_f)
+        r0, r1, r2, rid, found_count, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
+        out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
+        out.extend(f.astype(jnp.int64) for f in f_acc)
+        return jnp.concatenate(out)
+
+    return kernel
+
+
+def pack_probe_buf(chunk_starts, chunk_lens, chunk_rows, n_chunks, drv,
+                   cand_starts, cand_ends, cand_costs, token_valid,
+                   field_weights):
+    """Query buffer for the probe-path kernel (small drivers)."""
+    import numpy as np
+    return np.concatenate([
+        chunk_starts.ravel(), chunk_lens.ravel(), chunk_rows.ravel(),
+        np.array([n_chunks, drv], dtype=np.int64),
+        cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
+        token_valid.astype(np.int64).ravel(), field_weights.ravel(),
+    ]).astype(np.int64)
+
+
+@lru_cache(maxsize=512)
+def build_probe_kernel(Q: int, F: int, C: int, CB: int, S: int,
+                       K: int, P: int, iters: int, slot_kinds: tuple,
+                       slot_signs: tuple, prioritize_exact: bool,
+                       prioritize_num_fields: bool, n_facets: int,
+                       facet_caps: tuple, facet_sizes: tuple,
+                       phrase_pairs: tuple = (), exclude_flags: tuple = ()):
+    """Probe-path kernel for SMALL drivers: per-driver-element binary-search
+    membership (the or_iterator-style intersect, or_iterator.h:61-182). For a
+    rare driver token the probe count (drv_len * QFC * log P random gathers)
+    is tiny and beats the scatter planes, which would scan every candidate
+    row in full. Large drivers take build_keyword_kernel (scatter planes)."""
+    exclude = tuple(bool(x) for x in exclude_flags) + (False,) * (Q - len(exclude_flags))
+
+    @jax.jit
+    def kernel(post_doc_ids, post_flags, pos_offsets, positions,
+               field_token_counts, filter_mask, qbuf,
+               sort_col0, sort_col1, sort_col2, facet_offs, facet_vals):
+        o = 0
+        chunk_starts = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        chunk_lens = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        chunk_rows = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        n_chunks = qbuf[o].astype(jnp.int32); o += 1
+        drv = qbuf[o].astype(jnp.int32); o += 1
         cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32); o += Q * F * C
         cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32); o += Q * F * C
         cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32); o += Q * C
         token_valid = qbuf[o:o + Q].astype(bool); o += Q
         field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
-        # ---- 1. driver union ----
-        sl = jax.vmap(lambda s: gather_slice(post_doc_ids, s, D, fill=INT32_INF))(
-            drv_starts)
-        drv_docs, _ = sl
-        idxs = drv_starts[:, None] + jnp.arange(D, dtype=jnp.int32)[None, :]
-        in_range = idxs < drv_ends[:, None]
-        docs = jnp.where(in_range, drv_docs, INT32_INF).reshape(-1)   # (A,)
-        docs = jnp.sort(docs)
-        A = docs.shape[0]
-        prev = jnp.concatenate([jnp.array([-1], jnp.int32), docs[:-1]])
-        uniq = (docs != prev) & (docs < INT32_INF)
 
-        # ---- 2. membership probes: (Q*F*C, A) ----
+        excl = jnp.asarray(exclude, bool)[:, None]
+        tv = token_valid[:, None] & ~excl
+        tve = token_valid[:, None] & excl
         cs = cand_starts.reshape(-1, 1)
         ce = cand_ends.reshape(-1, 1)
-        x = docs[None, :]
-        pidx = lower_bound(post_doc_ids, jnp.broadcast_to(cs, (Q * F * C, A)),
-                           jnp.broadcast_to(ce, (Q * F * C, A)), x, iters)
-        safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
-        found = (pidx < ce) & (post_doc_ids[safe] == x)        # (QFC, A)
-        found = found.reshape(Q, F, C, A)
-        pidx = pidx.reshape(Q, F, C, A)
-
-        cvalid = (cand_costs < 255)[:, None, :, None]          # (Q, 1, C, 1)
-        found = found & cvalid
-        tok_field = jnp.any(found, axis=2)                     # (Q, F, A)
-        tok_any = jnp.any(tok_field, axis=1)                   # (Q, A)
-        excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
-        tv = token_valid[:, None] & ~excl                      # include tokens
-        tve = token_valid[:, None] & excl                      # exclude tokens
-        all_match = (jnp.all(tok_any | ~tv, axis=0)
-                     & jnp.any(tok_any & tv, axis=0)
-                     & ~jnp.any(tok_any & tve, axis=0))
-        tok_field = tok_field & ~excl[:, :, None]
-
-        fmask = filter_mask[jnp.clip(docs, 0, filter_mask.shape[0] - 1)]
-        matched = all_match & uniq & fmask
-
-        # min typo cost per (token, doc) over all (field, cand) matches
-        cost_qc = jnp.where(found, cand_costs[:, None, :, None].astype(jnp.int32), 255)
-        min_cost_q = jnp.min(cost_qc, axis=(1, 2))             # (Q, A)
-        total_cost = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)  # (A,)
-
-        # first matched candidate per (q, f): for positions gather
-        first_c = jnp.argmax(found, axis=2)                    # (Q, F, A)
-        sel_pidx = jnp.take_along_axis(pidx, first_c[:, :, None, :], axis=2)[:, :, 0, :]
-
-        # ---- 3. chunked scoring ----
-        n_chunks = A // S
+        cvalid = (cand_costs < 255)[:, None, :, None]
 
         def score_chunk(chunk_i, carry):
-            sl0 = chunk_i * S
-            d = lax.dynamic_slice(docs, (sl0,), (S,))
-            m = lax.dynamic_slice(matched, (sl0,), (S,))
-            tc = lax.dynamic_slice(total_cost, (sl0,), (S,))
-            tf = lax.dynamic_slice(tok_field, (0, 0, sl0), (Q, F, S))
-            sp = lax.dynamic_slice(sel_pidx, (0, 0, sl0), (Q, F, S))
-            ta = lax.dynamic_slice(tok_any, (0, sl0), (Q, S))
+            cbase = chunk_starts[chunk_i]
+            ln = chunk_lens[chunk_i]
+            row_fc = chunk_rows[chunk_i]
+            idx = cbase + jnp.arange(S, dtype=jnp.int32)
+            in_range = jnp.arange(S) < ln
+            d = jnp.where(in_range,
+                          post_doc_ids[jnp.clip(idx, 0,
+                                                post_doc_ids.shape[0] - 1)],
+                          INT32_INF)
 
-            query_len = jnp.sum(ta & tv, axis=0).astype(jnp.int32)  # (S,)
-            dsafe = jnp.clip(d, 0, field_token_counts.shape[0] - 1)
+            x = d[None, :]
+            pidx = lower_bound(post_doc_ids,
+                               jnp.broadcast_to(cs, (Q * F * C, S)),
+                               jnp.broadcast_to(ce, (Q * F * C, S)), x, iters)
+            safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
+            found = (pidx < ce) & (post_doc_ids[safe] == x)
+            found = found.reshape(Q, F, C, S) & cvalid
+            pidx = pidx.reshape(Q, F, C, S)
 
-            best_score = jnp.zeros(S, jnp.int64)
-            best_weight = jnp.zeros(S, jnp.int64)
-            phrase_ok = jnp.zeros(S, bool) if phrase_pairs else None
-            for f in range(F):
-                mf = tf[:, f, :]                               # (Q, S) token in field
-                gp = jnp.clip(sp[:, f, :], 0, pos_offsets.shape[0] - 2)
-                base = pos_offsets[gp]                         # (Q, S) int64
-                cnt = pos_offsets[gp + 1] - base
-                cnt = jnp.where(mf, cnt, 0)
-                # positions (S, Q, P)
-                pidx2 = base[:, :, None] + jnp.arange(P, dtype=jnp.int64)[None, None, :]
-                pvalid = jnp.arange(P)[None, None, :] < cnt[:, :, None]
-                psafe = jnp.clip(pidx2, 0, positions.shape[0] - 1)
-                pos = jnp.where(pvalid, positions[psafe], 0)
-                pos = jnp.transpose(pos, (1, 0, 2))            # (S, Q, P)
-                pv = jnp.transpose(pvalid, (1, 0, 2))
-                wp, dist, moff = match_components(pos, pv, jnp.transpose(mf))
+            tok_field = jnp.any(found, axis=2)
+            tok_any = jnp.any(tok_field, axis=1)
+            all_match = (jnp.all(tok_any | ~tv, axis=0)
+                         & jnp.any(tok_any & tv, axis=0)
+                         & ~jnp.any(tok_any & tve, axis=0))
+            tok_field = tok_field & ~excl[:, :, None]
 
-                if phrase_pairs:
-                    # adjacency within this field: token j at position i+1
-                    ok_f = jnp.ones(S, bool)
-                    for (pi, pj) in phrase_pairs:
-                        a = jnp.where(pv[:, pi, :], pos[:, pi, :], -10)
-                        bpos = jnp.where(pv[:, pj, :], pos[:, pj, :], -20)
-                        adj = jnp.any(bpos[:, None, :] == a[:, :, None] + 1,
-                                      axis=(1, 2))
-                        ok_f = ok_f & adj
-                    phrase_ok = phrase_ok | ok_f
+            zero = jnp.int32(0)
+            drv_member = lax.dynamic_slice(
+                found, (drv, zero, zero, zero), (1, F, C, S)).reshape(F * C, S)
+            first_row = jnp.argmax(drv_member, axis=0)
+            own = first_row == row_fc
 
-                uw = jnp.sum(mf, axis=0).astype(jnp.int32)     # (S,) unique words
-                single = uw <= 1
-                wp = jnp.where(single, 1, wp)
-                dist = jnp.where(single, 0, dist)
+            fmask = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
+            m = all_match & in_range & own & fmask & (d < INT32_INF)
 
-                # exact match (match_score.h:242-274)
-                flags = post_flags[jnp.clip(sp[:, f, :], 0, post_flags.shape[0] - 1)]
-                has_last = jnp.any((flags & 1).astype(bool) & mf, axis=0)  # (S,)
-                total_off = jnp.sum(jnp.where(mf, cnt, 0), axis=0).astype(jnp.int32)
-                ftc = field_token_counts[dsafe, f]
-                if prioritize_exact:
-                    exact_multi = (has_last & (ftc == uw) &
-                                   (((total_off == uw) & (dist == uw - 1)) | (dist < uw - 1)))
-                    exact_single = (has_last & (ftc == 1) & (tc == 0) &
-                                    (jnp.sum(tv) == 1))
-                    exact = jnp.where(single, exact_single, exact_multi).astype(jnp.int32)
-                else:
-                    exact = jnp.zeros(S, jnp.int32)
+            cost_qc = jnp.where(found,
+                                cand_costs[:, None, :, None].astype(jnp.int32), 255)
+            min_cost_q = jnp.min(cost_qc, axis=(1, 2))
+            tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
 
-                fs = pack_field_score(wp, uw, tc, dist, exact,
-                                      jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32))
-                fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
-                better = fs > best_score
-                best_weight = jnp.where(better, field_weights[f].astype(jnp.int64), best_weight)
-                best_score = jnp.maximum(best_score, fs)
-
-            if prioritize_num_fields:
-                nmf = jnp.sum(jnp.any(tf, axis=0), axis=0).astype(jnp.int32)
-            else:
-                nmf = jnp.zeros(S, jnp.int32)
-            ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
-            text_match = pack_aggregated_score(ql, best_score, best_weight, nmf)
-
-            if phrase_pairs:
-                m = m & phrase_ok
-
-            k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0)
-            k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1)
-            k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2)
-
-            t0, t1, t2, tid = topk_merge(k0, k1, k2, d, m, K)
-            r0, r1, r2, rid, fnd, f_acc = carry
-            fnd = fnd + jnp.sum(m, dtype=jnp.int64)
-            mk0 = jnp.concatenate([r0, t0])
-            mk1 = jnp.concatenate([r1, t1])
-            mk2 = jnp.concatenate([r2, t2])
-            mid = jnp.concatenate([rid, tid])
-            r0, r1, r2, rid = topk_merge(mk0, mk1, mk2, mid, mid >= 0, K)
-
-            # facet counting over the chunk's matched docs
-            new_f = []
-            for fa in range(n_facets):
-                offs, vals = facet_offs[fa], facet_vals[fa]
-                cap = facet_caps[fa]
-                fb = offs[dsafe]
-                fcnt = offs[dsafe + 1] - fb
-                vidx = fb[:, None] + jnp.arange(cap, dtype=jnp.int64)[None, :]
-                vv = (jnp.arange(cap)[None, :] < fcnt[:, None]) & m[:, None]
-                vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
-                fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
-                upd = f_acc[fa].at[fv.reshape(-1)].add(
-                    vv.reshape(-1).astype(jnp.int32), mode="drop")
-                new_f.append(upd)
-            return (r0, r1, r2, rid, fnd, tuple(new_f))
+            first_c = jnp.argmax(found, axis=2)
+            sp = jnp.take_along_axis(pidx, first_c[:, :, None, :],
+                                     axis=2)[:, :, 0, :]
+            return _score_and_merge(
+                carry, d, m, tc, tok_field, tok_any, sp, tv,
+                post_flags, pos_offsets, positions, field_token_counts,
+                field_weights, sort_col0, sort_col1, sort_col2,
+                facet_offs, facet_vals,
+                Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
+                prioritize_num_fields, n_facets, facet_caps, facet_sizes,
+                phrase_pairs)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),

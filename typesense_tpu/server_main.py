@@ -55,6 +55,21 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
                                                      manager.embedders)
     server.pers_models.load()
     manager.stemmers.load()
+
+    # clustering (raft_server.h equivalent): --nodes file of host:port peers
+    if cfg.nodes:
+        from typesense_tpu.parallel.replication import NodesFile, ReplicationState
+        nf = NodesFile(path=cfg.nodes if "/" in cfg.nodes else None,
+                       inline=None if "/" in cfg.nodes else cfg.nodes)
+        repl = ReplicationState(
+            meta_store, server.apply_replicated, nf,
+            (cfg.api_address if cfg.api_address != "0.0.0.0" else "127.0.0.1",
+             cfg.api_port), api_key=cfg.api_key,
+            healthy_read_lag=cfg.healthy_read_lag,
+            healthy_write_lag=cfg.healthy_write_lag)
+        repl.refresh_leader()
+        repl.run_loop()
+        server.replication = repl
     return server
 
 
