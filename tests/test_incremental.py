@@ -1,0 +1,91 @@
+"""Incremental write tests: delta segment + tombstones, no full rebuild per
+write (SURVEY.md §7.7 — the reference mutates in place; we batch into
+segments and compact past a threshold)."""
+
+import pytest
+
+from typesense_tpu.collection import Collection
+from typesense_tpu.schema.field import Field
+
+
+def ids(res):
+    return sorted(h["document"]["id"] for h in res["hits"])
+
+
+@pytest.fixture()
+def coll():
+    c = Collection("inc", [
+        Field("title", "string"),
+        Field("points", "int32", facet=True),
+    ], default_sorting_field="points")
+    for i in range(20):
+        c.add({"id": str(i), "title": f"base doc number{i}", "points": i})
+    c._ensure_index()  # main segment built; subsequent writes go to delta
+    return c
+
+
+def test_delta_writes_visible_without_full_rebuild(coll):
+    main_engine = coll._engine
+    coll.add({"id": "new1", "title": "fresh delta document", "points": 100})
+    res = coll.search({"q": "fresh", "query_by": "title"})
+    assert ids(res) == ["new1"]
+    # main segment was NOT rebuilt
+    assert coll._engine is main_engine
+    assert coll._delta_engine is not None
+    # old docs still found, merged ranking works
+    res = coll.search({"q": "base", "query_by": "title", "per_page": 30})
+    assert res["found"] == 20
+
+
+def test_merged_ranking_across_segments(coll):
+    coll.add({"id": "hot", "title": "base doc hottest", "points": 999})
+    res = coll.search({"q": "base", "query_by": "title",
+                       "sort_by": "points:desc", "per_page": 5})
+    got = [h["document"]["id"] for h in res["hits"]]
+    assert got[0] == "hot"          # delta doc wins on points
+    assert res["found"] == 21
+
+
+def test_delta_facets_merge(coll):
+    coll.add({"id": "n2", "title": "base doc extra", "points": 5})
+    res = coll.search({"q": "base", "query_by": "title", "facet_by": "points",
+                       "per_page": 1})
+    counts = {c["value"]: c["count"]
+              for c in res["facet_counts"][0]["counts"]}
+    assert counts.get("5") == 2     # one in main + one in delta
+
+
+def test_tombstone_delete_without_rebuild(coll):
+    main_engine = coll._engine
+    coll.remove("3")
+    res = coll.search({"q": "number3", "query_by": "title",
+                       "num_typos": "0", "prefix": "false"})
+    assert res["found"] == 0
+    assert coll._engine is main_engine  # only the live bit flipped
+    res = coll.search({"q": "base", "query_by": "title", "per_page": 30})
+    assert res["found"] == 19
+
+
+def test_filter_applies_to_delta(coll):
+    coll.add({"id": "d9", "title": "base doc delta", "points": 42})
+    res = coll.search({"q": "base", "query_by": "title",
+                       "filter_by": "points:42"})
+    assert ids(res) == ["d9"]
+
+
+def test_compaction_threshold(coll):
+    # pushing past the threshold folds delta into a fresh main segment
+    for i in range(300):
+        coll.add({"id": f"bulk{i}", "title": f"bulk item {i}", "points": i})
+    assert coll._dirty
+    res = coll.search({"q": "bulk", "query_by": "title", "per_page": 1})
+    assert res["found"] == 300
+    assert coll._delta_start == coll.next_seq_id
+    assert coll._delta_engine is None
+
+
+def test_update_of_main_doc_triggers_rebuild(coll):
+    coll.add({"id": "5", "title": "base doc number5 edited", "points": 5},
+             operation="upsert")
+    res = coll.search({"q": "edited", "query_by": "title"})
+    assert ids(res) == ["5"]

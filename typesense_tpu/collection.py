@@ -115,6 +115,13 @@ class Collection:
         self._engine: IndexEngine | None = None
         self._dirty = True
         self._join_cache_dirty = True
+        # incremental writes: docs with seq >= _delta_start live in a small
+        # delta segment searched alongside the main one (the reference
+        # mutates postings in place, index.cpp:700; we batch into segments)
+        self._delta_start = 0
+        self._delta_engine: IndexEngine | None = None
+        self._delta_dirty = False
+        self._deleted_since_build: set[int] = set()
         self.manager = None                     # set by CollectionManager
 
         # apply per-collection symbols to string fields lacking their own
@@ -149,7 +156,8 @@ class Collection:
         # auto/dynamic schema: materialize concrete fields from this doc
         # (.* / pattern fields, collection.cpp auto schema handling)
         from typesense_tpu.schema.nested import materialize_dynamic_fields
-        for nf in materialize_dynamic_fields(self, doc):
+        new_fields = materialize_dynamic_fields(self, doc)
+        for nf in new_fields:
             self.fields.append(nf)
             self.field_map[nf.name] = nf
 
@@ -177,7 +185,14 @@ class Collection:
                 self._doc_key(seq_id): json.dumps(doc, ensure_ascii=False),
                 self._id_key(doc["id"]): str(seq_id),
             })
-        self._dirty = True
+        if (self._engine is not None and not self._dirty and not new_fields
+                and seq_id >= self._delta_start):
+            self._delta_dirty = True          # new doc -> delta segment only
+            if (self.next_seq_id - self._delta_start) > \
+                    max(256, len(self.docs) // 10):
+                self._dirty = True            # compaction threshold
+        else:
+            self._dirty = True
         self._join_cache_dirty = True
         return doc
 
@@ -220,7 +235,17 @@ class Collection:
         doc = self.docs.pop(seq)
         if self.store is not None:
             self.store.batch_write({}, deletes=[self._doc_key(seq), self._id_key(doc_id)])
-        self._dirty = True
+        if self._engine is not None and not self._dirty:
+            # tombstone: flip the live bit on the owning segment, no rebuild
+            self._deleted_since_build.add(seq)
+            if seq < self._delta_start:
+                self._engine.mark_deleted([seq])
+            elif self._delta_engine is not None and not self._delta_dirty:
+                self._delta_engine.mark_deleted([seq])
+            else:
+                self._delta_dirty = True
+        else:
+            self._dirty = True
         self._join_cache_dirty = True
         return doc
 
@@ -337,7 +362,29 @@ class Collection:
             seg = build_segment(items, self.fields, num_docs)
             self._engine = IndexEngine(seg, self.fields)
             self._dirty = False
+            # full build compacts the delta (checkpoint/rebuild, SURVEY §5)
+            self._delta_start = self.next_seq_id
+            self._delta_engine = None
+            self._delta_dirty = False
+            self._deleted_since_build.clear()
         return self._engine
+
+    def _engines(self) -> list[IndexEngine]:
+        '''Live segments: the main one plus (when recent writes exist) a
+        small delta segment, searched together and merged by sort keys.'''
+        main = self._ensure_index()
+        if self._delta_start >= self.next_seq_id:
+            return [main]
+        if self._delta_engine is None or self._delta_dirty:
+            self._auto_embed()
+            items = [(s, d) for s, d in sorted(self.docs.items())
+                     if s >= self._delta_start]
+            if self._needs_flatten():
+                items = [(s, self._flat_doc(d)) for s, d in items]
+            seg = build_segment(items, self.fields, max(self.next_seq_id, 1))
+            self._delta_engine = IndexEngine(seg, self.fields)
+            self._delta_dirty = False
+        return [main, self._delta_engine]
 
     # ------------------------------------------------------------------
     # search (collection.cpp:2807 Collection::search)
@@ -355,7 +402,8 @@ class Collection:
         if q != "*" and not raw_query_by:
             raise BadRequest("No search fields specified for the query.")
 
-        engine = self._ensure_index()
+        engines = self._engines()
+        engine = engines[0]
 
         # --- resolve search fields + weights ---
         # embedding fields in query_by trigger hybrid/semantic search
@@ -395,16 +443,10 @@ class Collection:
         start = (page - 1) * per_page if page > 0 else offset
         fetch = start + per_page
 
-        # --- filters ---
+        # --- filters (parsed now, evaluated per segment) ---
         filter_by = params.get("filter_by", "")
-        filter_mask = None
         if filter_by:
-            from typesense_tpu.search.filters import DeviceFilterEvaluator
-            from typesense_tpu.search.joins import make_join_resolver
-            node = parse_filter_query(filter_by)
-            filter_mask = DeviceFilterEvaluator(
-                engine, join_resolver=make_join_resolver(self)).evaluate(
-                node, self.field_map)
+            parse_filter_query(filter_by)  # surface syntax errors up front
 
         # --- facets ---
         facet_specs = self._parse_facet_by(params.get("facet_by"))
@@ -419,7 +461,7 @@ class Collection:
                 raise BadRequest("The `facet_query` parameter is supplied without "
                                  "a `facet_by` parameter.")
 
-        # --- sort spec ---
+        # --- sort spec (validated here; re-bound per segment below) ---
         sort_slots = self._parse_sort_by(params.get("sort_by", ""),
                                          is_wildcard=(q == "*"), engine=engine)
 
@@ -465,9 +507,20 @@ class Collection:
                 raise BadRequest("When a vector query value is empty, either `q` or `id` "
                                  "parameter must be present.")
             vk = vq.k or max(fetch, 10)
-            ids, dists = engine.vector_search(vq.field_name, np.asarray(vq.values, np.float32),
-                                              vk, filter_mask=filter_mask,
-                                              distance_threshold=vq.distance_threshold)
+            pairs = []
+            out_of = 0
+            for eng in engines:
+                fm = self._filter_mask_for(eng, filter_by)
+                e_ids, e_d = eng.vector_search(
+                    vq.field_name, np.asarray(vq.values, np.float32), vk,
+                    filter_mask=fm, distance_threshold=vq.distance_threshold)
+                pairs.extend(zip((int(x) for x in e_ids),
+                                 (float(x) for x in e_d)))
+                out_of += int(eng.seg.live.sum())
+            pairs.sort(key=lambda t: t[1])
+            pairs = pairs[:vk]
+            ids = np.asarray([i for i, _ in pairs], dtype=np.int32)
+            dists = np.asarray([d for _, d in pairs], dtype=np.float32)
             if vq.query_doc_id is not None:
                 own = self.id_to_seq.get(vq.query_doc_id)
                 keep = ids != own
@@ -476,7 +529,7 @@ class Collection:
             raw = RawResult(doc_ids=ids, scores=np.zeros((len(ids), 3), np.int64),
                             found=len(ids),
                             facet_counts=self._host_facets(engine, ids, facet_fields),
-                            out_of=int(engine.seg.live.sum()))
+                            out_of=out_of)
             resp = self._build_response(raw, q, [], search_fields, params,
                                         page if page > 0 else 1, per_page, start,
                                         facet_fields, max_facet_values,
@@ -500,84 +553,95 @@ class Collection:
                         hidden_ids.add(exc["id"])
                     if rule.get("filter_by"):
                         extra = rule["filter_by"]
-                        filter_by2 = f"({filter_by}) && ({extra})" if filter_by else extra
-                        from typesense_tpu.search.filters import DeviceFilterEvaluator
-                        from typesense_tpu.search.joins import make_join_resolver
-                        filter_mask = DeviceFilterEvaluator(
-                            engine, join_resolver=make_join_resolver(self)).evaluate(
-                            parse_filter_query(filter_by2), self.field_map)
+                        filter_by = (f"({filter_by}) && ({extra})"
+                                     if filter_by else extra)
                     if rule.get("replace_query"):
                         q = rule["replace_query"]
         pinned_ids = [d for _, d in sorted(pinned_ids, key=lambda x: x[0])] \
             if pinned_ids else []
 
-        if q == "*":
-            raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
-                                         facet_fields=facet_fields, k=fetch or 10)
-            q_tokens: list[str] = []
-        else:
+        def run_pass(eng, slots):
+            """One segment's full keyword/wildcard/hybrid execution."""
+            fm = self._filter_mask_for(eng, filter_by)
+            vdm: dict[int, float] = {}
+            if q == "*":
+                return (eng.wildcard_search(slots, filter_mask=fm,
+                                            facet_fields=facet_fields,
+                                            k=fetch or 10), vdm, [])
             first_field = self.field_map[search_fields[0]]
-            q_tokens, phrase_pairs, exclude_flags = parse_query_text(str(q), first_field)
+            q_toks, phrase_pairs, exclude_flags = parse_query_text(
+                str(q), first_field)
             # stopword removal (stopwords_manager.h)
             sw_set = params.get("stopwords") or self.metadata.get("stopwords")
             if sw_set and self.manager is not None and not phrase_pairs \
                     and not any(exclude_flags):
-                q_tokens = self.manager.stopwords.apply(q_tokens, str(sw_set))
-                exclude_flags = tuple([False] * len(q_tokens))
-            if not q_tokens:
-                raw = engine.wildcard_search(sort_slots, filter_mask=filter_mask,
-                                             facet_fields=facet_fields, k=fetch or 10)
-            else:
-                typo_thresh = int(params.get("typo_tokens_threshold", TYPO_TOKENS_THRESHOLD))
-                raw = self._keyword_with_drop_tokens(
-                    engine, q_tokens, search_fields, weights, sort_slots,
-                    filter_mask, facet_fields, k, num_typos, prefixes,
-                    max_candidates, drop_tokens_threshold,
-                    prioritize_exact, prioritize_num_fields, typo_thresh,
-                    phrase_pairs=phrase_pairs, exclude_flags=exclude_flags)
-                # synonym expansion (do_synonym_search, index.cpp:6088)
-                if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
-                    syn_sets = _as_list(params.get("synonym_sets")) or \
-                        _as_list(self.metadata.get("synonym_sets"))
-                    if syn_sets:
-                        alts = self.manager.synonyms.expand(q_tokens, syn_sets)
-                        merged = [raw]
-                        for alt in alts:
-                            merged.append(self._keyword_with_drop_tokens(
-                                engine, alt, search_fields, weights, sort_slots,
-                                filter_mask, facet_fields, k, num_typos, prefixes,
-                                max_candidates, 1, prioritize_exact,
-                                prioritize_num_fields, typo_thresh))
-                        raw = self._merge_results(merged)
-                # infix search (do_infix_search, index.cpp:6144): substring
-                # term matches, `always` or `fallback` (only when 0 results)
-                infix_modes = [m.lower() for m in _as_list(params.get("infix"))] \
-                    or ["off"]
-                imode = infix_modes[0]
-                if imode in ("always", "fallback") and \
-                        (imode == "always" or raw.found == 0):
-                    infix_fields = [fn for fn in search_fields
-                                    if self.field_map[fn].infix]
-                    if not infix_fields:
-                        raise BadRequest(
-                            f"Could not find `{search_fields[0]}` in the infix "
-                            f"index. Make sure to enable infix search by "
-                            f"specifying `infix: true` in the schema.")
-                    icands = []
-                    for tok in q_tokens:
-                        tids = engine.infix_term_ids(
-                            tok, limit=max_candidates or 64)
-                        icands.append((tids, np.full(len(tids), 2, np.int64)))
-                    raw_i = engine.keyword_search(
-                        icands, infix_fields,
-                        weights[:len(infix_fields)], sort_slots,
-                        filter_mask=filter_mask, facet_fields=facet_fields,
-                        k=k, prioritize_exact=prioritize_exact,
-                        prioritize_num_fields=prioritize_num_fields)
-                    raw = self._merge_results([raw, raw_i])
-                if vq is not None and vq.values:
-                    raw, vec_dist_map = self._hybrid_fuse(engine, raw, vq, k,
-                                                          filter_mask, facet_fields)
+                q_toks = self.manager.stopwords.apply(q_toks, str(sw_set))
+                exclude_flags = tuple([False] * len(q_toks))
+            if not q_toks:
+                return (eng.wildcard_search(slots, filter_mask=fm,
+                                            facet_fields=facet_fields,
+                                            k=fetch or 10), vdm, [])
+            typo_thresh = int(params.get("typo_tokens_threshold",
+                                         TYPO_TOKENS_THRESHOLD))
+            raw_e = self._keyword_with_drop_tokens(
+                eng, q_toks, search_fields, weights, slots,
+                fm, facet_fields, k, num_typos, prefixes,
+                max_candidates, drop_tokens_threshold,
+                prioritize_exact, prioritize_num_fields, typo_thresh,
+                phrase_pairs=phrase_pairs, exclude_flags=exclude_flags)
+            # synonym expansion (do_synonym_search, index.cpp:6088)
+            if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
+                syn_sets = _as_list(params.get("synonym_sets")) or \
+                    _as_list(self.metadata.get("synonym_sets"))
+                if syn_sets:
+                    alts = self.manager.synonyms.expand(q_toks, syn_sets)
+                    merged = [raw_e]
+                    for alt in alts:
+                        merged.append(self._keyword_with_drop_tokens(
+                            eng, alt, search_fields, weights, slots,
+                            fm, facet_fields, k, num_typos, prefixes,
+                            max_candidates, 1, prioritize_exact,
+                            prioritize_num_fields, typo_thresh))
+                    raw_e = self._merge_results(merged)
+            # infix search (do_infix_search, index.cpp:6144): substring
+            # term matches, `always` or `fallback` (only when 0 results)
+            infix_modes = [m.lower() for m in _as_list(params.get("infix"))] \
+                or ["off"]
+            imode = infix_modes[0]
+            if imode in ("always", "fallback") and \
+                    (imode == "always" or raw_e.found == 0):
+                infix_fields = [fn for fn in search_fields
+                                if self.field_map[fn].infix]
+                if not infix_fields:
+                    raise BadRequest(
+                        f"Could not find `{search_fields[0]}` in the infix "
+                        f"index. Make sure to enable infix search by "
+                        f"specifying `infix: true` in the schema.")
+                icands = []
+                for tok in q_toks:
+                    tids = eng.infix_term_ids(tok, limit=max_candidates or 64)
+                    icands.append((tids, np.full(len(tids), 2, np.int64)))
+                raw_i = eng.keyword_search(
+                    icands, infix_fields,
+                    weights[:len(infix_fields)], slots,
+                    filter_mask=fm, facet_fields=facet_fields,
+                    k=k, prioritize_exact=prioritize_exact,
+                    prioritize_num_fields=prioritize_num_fields)
+                raw_e = self._merge_results([raw_e, raw_i])
+            if vq is not None and vq.values:
+                raw_e, vdm = self._hybrid_fuse(eng, raw_e, vq, k,
+                                               fm, facet_fields)
+            return raw_e, vdm, q_toks
+
+        raws = []
+        q_tokens: list[str] = []
+        for ei, eng in enumerate(engines):
+            slots = sort_slots if ei == 0 else self._parse_sort_by(
+                params.get("sort_by", ""), is_wildcard=(q == "*"), engine=eng)
+            raw_e, vdm_e, q_tokens = run_pass(eng, slots)
+            raws.append(raw_e)
+            vec_dist_map.update(vdm_e)
+        raw = raws[0] if len(raws) == 1 else self._merge_segments(raws)
 
         # apply curation pins/hides
         if pinned_ids or hidden_ids:
@@ -651,6 +715,51 @@ class Collection:
             excludes = excludes[:-1]
 
         return self._merge_results(results)
+
+    def _filter_mask_for(self, engine, filter_by: str):
+        """Evaluate the (final) filter string against one segment's columns."""
+        if not filter_by:
+            return None
+        from typesense_tpu.search.filters import DeviceFilterEvaluator
+        from typesense_tpu.search.joins import make_join_resolver
+        node = parse_filter_query(filter_by)
+        return DeviceFilterEvaluator(
+            engine, join_resolver=make_join_resolver(self)).evaluate(
+            node, self.field_map)
+
+    @staticmethod
+    def _merge_segments(raws: list[RawResult]) -> RawResult:
+        """Merge DISJOINT segments (main + delta): found/out_of sum, facet
+        counts sum by value, ranked lists merge by sort keys (sort keys are
+        absolute quantities, so cross-segment comparison is exact)."""
+        best: dict[int, np.ndarray] = {}
+        for r in raws:
+            for i, d in enumerate(r.doc_ids):
+                best[int(d)] = r.scores[i]
+        if best:
+            ids = np.array(list(best.keys()), dtype=np.int32)
+            sc = np.stack([best[int(d)] for d in ids])
+            order = np.lexsort((-ids.astype(np.int64), -sc[:, 2], -sc[:, 1],
+                                -sc[:, 0]))
+            ids, sc = ids[order], sc[order]
+        else:
+            ids = np.empty(0, np.int32)
+            sc = np.empty((0, 3), np.int64)
+        facets: dict = {}
+        for r in raws:
+            for fname, (values, counts) in r.facet_counts.items():
+                if fname not in facets:
+                    facets[fname] = {}
+                for v, c in zip(values, np.asarray(counts)):
+                    if c > 0:
+                        facets[fname][v] = facets[fname].get(v, 0) + int(c)
+        facet_counts = {f: (list(m.keys()),
+                            np.asarray(list(m.values()), dtype=np.int64))
+                        for f, m in facets.items()}
+        return RawResult(doc_ids=ids, scores=sc,
+                         found=sum(r.found for r in raws),
+                         facet_counts=facet_counts,
+                         out_of=sum(r.out_of for r in raws))
 
     @staticmethod
     def _merge_results(results: list[RawResult]) -> RawResult:

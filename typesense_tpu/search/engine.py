@@ -122,6 +122,16 @@ class IndexEngine:
             self._facet_caps[name] = min(cap, 16)
 
     # ------------------------------------------------------------------
+    def mark_deleted(self, seq_ids: list[int]):
+        """Tombstone docs without rebuilding: flip live bits host+device
+        (the reference removes postings in place; we mask and compact later)."""
+        for s in seq_ids:
+            if 0 <= s < self.N:
+                self.seg.live[s] = False
+        self._live = jax.device_put(jnp.asarray(self.seg.live))
+        self._vec_masks = {}
+
+    # ------------------------------------------------------------------
     def exact_term_rows(self, token: str, field_names: list[str]) -> np.ndarray:
         """Posting-row ids (field-major) for an exact token; -1 if absent."""
         tid = self.seg.term_to_id.get(token, -1)
