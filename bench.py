@@ -123,7 +123,7 @@ def main():
     warm = ([rng.choice(head) for _ in range(4)] +
             [" ".join(rng.sample(head[:50], 2)) for _ in range(6)] +
             [" ".join(rng.sample(head[:50], 3)) for _ in range(6)])
-    for wq in warm + queries[:20]:
+    for wq in warm + queries:
         coll.search({**params, "q": wq})
     print(f"# warmup={time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -154,6 +154,10 @@ def main():
     print(f"# p50={p50:.2f}ms p99={p99:.2f}ms qps(c={conc})={qps:.1f}",
           file=sys.stderr)
 
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        extras = run_extra_configs(coll, queries, rng, conc)
+
     print(json.dumps({
         "metric": f"keyword_qps_c{conc}_{len(docs)//1000}k_docs",
         "value": round(qps, 1),
@@ -161,7 +165,94 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "p50_ms": round(p50, 3),
         "p99_ms": round(p99, 3),
+        **extras,
     }))
+
+
+def run_extra_configs(coll, queries, rng, conc):
+    """BASELINE.json configs 2-5: typo+prefix, filter+facet+sort, pure
+    vector (recall@10 vs exact oracle), hybrid fusion."""
+    import numpy as np
+
+    def timed_qps(qlist, params):
+        for q in qlist:
+            coll.search({**params, "q": q})      # warm shapes
+        def worker(qs):
+            for q in qs:
+                coll.search({**params, "q": q})
+        from concurrent.futures import ThreadPoolExecutor
+        chunks = [qlist[i::conc] for i in range(conc)]
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            list(ex.map(worker, chunks))
+        return round(len(qlist) / (time.time() - t0), 1)
+
+    out = {}
+    sub = queries[:96]
+    # config 2: typo-tolerant prefix search with proximity ranking
+    typo_queries = [q[:-1] + "x" if len(q) > 4 else q for q in sub]
+    out["typo_prefix_qps"] = timed_qps(
+        typo_queries, {"query_by": "title,ingredients", "prefix": "true",
+                       "num_typos": "2", "per_page": 10})
+    # config 3: filtered + faceted + sorted
+    out["filter_facet_qps"] = timed_qps(
+        sub, {"query_by": "title,ingredients", "prefix": "false",
+              "num_typos": "0", "per_page": 10,
+              "filter_by": "popularity:>50000", "facet_by": "cuisine",
+              "sort_by": "popularity:desc"})
+
+    # config 4: pure vector search — recall@10 vs an exact numpy oracle
+    from typesense_tpu.collection import Collection
+    from typesense_tpu.schema.field import Field
+    NV, DIM, KQ = 50000, 256, 10
+    vrng = np.random.default_rng(3)
+    vecs = vrng.standard_normal((NV, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vc = Collection("vbench", [Field("v", "float[]", num_dim=DIM)])
+    for i in range(NV):
+        vc.docs[vc.next_seq_id] = {"id": str(i), "v": vecs[i].tolist()}
+        vc.id_to_seq[str(i)] = vc.next_seq_id
+        vc.next_seq_id += 1
+    vc._dirty = True
+    qv = vrng.standard_normal((20, DIM)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    hits = 0
+    lats = []
+    for i in range(len(qv)):
+        vq = "v:([" + ",".join(f"{x:.5f}" for x in qv[i]) + "], k: 10)"
+        t0 = time.perf_counter()
+        res = vc.search({"q": "*", "vector_query": vq, "per_page": 10})
+        lats.append((time.perf_counter() - t0) * 1000)
+        got = [int(h["document"]["id"]) for h in res["hits"]]
+        oracle = np.argsort(-(vecs @ qv[i]))[:KQ]
+        hits += len(set(got) & set(int(x) for x in oracle))
+    out["vector_recall_at_10"] = round(hits / (len(qv) * KQ), 3)
+    lats.sort()
+    out["vector_p50_ms"] = round(lats[len(lats) // 2], 2)
+
+    # config 5: hybrid rank fusion (keyword + vector) on a 20k-doc slice
+    NH = 20000
+    hc = Collection("hbench", [Field("title", "string"),
+                               Field("v", "float[]", num_dim=DIM)])
+    for i in range(NH):
+        hc.docs[hc.next_seq_id] = {"id": str(i),
+                                   "title": coll.docs[i]["title"],
+                                   "v": vecs[i].tolist()}
+        hc.id_to_seq[str(i)] = hc.next_seq_id
+        hc.next_seq_id += 1
+    hc._dirty = True
+    hq = [(q, "v:([" + ",".join(f"{x:.5f}" for x in qv[i % len(qv)]) +
+           "], k: 10, alpha: 0.3)") for i, q in enumerate(sub[:32])]
+    for q, v in hq[:4]:
+        hc.search({"q": q, "query_by": "title", "vector_query": v,
+                   "prefix": "false", "num_typos": "0", "per_page": 10})
+    t0 = time.time()
+    for q, v in hq:
+        hc.search({"q": q, "query_by": "title", "vector_query": v,
+                   "prefix": "false", "num_typos": "0", "per_page": 10})
+    out["hybrid_qps"] = round(len(hq) / (time.time() - t0), 1)
+    print(f"# extras={out}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

@@ -89,3 +89,60 @@ def test_group_by_requires_facet(coll):
     from typesense_tpu.core.errors import TypesenseError
     with pytest.raises(TypesenseError):
         coll.search({"q": "*", "group_by": "title"})
+
+
+def test_diversity_mmr():
+    c = Collection("div", [
+        Field("title", "string"),
+        Field("brand", "string", facet=True),
+        Field("pop", "int32"),
+    ], default_sorting_field="pop")
+    # top results all same brand; diversity should interleave brands
+    c.add({"id": "0", "title": "shoe model alpha", "brand": "nike", "pop": 100})
+    c.add({"id": "1", "title": "shoe model beta", "brand": "nike", "pop": 90})
+    c.add({"id": "2", "title": "shoe model gamma", "brand": "nike", "pop": 80})
+    c.add({"id": "3", "title": "shoe model delta", "brand": "adidas", "pop": 70})
+    c.add({"id": "4", "title": "shoe model eps", "brand": "puma", "pop": 60})
+    res = c.search({
+        "q": "shoe", "query_by": "title", "per_page": 5,
+        "diversity": '{"lambda": 0.3, "similarity_equation": '
+                     '[{"field": "brand", "method": "equality", "weight": 1}]}'})
+    got = [h["document"]["brand"] for h in res["hits"]]
+    # first stays most relevant; second must be a different brand
+    assert got[0] == "nike"
+    assert got[1] != "nike", got
+
+
+def test_diversity_jaccard():
+    c = Collection("divj", [
+        Field("title", "string"),
+        Field("tags", "string[]", facet=True),
+    ])
+    c.add({"id": "0", "title": "post one", "tags": ["x", "y"]})
+    c.add({"id": "1", "title": "post two", "tags": ["a", "b"]})
+    c.add({"id": "2", "title": "post three", "tags": ["a", "b"]})
+    res = c.search({
+        "q": "post", "query_by": "title", "per_page": 3,
+        "diversity": '{"lambda": 0.2, "similarity_equation": '
+                     '[{"field": "tags", "method": "jaccard", "weight": 1}]}'})
+    got = [h["document"]["id"] for h in res["hits"]]
+    # relevance tie-break puts 2 first; doc 1 shares 2's tag set so the
+    # dissimilar doc 0 jumps ahead of it
+    assert got == ["2", "0", "1"], got
+
+
+def test_split_join_fallback():
+    c = Collection("sj", [Field("title", "string")])
+    c.add({"id": "0", "title": "icecream sandwich"})
+    c.add({"id": "1", "title": "chocolate bar"})
+    # "ice cream" -> joined "icecream" matches doc 0
+    res = c.search({"q": "ice cream", "query_by": "title",
+                    "num_typos": "0", "prefix": "false"})
+    assert ids(res) == ["0"], res["found"]
+
+    c2 = Collection("sj2", [Field("title", "string")])
+    c2.add({"id": "0", "title": "ice cream sandwich"})
+    # "icecream" -> split into "ice cream"
+    res = c2.search({"q": "icecream", "query_by": "title",
+                     "num_typos": "0", "prefix": "false"})
+    assert [h["document"]["id"] for h in res["hits"]] == ["0"]

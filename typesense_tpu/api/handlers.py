@@ -80,6 +80,13 @@ def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     params = _apply_preset(server, dict(req.query))
 
+    # voice query (vq_model.h:39-51 Whisper transcription): requires local
+    # whisper weights, which this deployment does not bundle — gated error
+    # matching the reference's missing-model behavior
+    if params.get("voice_query"):
+        raise BadRequest("Voice query model is not available. Configure a "
+                         "`voice_query_model` with local weights first.")
+
     # response cache (core_api.cpp:573-601 LRU with use_cache + cache_ttl)
     cache = getattr(server, "res_cache", None)
     use_cache = str(params.get("use_cache", "false")).lower() == "true"
@@ -155,8 +162,17 @@ def get_export_documents(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     include = set(filter(None, req.query.get("include_fields", "").split(",")))
     exclude = set(filter(None, req.query.get("exclude_fields", "").split(",")))
+    filter_by = req.query.get("filter_by", "")
+    keep = None
+    if filter_by:
+        import numpy as np
+        engine = coll._ensure_index()
+        mask = coll._filter_mask_for(engine, filter_by)
+        keep = set(int(s) for s in np.flatnonzero(np.asarray(mask)))
     lines = []
     for seq in sorted(coll.docs):
+        if keep is not None and seq not in keep:
+            continue
         doc = coll.docs[seq]
         if include:
             doc = {k: v for k, v in doc.items() if k in include or k == "id"}
@@ -626,3 +642,45 @@ def get_replication_status(server, req):
         return {"applied_seq": -1, "state": "LEADER"}
     return {"applied_seq": repl.applied_seq, "state":
             "LEADER" if repl.is_leader else "FOLLOWER"}
+
+
+# ---------------------------------------------------------------------------
+# runtime config + proxy (core_api.cpp post_config / post_proxy)
+# ---------------------------------------------------------------------------
+
+def post_config(server, req):
+    body = req.json()
+    if not hasattr(server, "runtime_config"):
+        server.runtime_config = {}
+    MUTABLE = {"log-slow-requests-time-ms", "log-slow-searches-time-ms",
+               "healthy-read-lag", "healthy-write-lag", "cache-num-entries",
+               "skip-writes"}
+    for k, v in body.items():
+        if k not in MUTABLE:
+            raise BadRequest(f"Unable to update `{k}` at runtime.")
+        server.runtime_config[k] = v
+    return 201, {"success": True}
+
+
+def get_config(server, req):
+    return getattr(server, "runtime_config", {})
+
+
+def post_proxy(server, req):
+    """Egress proxy for remote model providers (core_api.cpp post_proxy)."""
+    import urllib.request
+    body = req.json()
+    url = body.get("url")
+    method = body.get("method", "GET").upper()
+    if not url or method not in ("GET", "POST", "PUT", "DELETE"):
+        raise BadRequest("Parameters `url` and `method` are required.")
+    data = body.get("body")
+    headers = body.get("headers", {})
+    r = urllib.request.Request(url, method=method,
+                               data=data.encode() if data else None,
+                               headers=headers)
+    try:
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return resp.status, resp.read()
+    except Exception as e:  # noqa: BLE001 — egress-gated environment
+        raise BadRequest(f"Proxy request failed: {e}")

@@ -138,6 +138,9 @@ class HttpServer:
         r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
         r("POST", "/operations/vote", h.post_vote, "operations:vote")
         r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+        r("POST", "/config", h.post_config, "config:update")
+        r("GET", "/config", h.get_config, "config:get")
+        r("POST", "/proxy", h.post_proxy, "proxy:create")
         # replication control plane (raft_server.h equivalents)
         r("GET", "/replication/log", h.get_replication_log, "public")
         r("GET", "/replication/status", h.get_replication_status, "public")

@@ -647,6 +647,12 @@ class Collection:
         if pinned_ids or hidden_ids:
             raw = self._apply_curation(raw, pinned_ids, hidden_ids)
 
+        # diversity (MMR) reranking (diversity.h:14-39, applied in
+        # populate_result_kvs): lambda trades relevance vs. pairwise
+        # similarity computed per configured field
+        if params.get("diversity"):
+            raw = self._apply_diversity(raw, params["diversity"], fetch)
+
         # group_by (topster.h:252 group_kv_map; grouped over the ranked set)
         group_fields = _as_list(params.get("group_by"))
         for gf in group_fields:
@@ -714,7 +720,107 @@ class Collection:
             tokens = tokens[:-1]  # drop right-most token (default direction)
             excludes = excludes[:-1]
 
-        return self._merge_results(results)
+        merged = self._merge_results(results)
+        if merged.found == 0 and can_drop and len(q_tokens) >= 1:
+            # split/join fallback (split_join_tokens, index.cpp:3851): try
+            # joining adjacent tokens ("ice cream" -> "icecream") and
+            # splitting unknown tokens into two dictionary words
+            for alt in self._split_join_alternatives(engine, list(q_tokens)):
+                cands = token_candidate_sets(
+                    engine, alt, search_fields, num_typos, prefixes,
+                    max_candidates, typo_tokens_threshold)
+                raw = engine.keyword_search(
+                    cands, search_fields, weights, sort_slots,
+                    filter_mask=filter_mask, facet_fields=facet_fields, k=k,
+                    prioritize_exact=prioritize_exact,
+                    prioritize_num_fields=prioritize_num_fields)
+                if raw.found > 0:
+                    return raw
+        return merged
+
+    @staticmethod
+    def _split_join_alternatives(engine, tokens: list[str]) -> list[list[str]]:
+        """Candidate token lists from joining adjacent tokens and splitting
+        unknown tokens at dictionary boundaries (index.cpp:3851)."""
+        alts: list[list[str]] = []
+        vocab = engine.seg.term_to_id
+        # join adjacent pairs
+        for i in range(len(tokens) - 1):
+            joined = tokens[i] + tokens[i + 1]
+            if joined in vocab:
+                alts.append(tokens[:i] + [joined] + tokens[i + 2:])
+        # split tokens absent from the dictionary
+        for i, tok in enumerate(tokens):
+            if tok in vocab or len(tok) < 4:
+                continue
+            for cut in range(2, len(tok) - 1):
+                a, b = tok[:cut], tok[cut:]
+                if a in vocab and b in vocab:
+                    alts.append(tokens[:i] + [a, b] + tokens[i + 1:])
+                    break
+        return alts[:3]
+
+    def _apply_diversity(self, raw: RawResult, spec, fetch: int) -> RawResult:
+        """Greedy MMR over the ranked candidates (diversity_t, diversity.h:
+        14-39; similarity_t::calculate — equality or jaccard per field,
+        weighted). score_i = lambda*relevance - (1-lambda)*max_sim(selected)."""
+        import json as _json
+        if isinstance(spec, str):
+            try:
+                spec = _json.loads(spec)
+            except _json.JSONDecodeError:
+                raise BadRequest("The `diversity` parameter is malformed.")
+        lam = float(spec.get("lambda", 0.5))
+        eq = spec.get("similarity_equation", [])
+        if not eq:
+            raise BadRequest("`diversity.similarity_equation` is required.")
+        metrics = []
+        for m in eq:
+            f = self.field_map.get(m.get("field", ""))
+            if f is None:
+                raise BadRequest(f"Unknown diversity field `{m.get('field')}`.")
+            metrics.append((m["field"], m.get("method", "equality"),
+                            float(m.get("weight", 1.0))))
+        total_w = sum(w for _, _, w in metrics) or 1.0
+
+        def sim(da: dict, db: dict) -> float:
+            s = 0.0
+            for fname, method, w in metrics:
+                va, vb = da.get(fname), db.get(fname)
+                if method == "jaccard" and isinstance(va, list) and \
+                        isinstance(vb, list):
+                    sa, sb = set(va), set(vb)
+                    u = len(sa | sb)
+                    s += w * (len(sa & sb) / u if u else 0.0)
+                else:
+                    s += w * (1.0 if va == vb and va is not None else 0.0)
+            return s / total_w
+
+        n = min(len(raw.doc_ids), max(fetch, 10) * 3)
+        cands = [(int(raw.doc_ids[i]), i) for i in range(n)]
+        docs = {seq: self.docs.get(seq, {}) for seq, _ in cands}
+        selected: list[int] = []
+        remaining = list(range(n))
+        order: list[int] = []
+        while remaining:
+            best_j, best_score = remaining[0], -1e18
+            for j in remaining:
+                seq = cands[j][0]
+                rel = 1.0 - j / max(n, 1)
+                max_sim = max((sim(docs[seq], docs[cands[sj][0]])
+                               for sj in selected), default=0.0)
+                score = lam * rel - (1.0 - lam) * max_sim
+                if score > best_score:
+                    best_score, best_j = score, j
+            selected.append(best_j)
+            order.append(best_j)
+            remaining.remove(best_j)
+        idx = order + list(range(n, len(raw.doc_ids)))
+        out = RawResult(doc_ids=raw.doc_ids[idx], scores=raw.scores[idx],
+                        found=raw.found, facet_counts=raw.facet_counts,
+                        out_of=raw.out_of)
+        out.curated_seqs = getattr(raw, "curated_seqs", set())
+        return out
 
     def _filter_mask_for(self, engine, filter_by: str):
         """Evaluate the (final) filter string against one segment's columns."""
