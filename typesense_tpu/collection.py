@@ -699,12 +699,14 @@ class Collection:
         excludes = list(exclude_flags) or [False] * len(tokens)
         can_drop = not phrase_pairs and not any(excludes)
         results: list[RawResult] = []
+        cand_memo: dict = {}
         while True:
             exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
                           for i in range(len(tokens))]
             cands = token_candidate_sets(
                 engine, tokens, search_fields, num_typos, prefixes,
-                max_candidates, typo_tokens_threshold, exact_only=exact_only)
+                max_candidates, typo_tokens_threshold, exact_only=exact_only,
+                memo=cand_memo)
             raw = engine.keyword_search(
                 cands, search_fields, weights, sort_slots,
                 filter_mask=filter_mask, facet_fields=facet_fields, k=k,

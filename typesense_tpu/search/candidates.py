@@ -19,6 +19,7 @@ from bisect import bisect_left
 import numpy as np
 
 DEFAULT_MAX_CANDIDATES = 4
+TYPO_POSTINGS_BUDGET = 100_000  # max postings a typo expansion may add per token
 EXHAUSTIVE_MAX_CANDIDATES = 10000
 
 
@@ -63,20 +64,29 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                          max_candidates: int, typo_tokens_threshold: int,
                          found_so_far: int = 0,
                          exact_only: list[bool] | None = None,
+                         memo: dict | None = None,
                          ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per query token -> (term_ids, typo_costs). The last token is treated
     as a prefix when `prefix` is enabled (instant-search semantics).
-    exact_only marks phrase/excluded tokens (no prefix/typo expansion)."""
+    exact_only marks phrase/excluded tokens (no prefix/typo expansion).
+    memo: per-search cache keyed by (token, is_last) so drop_tokens retries
+    reuse candidate sets instead of re-dispatching the fuzzy kernel."""
     if max_candidates <= 0:
         max_candidates = DEFAULT_MAX_CANDIDATES
     prefix_on = prefixes[0] if prefixes else True
     max_typos = num_typos[0] if num_typos else 2
 
-    partial: list[tuple[list[int], list[int]]] = []
+    partial: list = []
     fuzzy_req: list[tuple[int, str, int, bool]] = []  # (token_idx, tok, budget, prefix)
+    memo_keys: list = []
     for ti, tok in enumerate(tokens):
         strict = bool(exact_only[ti]) if exact_only else False
         is_last = ti == len(tokens) - 1 and not strict
+        mkey = (tok, is_last, strict)
+        memo_keys.append(mkey)
+        if memo is not None and mkey in memo:
+            partial.append(None)  # filled from memo at the end
+            continue
         exact_id = engine.seg.term_to_id.get(tok, -1)
         ids: list[int] = []
         costs: list[int] = []
@@ -109,10 +119,32 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         for (ti, _tok, _b, _p), (fids, fcosts) in zip(fuzzy_req, results):
             ids, costs = partial[ti]
             seen = set(ids)
+            # bound the scan work a typo expansion can trigger: take
+            # candidates in the kernel's (cost, frequency) order until the
+            # posting budget is spent (the reference bounds the equivalent
+            # blast radius via its 10/10,000 cost-combination caps,
+            # index.cpp:4860-4870)
+            budget = TYPO_POSTINGS_BUDGET
             for fid, fc in zip(fids, fcosts):
-                if int(fid) not in seen:
-                    ids.append(int(fid))
-                    costs.append(int(fc))
+                fid = int(fid)
+                if fid in seen:
+                    continue
+                row_len = int(engine.seg.term_doc_freq[fid])
+                if ids and budget - row_len < 0:
+                    continue
+                budget -= row_len
+                ids.append(fid)
+                costs.append(int(fc))
 
-    return [(np.asarray(ids, dtype=np.int64), np.asarray(costs, dtype=np.int64))
-            for ids, costs in partial]
+    out = []
+    for mkey, entry in zip(memo_keys, partial):
+        if entry is None:
+            out.append(memo[mkey])
+            continue
+        ids, costs = entry
+        pair = (np.asarray(ids, dtype=np.int64),
+                np.asarray(costs, dtype=np.int64))
+        if memo is not None:
+            memo[mkey] = pair
+        out.append(pair)
+    return out

@@ -27,7 +27,6 @@ MAX_POS_PER_POSTING = 16
 TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
 SCORE_CHUNK_MAX = 8192
 SCORE_CHUNK_WIDE = 32768
-PROBE_MAX_DRIVER = 4096
 
 
 @jax.jit
@@ -231,11 +230,14 @@ class IndexEngine:
         ch_lens = np.asarray(chunk_lens + [0] * pad, dtype=np.int64)
         ch_rows = np.asarray(chunk_rows + [0] * pad, dtype=np.int64)
 
-        # strategy: small drivers take the probe kernel (binary-search
-        # membership — O(drv * QFC * log P) random gathers); large drivers
-        # take the scatter-plane kernel (O(total postings) sequential)
+        # strategy by estimated cost: probe kernel does
+        # drv_total * (Q*F*C) * iters random gathers; scatter kernel does
+        # ~2 writes per posting of EVERY candidate row plus Q*F plane
+        # gathers per driver element. Pick the cheaper program.
         drv_total = int(row_lens[drv].sum())
-        use_probe = drv_total <= PROBE_MAX_DRIVER
+        probe_cost = drv_total * (Q * Fq * C) * self._iters
+        scatter_cost = 2 * int(row_lens.sum()) + drv_total * (Q * Fq)
+        use_probe = probe_cost < scatter_cost
 
         # scatter chunks: EVERY (token, field, cand) row, descending candidate
         # order so the lowest (best) candidate wins each dense-plane cell
