@@ -95,9 +95,26 @@ def main():
     coll._dirty = True
     engine = coll._ensure_index()
     build_s = time.time() - t0
+
+    def seg_bytes(seg):
+        import numpy as np
+        total = 0
+        for v in vars(seg).values():
+            if isinstance(v, np.ndarray):
+                total += v.nbytes
+            elif isinstance(v, dict):
+                for x in v.values():
+                    if isinstance(x, np.ndarray):
+                        total += x.nbytes
+                    elif isinstance(x, tuple):
+                        total += sum(y.nbytes for y in x
+                                     if isinstance(y, np.ndarray))
+        return total
+
+    index_mb = seg_bytes(engine.seg) / 1e6
     print(f"# gen={gen_s:.1f}s build={build_s:.1f}s docs={len(docs)} "
-          f"terms={engine.seg.num_terms} postings={len(engine.seg.post_doc_ids)}",
-          file=sys.stderr)
+          f"terms={engine.seg.num_terms} postings={len(engine.seg.post_doc_ids)} "
+          f"index_mb={index_mb:.0f}", file=sys.stderr)
 
     # queries sampled from real document titles (instant-search-like: users
     # type words that exist in the corpus, co-occurring ones)
@@ -165,6 +182,8 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "p50_ms": round(p50, 3),
         "p99_ms": round(p99, 3),
+        "index_mb": round(index_mb, 1),
+        "build_s": round(build_s, 1),
         **extras,
     }))
 
@@ -243,7 +262,7 @@ def run_extra_configs(coll, queries, rng, conc):
     hc._dirty = True
     hq = [(q, "v:([" + ",".join(f"{x:.5f}" for x in qv[i % len(qv)]) +
            "], k: 10, alpha: 0.3)") for i, q in enumerate(sub[:32])]
-    for q, v in hq[:4]:
+    for q, v in hq:
         hc.search({"q": q, "query_by": "title", "vector_query": v,
                    "prefix": "false", "num_typos": "0", "per_page": 10})
     t0 = time.time()
