@@ -564,6 +564,14 @@ class Collection:
             """One segment's full keyword/wildcard/hybrid execution."""
             fm = self._filter_mask_for(eng, filter_by)
             vdm: dict[int, float] = {}
+            # hybrid: enqueue the kNN program NOW so it overlaps the keyword
+            # kernel on device — one round trip instead of two
+            vec_handles = None
+            if vq is not None and vq.values and q != "*" and search_fields:
+                vec_handles = eng.vector_search_dispatch(
+                    vq.field_name, np.asarray(vq.values, np.float32),
+                    vq.k or k, filter_mask=fm,
+                    distance_threshold=vq.distance_threshold)
             if q == "*":
                 return (eng.wildcard_search(slots, filter_mask=fm,
                                             facet_fields=facet_fields,
@@ -630,7 +638,8 @@ class Collection:
                 raw_e = self._merge_results([raw_e, raw_i])
             if vq is not None and vq.values:
                 raw_e, vdm = self._hybrid_fuse(eng, raw_e, vq, k,
-                                               fm, facet_fields)
+                                               fm, facet_fields,
+                                               vec_handles=vec_handles)
             return raw_e, vdm, q_toks
 
         raws = []
@@ -919,16 +928,19 @@ class Collection:
 
     # ------------------------------------------------------------------
     def _hybrid_fuse(self, engine, raw_text: RawResult, vq, k, filter_mask,
-                     facet_fields) -> tuple[RawResult, dict[int, float]]:
+                     facet_fields, vec_handles=None) -> tuple[RawResult, dict[int, float]]:
         """Reciprocal-rank fusion (index.cpp:4093-4178): text results get
         (1/dense_text_rank)*(1-alpha); vector results add (1/(rank+1))*alpha;
         vector-only docs join the result set."""
         alpha = vq.alpha
         vk = vq.k or k
-        ids, dists = engine.vector_search(vq.field_name,
-                                          np.asarray(vq.values, np.float32), vk,
-                                          filter_mask=filter_mask,
-                                          distance_threshold=vq.distance_threshold)
+        if vec_handles is not None:
+            ids, dists = engine.vector_search_collect(vec_handles, vk)
+        else:
+            ids, dists = engine.vector_search(
+                vq.field_name, np.asarray(vq.values, np.float32), vk,
+                filter_mask=filter_mask,
+                distance_threshold=vq.distance_threshold)
         vec_dist_map = {int(i): float(d) for i, d in zip(ids, dists)}
 
         fused: dict[int, float] = {}

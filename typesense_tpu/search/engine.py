@@ -369,6 +369,36 @@ class IndexEngine:
         kern = build_knn_kernel(K, 1)
         q = jnp.asarray(query_vec, jnp.float32)[None, :]
         idxs, dists = kern(vecs, q, mask, jnp.float32(distance_threshold))
+        return self.vector_search_collect((idxs, dists), k)
+
+    def vector_search_dispatch(self, field_name: str, query_vec: np.ndarray,
+                               k: int, filter_mask=None,
+                               distance_threshold: float = 3.4e38):
+        """Async half of vector_search: enqueue the kNN program and return
+        device handles WITHOUT blocking — lets hybrid search overlap the
+        vector and keyword programs in one device round trip."""
+        from typesense_tpu.ops.vector import build_knn_kernel
+        vi = self._vec_idx.get(field_name)
+        if vi is None:
+            raise BadRequest(f"Field `{field_name}` does not have a vector index.")
+        vecs = self.dev.vectors[vi]
+        vmask = getattr(self, "_vec_masks", {}).get(field_name)
+        if vmask is None:
+            norms = np.linalg.norm(self.seg.vectors[field_name], axis=1)
+            m = (norms > 0) & self.seg.live
+            vmask = jax.device_put(jnp.asarray(m))
+            if not hasattr(self, "_vec_masks"):
+                self._vec_masks = {}
+            self._vec_masks[field_name] = vmask
+        mask = vmask if filter_mask is None else (vmask & filter_mask)
+        K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
+        kern = build_knn_kernel(K, 1)
+        q = jnp.asarray(query_vec, jnp.float32)[None, :]
+        return kern(vecs, q, mask, jnp.float32(distance_threshold))
+
+    @staticmethod
+    def vector_search_collect(handles, k: int):
+        idxs, dists = handles
         idxs = np.asarray(idxs[0])
         dists = np.asarray(dists[0])
         valid = np.isfinite(dists)
