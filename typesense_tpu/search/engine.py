@@ -264,7 +264,6 @@ class IndexEngine:
         sc_qf = np.asarray(s_qf + [0] * spad, dtype=np.int64)
         sc_c = np.asarray(s_c + [0] * spad, dtype=np.int64)
         K = bucket(k, lo=16, hi=1 << 14)
-        del spad
 
         slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
         facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]

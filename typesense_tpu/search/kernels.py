@@ -1,21 +1,24 @@
 """Jitted query kernels.
 
 The keyword search step is ONE XLA program per static shape signature
-(query-token bucket Q, candidate bucket C, field count F, driver bucket D,
-scoring chunk S, top-k K). It replaces the reference's per-doc iterator loop
+(query-token count Q, candidate bucket C, field count F, chunk size S,
+top-k K — posting-list LENGTH is dynamic, streamed through fixed chunks
+with traced trip counts). It replaces the reference's per-doc iterator loop
 (/root/reference/src/index.cpp:5385 search_across_fields +
-or_iterator.h:61-182) with:
+or_iterator.h:61-182) with two host-selected strategies:
 
-  1. driver union     — gather the rarest token's posting rows, sort, dedup
-  2. membership probe — batched binary search of every driver doc in every
-                        (token, field, candidate) posting row
-  3. chunked scoring  — positions gather + vectorized proximity Match,
-                        Typesense-parity score packing (ops/match.py)
-  4. top-k            — multi-key lexicographic lax.sort merge across chunks
+  build_keyword_kernel — scatter every candidate row into dense
+      (tokens x fields, docs) membership planes (sequential writes), then
+      scan the driver rows with single plane gathers; best for frequent
+      driver tokens.
+  build_probe_kernel   — binary-search each driver element against every
+      candidate row; best when the driver is rare (cost model in
+      engine.keyword_search).
 
-Dynamic sizes are bucketed by the host (utils/buckets.py); masks carry true
-lengths. All arrays stay in HBM/VMEM; nothing returns to the host except the
-final top-K rows, the found count, and facet counts.
+Both share _score_and_merge: positions gather + vectorized proximity Match,
+Typesense-parity score packing (ops/match.py), 3-slot sort keys, a running
+multi-key lax.sort top-K merge, and facet scatter-adds. Nothing returns to
+the host except the final top-K rows, found count, and facet counts.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from jax import lax
 from typesense_tpu.ops.match import (
     match_components, pack_field_score, pack_aggregated_score,
 )
-from typesense_tpu.ops.postings import gather_slice, lower_bound
+from typesense_tpu.ops.postings import lower_bound
 
 INT32_INF = jnp.int32(2**31 - 1)
 KEY_MIN = jnp.int64(-(2**62))
