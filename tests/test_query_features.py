@@ -146,3 +146,13 @@ def test_split_join_fallback():
     res = c2.search({"q": "icecream", "query_by": "title",
                      "num_typos": "0", "prefix": "false"})
     assert [h["document"]["id"] for h in res["hits"]] == ["0"]
+
+
+def test_typo_highlighting():
+    c = Collection("hl", [Field("title", "string")])
+    c.add({"id": "0", "title": "grilled chicken salad"})
+    res = c.search({"q": "chiken", "query_by": "title", "prefix": "false"})
+    assert res["found"] == 1
+    hl = res["hits"][0]["highlight"]["title"]
+    assert "<mark>chicken</mark>" in hl["snippet"], hl
+    assert hl["matched_tokens"] == ["chicken"]

@@ -10,8 +10,38 @@ tokens, else a window with highlight_affix_num_tokens context) and optional
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from typesense_tpu.schema.field import Field
 from typesense_tpu.text.tokenizer import Tokenizer
+
+
+def _edit_distance_le(a: str, b: str, limit: int) -> bool:
+    """Banded Levenshtein with early exit (highlighting must also mark
+    typo-corrected matches — the reference re-tokenizes against the
+    CORRECTED query tokens, collection.cpp:3338-3430)."""
+    if abs(len(a) - len(b)) > limit:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > limit:
+            return False
+        prev = cur
+    return prev[-1] <= limit
+
+
+@lru_cache(maxsize=4096)
+def _typo_budget(n: int) -> int:
+    if n < 3:
+        return 0
+    return 1 if n < 7 else 2
 
 
 def _highlight_value(value: str, q_tokens: list[str], field: Field,
@@ -25,10 +55,25 @@ def _highlight_value(value: str, q_tokens: list[str], field: Field,
 
     qset = set(q_tokens)
     last_tok = q_tokens[-1] if q_tokens else ""
+    memo: dict[str, bool] = {}
+
+    def is_match(tok: str) -> bool:
+        hit = memo.get(tok)
+        if hit is not None:
+            return hit
+        ok = tok in qset or (last_tok and tok.startswith(last_tok))
+        if not ok:
+            for qt in q_tokens:
+                if _edit_distance_le(tok, qt, _typo_budget(len(qt))):
+                    ok = True
+                    break
+        memo[tok] = ok
+        return ok
+
     matched_idx = []
     matched_tokens = []
     for i, (tok, _ti, s, e) in enumerate(toks):
-        if tok in qset or (last_tok and tok.startswith(last_tok)):
+        if is_match(tok):
             matched_idx.append(i)
             matched_tokens.append(tok)
     if not matched_idx:
@@ -38,7 +83,7 @@ def _highlight_value(value: str, q_tokens: list[str], field: Field,
         out = []
         cursor = 0
         for (tok, _ti, s, e) in tok_entries:
-            if tok in qset or (last_tok and tok.startswith(last_tok)):
+            if is_match(tok):
                 out.append(text[cursor:s])
                 out.append(start_tag)
                 out.append(text[s:e + 1])
