@@ -156,3 +156,18 @@ def test_typo_highlighting():
     hl = res["hits"][0]["highlight"]["title"]
     assert "<mark>chicken</mark>" in hl["snippet"], hl
     assert hl["matched_tokens"] == ["chicken"]
+
+
+def test_per_field_num_typos():
+    c = Collection("nt", [Field("a", "string"), Field("b", "string")])
+    c.add({"id": "0", "a": "chicken soup", "b": "something else"})
+    c.add({"id": "1", "a": "something else", "b": "chicken soup"})
+    # typos allowed only in field a: "chiken" matches doc 0 (via a) but
+    # must NOT match doc 1 (only b contains chicken, b's budget is 0)
+    res = c.search({"q": "chiken", "query_by": "a,b", "num_typos": "2,0",
+                    "prefix": "false"})
+    assert ids(res) == ["0"], res["found"]
+    # both fields allowed -> both docs
+    res = c.search({"q": "chiken", "query_by": "a,b", "num_typos": "2,2",
+                    "prefix": "false"})
+    assert sorted(ids(res)) == ["0", "1"]

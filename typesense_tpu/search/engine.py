@@ -156,8 +156,12 @@ class IndexEngine:
                        k: int = TOPK, prioritize_exact: bool = True,
                        prioritize_num_fields: bool = True,
                        phrase_pairs: tuple = (),
-                       exclude_flags: tuple = ()) -> RawResult:
-        """token_candidates: per query token, (term_ids (C_i,), costs (C_i,))."""
+                       exclude_flags: tuple = (),
+                       field_num_typos: list[int] | None = None) -> RawResult:
+        """token_candidates: per query token, (term_ids (C_i,), costs (C_i,)).
+        field_num_typos: per-field typo budgets (num_typos=2,0 maps onto
+        query_by fields, collection.h:65-341) — candidate rows whose typo
+        cost exceeds a field's budget are masked out for that field."""
         Fq = len(field_names)
         Qn = min(len(token_candidates), MAX_QUERY_TOKENS)
         token_candidates = token_candidates[:Qn]
@@ -180,6 +184,17 @@ class IndexEngine:
                 for fslot, fi in enumerate(fis):
                     if fi >= 0:
                         cand_rows[qi, fslot, ci] = fi * self.T + tid
+
+        if field_num_typos is not None and any(
+                b < 255 for b in field_num_typos):
+            for fslot in range(Fq):
+                budget = field_num_typos[fslot] if fslot < len(field_num_typos) \
+                    else field_num_typos[-1]
+                for qi in range(Q):
+                    for ci in range(C):
+                        if cand_costs[qi, ci] < 255 and \
+                                cand_costs[qi, ci] > budget:
+                            cand_rows[qi, fslot, ci] = -1
 
         cand_starts, cand_ends = self._row_bounds(cand_rows.reshape(-1))
         cand_starts = cand_starts.reshape(Q, Fq, C)
