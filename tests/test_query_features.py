@@ -171,3 +171,16 @@ def test_per_field_num_typos():
     res = c.search({"q": "chiken", "query_by": "a,b", "num_typos": "2,2",
                     "prefix": "false"})
     assert sorted(ids(res)) == ["0", "1"]
+
+
+def test_per_field_prefix():
+    c = Collection("pf", [Field("a", "string"), Field("b", "string")])
+    c.add({"id": "0", "a": "chocolate cake", "b": "plain text"})
+    c.add({"id": "1", "a": "plain text", "b": "chocolate cake"})
+    # prefix allowed only in a: "choco" expands in a but not b
+    res = c.search({"q": "choco", "query_by": "a,b", "prefix": "true,false",
+                    "num_typos": "0"})
+    assert ids(res) == ["0"], res["found"]
+    res = c.search({"q": "choco", "query_by": "a,b", "prefix": "true,true",
+                    "num_typos": "0"})
+    assert sorted(ids(res)) == ["0", "1"]

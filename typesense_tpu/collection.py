@@ -723,7 +723,8 @@ class Collection:
                 prioritize_num_fields=prioritize_num_fields,
                 phrase_pairs=phrase_pairs,
                 exclude_flags=tuple(excludes[:len(tokens)]),
-                field_num_typos=num_typos)
+                field_num_typos=num_typos,
+                field_prefixes=prefixes)
             results.append(raw)
             if (raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1
                     or not can_drop

@@ -90,11 +90,13 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         exact_id = engine.seg.term_to_id.get(tok, -1)
         ids: list[int] = []
         costs: list[int] = []
+        kinds: list[int] = []          # 0 exact, 1 prefix, 2 typo
         if exact_id >= 0:
             ids.append(exact_id)
             costs.append(0)
+            kinds.append(0)
         if strict:
-            partial.append((ids, costs))
+            partial.append((ids, costs, kinds))
             continue
 
         if is_last and prefix_on:
@@ -103,13 +105,14 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                 if pid != exact_id:
                     ids.append(int(pid))
                     costs.append(int(pc))
+                    kinds.append(1)
 
         # typo candidates when exact+prefix hit nothing (or exhaustive);
         # mirrors typo_tokens_threshold gating (index.cpp fuzzy loop)
         cost_budget = bounded_typo_cost(max_typos, len(tok))
         if cost_budget > 0 and (not ids or found_so_far < typo_tokens_threshold):
             fuzzy_req.append((ti, tok, cost_budget, is_last and prefix_on))
-        partial.append((ids, costs))
+        partial.append((ids, costs, kinds))
 
     if fuzzy_req:
         # ONE batched device call for every token needing typo expansion
@@ -117,7 +120,7 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         results = fuzzy_candidates_batch(
             engine, [(tok, b, p) for _, tok, b, p in fuzzy_req], max_candidates)
         for (ti, _tok, _b, _p), (fids, fcosts) in zip(fuzzy_req, results):
-            ids, costs = partial[ti]
+            ids, costs, kinds = partial[ti]
             seen = set(ids)
             # bound the scan work a typo expansion can trigger: take
             # candidates in the kernel's (cost, frequency) order until the
@@ -135,16 +138,18 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                 budget -= row_len
                 ids.append(fid)
                 costs.append(int(fc))
+                kinds.append(2)
 
     out = []
     for mkey, entry in zip(memo_keys, partial):
         if entry is None:
             out.append(memo[mkey])
             continue
-        ids, costs = entry
-        pair = (np.asarray(ids, dtype=np.int64),
-                np.asarray(costs, dtype=np.int64))
+        ids, costs, kinds = entry
+        trio = (np.asarray(ids, dtype=np.int64),
+                np.asarray(costs, dtype=np.int64),
+                np.asarray(kinds, dtype=np.int64))
         if memo is not None:
-            memo[mkey] = pair
-        out.append(pair)
+            memo[mkey] = trio
+        out.append(trio)
     return out

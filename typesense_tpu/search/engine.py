@@ -157,14 +157,19 @@ class IndexEngine:
                        prioritize_num_fields: bool = True,
                        phrase_pairs: tuple = (),
                        exclude_flags: tuple = (),
-                       field_num_typos: list[int] | None = None) -> RawResult:
+                       field_num_typos: list[int] | None = None,
+                       field_prefixes: list[bool] | None = None) -> RawResult:
         """token_candidates: per query token, (term_ids (C_i,), costs (C_i,)).
         field_num_typos: per-field typo budgets (num_typos=2,0 maps onto
         query_by fields, collection.h:65-341) — candidate rows whose typo
         cost exceeds a field's budget are masked out for that field."""
         Fq = len(field_names)
         Qn = min(len(token_candidates), MAX_QUERY_TOKENS)
-        token_candidates = token_candidates[:Qn]
+        # normalize entries to (ids, costs, kinds); kind 1 = prefix-derived
+        token_candidates = [
+            (tc[0], tc[1], tc[2] if len(tc) > 2 else
+             np.zeros(len(tc[0]), np.int64))
+            for tc in token_candidates[:Qn]]
         if Qn == 0 or Fq == 0:
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
 
@@ -173,14 +178,16 @@ class IndexEngine:
 
         cand_rows = np.full((Q, Fq, C), -1, dtype=np.int64)
         cand_costs = np.full((Q, C), 255, dtype=np.int32)
+        cand_kinds = np.zeros((Q, C), dtype=np.int32)
         token_valid = np.zeros(Q, dtype=bool)
         fis = [self.field_idx.get(fn, -1) for fn in field_names]
-        for qi, (tids, costs) in enumerate(token_candidates):
+        for qi, (tids, costs, kinds) in enumerate(token_candidates):
             token_valid[qi] = True
             for ci, (tid, cost) in enumerate(zip(tids[:C], costs[:C])):
                 if tid < 0:
                     continue
                 cand_costs[qi, ci] = cost
+                cand_kinds[qi, ci] = int(kinds[ci]) if ci < len(kinds) else 0
                 for fslot, fi in enumerate(fis):
                     if fi >= 0:
                         cand_rows[qi, fslot, ci] = fi * self.T + tid
@@ -194,6 +201,18 @@ class IndexEngine:
                     for ci in range(C):
                         if cand_costs[qi, ci] < 255 and \
                                 cand_costs[qi, ci] > budget:
+                            cand_rows[qi, fslot, ci] = -1
+        if field_prefixes is not None and not all(field_prefixes):
+            # prefix=true,false maps onto query_by fields: prefix-derived
+            # candidates only match in prefix-enabled fields
+            for fslot in range(Fq):
+                pfx = field_prefixes[fslot] if fslot < len(field_prefixes) \
+                    else field_prefixes[-1]
+                if pfx:
+                    continue
+                for qi in range(Q):
+                    for ci in range(C):
+                        if cand_kinds[qi, ci] == 1:
                             cand_rows[qi, fslot, ci] = -1
 
         cand_starts, cand_ends = self._row_bounds(cand_rows.reshape(-1))
