@@ -56,6 +56,29 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
     server.pers_models.load()
     manager.stemmers.load()
 
+    # housekeeping (housekeeper.h:7): periodic analytics flush + expired
+    # API key deletion on a daemon thread
+    import threading
+
+    def _housekeeping():
+        import time as _t
+        interval = max(min(cfg.analytics_flush_interval, 3600), 10)
+        while True:
+            _t.sleep(interval)
+            try:
+                server.analytics.flush()
+            except Exception:  # noqa: BLE001 — destination may not exist yet
+                pass
+            try:
+                now = _t.time()
+                for key in list(auth.keys.values()):
+                    if getattr(key, "autodelete", False) and \
+                            key.expires_at < now:
+                        auth.delete_key(key.id)
+            except Exception:  # noqa: BLE001
+                pass
+    threading.Thread(target=_housekeeping, daemon=True).start()
+
     # clustering (raft_server.h equivalent): --nodes file of host:port peers
     if cfg.nodes:
         from typesense_tpu.parallel.replication import NodesFile, ReplicationState
