@@ -76,3 +76,12 @@ def test_search_cutoff_flag():
     c.add({"id": "0", "title": "hello"})
     res = c.search({"q": "hello", "query_by": "title"})
     assert res["search_cutoff"] is False
+
+
+def test_pre_segmented_query():
+    c = Collection("ps", [Field("title", "string", locale="zh")])
+    c.add({"id": "0", "title": "中文搜索引擎"})
+    res = c.search({"q": "搜 索", "query_by": "title",
+                    "pre_segmented_query": "true", "num_typos": "0",
+                    "prefix": "false"})
+    assert res["found"] == 1

@@ -577,8 +577,14 @@ class Collection:
                                             facet_fields=facet_fields,
                                             k=fetch or 10), vdm, [])
             first_field = self.field_map[search_fields[0]]
-            q_toks, phrase_pairs, exclude_flags = parse_query_text(
-                str(q), first_field)
+            if _as_bool(params.get("pre_segmented_query")):
+                # client already segmented the query (CJK locales,
+                # collection.h pre_segmented_query): split on whitespace only
+                q_toks = [t.lower() for t in str(q).split()][:10]
+                phrase_pairs, exclude_flags = (), tuple([False] * len(q_toks))
+            else:
+                q_toks, phrase_pairs, exclude_flags = parse_query_text(
+                    str(q), first_field)
             # stopword removal (stopwords_manager.h)
             sw_set = params.get("stopwords") or self.metadata.get("stopwords")
             if sw_set and self.manager is not None and not phrase_pairs \
