@@ -471,6 +471,10 @@ class Collection:
         num_typos = [int(t) for t in _as_list(params.get("num_typos"))] or [2]
         prefixes = [_as_bool(p) for p in _as_list(params.get("prefix"))] or [True]
         max_candidates = int(params.get("max_candidates", 0) or 0)
+        if _as_bool(params.get("exhaustive_search")) and not max_candidates:
+            # collection.h:928: exhaustive_search lifts max_candidates to
+            # 10,000 (device candidate bucket clamps at 64 per token)
+            max_candidates = 10000
 
         k = max(250, fetch)
 
