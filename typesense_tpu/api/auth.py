@@ -174,6 +174,13 @@ class AuthManager:
                 continue
             if root.actions and not _match_any(root.actions, action) and "*" not in root.actions:
                 continue
+            # the parent key's collections ACL must cover every requested
+            # collection, exactly like the direct-key path (reference
+            # auth_manager.cpp authenticate_parse_params -> auth_against_key
+            # with the queried collection)
+            if any(not _match_any(root.collections, coll)
+                   for coll in (collections or ["*"])):
+                continue
             calc = base64.b64encode(
                 hmac.new(root.value.encode(), params_str.encode(),
                          hashlib.sha256).digest()).decode()

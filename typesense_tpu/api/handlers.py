@@ -238,9 +238,19 @@ def post_multi_search(server, req):
     union = bool(body.get("union"))
     common = {k: v for k, v in req.query.items()
               if k not in ("x-typesense-api-key",)}
+    # scoped-key embedded params override every per-search body
+    # (core_api.cpp post_multi_search applies embedded params with
+    # overwrite=true after merging the search object)
+    embedded = {k: (v if isinstance(v, str) else json.dumps(v))
+                for k, v in (req.embedded_params or {}).items()
+                if k not in ("expires_at", "limit_multi_searches")}
+    limit = (req.embedded_params or {}).get("limit_multi_searches")
+    if limit is not None and len(searches) > int(limit):
+        raise BadRequest("Number of multi searches exceeds "
+                         "`limit_multi_searches` parameter.")
     results = []
     for s in searches:
-        params = {**common, **s}
+        params = {**common, **s, **embedded}
         cname = params.pop("collection", None)
         if cname is None:
             results.append({"error": "`collection` is required", "code": 400})

@@ -42,6 +42,7 @@ class Request:
         self.headers = headers
         self.body = body
         self.params: dict[str, str] = {}
+        self.embedded_params: dict = {}
 
     def json(self):
         if not self.body:
@@ -141,9 +142,12 @@ class HttpServer:
         r("POST", "/config", h.post_config, "config:update")
         r("GET", "/config", h.get_config, "config:get")
         r("POST", "/proxy", h.post_proxy, "proxy:create")
-        # replication control plane (raft_server.h equivalents)
-        r("GET", "/replication/log", h.get_replication_log, "public")
-        r("GET", "/replication/status", h.get_replication_status, "public")
+        # replication control plane (raft_server.h equivalents). These serve
+        # raw oplog entries (full write bodies, incl. key payloads) so they
+        # REQUIRE auth — ReplicationState sends X-TYPESENSE-API-KEY when
+        # pulling, so followers keep working.
+        r("GET", "/replication/log", h.get_replication_log, "replication:list")
+        r("GET", "/replication/status", h.get_replication_status, "replication:list")
         # conversation / nl search / personalization models
         r("POST", "/conversations/models", h.post_conversation_model, "conversations:create")
         r("GET", "/conversations/models", h.get_conversation_models, "conversations:list")
@@ -310,30 +314,45 @@ class HttpServer:
                                              getattr(req, "remote_ip", ""))):
             return 429, _json_bytes({"message": "Rate limit exceeded or blocked."}), \
                 "application/json"
-        # clustered writes: log on the leader / forward from followers
-        # (is_write_request routing, http_server.h:199 + raft_server.cpp:292)
+        # clustered writes: followers forward to the leader BEFORE executing
+        # anything locally (is_write_request routing, http_server.h:199 +
+        # raft_server.cpp:387); the leader authenticates + applies first and
+        # only appends to the oplog after the handler succeeds, so
+        # unauthorized or rejected writes never replicate.
         repl = self.replication
-        if (repl is not None and self.is_write_route(req.method, req.path)
-                and "x-ts-replicated" not in req.headers):
-            if repl.is_leader:
-                repl.log_write({"method": req.method, "path": req.path,
-                                "query": req.query, "body":
-                                req.body.decode("utf-8", errors="replace")})
-            else:
-                try:
-                    return await asyncio.get_running_loop().run_in_executor(
-                        self.executor, self.forward_to_leader, req)
-                except Exception as e:  # noqa: BLE001 — leader unreachable
-                    return 503, _json_bytes(
-                        {"message": f"Could not reach leader: {e}"}), \
-                        "application/json"
+        is_repl_write = (repl is not None
+                         and self.is_write_route(req.method, req.path)
+                         and "x-ts-replicated" not in req.headers)
+        if is_repl_write and not repl.is_leader:
+            try:
+                return await asyncio.get_running_loop().run_in_executor(
+                    self.executor, self.forward_to_leader, req)
+            except Exception as e:  # noqa: BLE001 — leader unreachable
+                return 503, _json_bytes(
+                    {"message": f"Could not reach leader: {e}"}), \
+                    "application/json"
         try:
             if action != "public":
                 colls = [params.get("collection")] if params and params.get("collection") else []
+                if req.path == "/multi_search" and not colls:
+                    # authenticate against the collections named in the body
+                    # (core_api.cpp:78 handle_authentication collects them
+                    # from the searches array)
+                    try:
+                        colls = [s["collection"] for s in
+                                 req.json().get("searches", [])
+                                 if isinstance(s, dict) and "collection" in s]
+                    except TypesenseError:
+                        colls = []
                 embedded = self.auth.authenticate(req.api_key, action, colls)
                 if embedded:
+                    # scoped-key embedded params OVERRIDE client params
+                    # (collection_manager.cpp apply_embedded_params uses
+                    # overwrite=true) — a tenant filter_by embedded in the key
+                    # must not be bypassable from the query string
+                    req.embedded_params = embedded
                     for k, v in embedded.items():
-                        req.query.setdefault(k, v if isinstance(v, str) else json.dumps(v))
+                        req.query[k] = v if isinstance(v, str) else json.dumps(v)
             loop = asyncio.get_running_loop()
             t0 = time.monotonic()
             result = await loop.run_in_executor(
@@ -348,6 +367,10 @@ class HttpServer:
                 status, obj = result
             else:
                 status, obj = 200, result
+            if is_repl_write and status < 400:
+                repl.log_write({"method": req.method, "path": req.path,
+                                "query": req.query, "body":
+                                req.body.decode("utf-8", errors="replace")})
             if isinstance(obj, (bytes, bytearray)):
                 return status, bytes(obj), "text/plain; charset=utf-8"
             return status, _json_bytes(obj), "application/json"

@@ -23,7 +23,8 @@ from typesense_tpu.index.artifacts import (
 from typesense_tpu.schema.field import Field
 from typesense_tpu.text.tokenizer import Tokenizer
 
-_ASCII_WORD_RE = re.compile(r"[a-z0-9]+")
+_ASCII_SEP_RE = re.compile(r"[ \n]+")
+_ASCII_DROP_RE = re.compile(r"[^a-z0-9]+")
 
 # Fields eligible for the `:=`/facet value index are capped to avoid blowing
 # host memory on long-text fields (reference facets carry whole values too —
@@ -32,9 +33,17 @@ MAX_VALUE_INDEX_DISTINCT = 1_000_000
 
 
 def fast_tokenize(text: str) -> list[str]:
-    """ASCII fast path equivalent to Tokenizer with default symbols: runs of
-    [a-z0-9] after lowercasing (tokenizer.cpp:232-289 stream modes)."""
-    return _ASCII_WORD_RE.findall(text.lower())
+    """ASCII fast path equivalent to Tokenizer with default symbols
+    (tokenizer.cpp:232-289 stream modes): SEPARATE = space/newline emits the
+    pending token; every other non-alnum ASCII char is SKIP — dropped
+    in-place, NOT a split point ("ice-cream" -> "icecream", matching the
+    native builder fast path and Tokenizer)."""
+    out = []
+    for run in _ASCII_SEP_RE.split(text.lower()):
+        tok = _ASCII_DROP_RE.sub("", run)
+        if tok:
+            out.append(tok)
+    return out
 
 
 def tokenize_value(text: str, field: Field, stemmers=None) -> list[str]:
