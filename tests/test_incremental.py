@@ -89,3 +89,93 @@ def test_update_of_main_doc_triggers_rebuild(coll):
              operation="upsert")
     res = coll.search({"q": "edited", "query_by": "title"})
     assert ids(res) == ["5"]
+
+
+def test_string_sort_across_segments():
+    """Regression (round-1 VERDICT weak #4): per-segment ordinal string-sort
+    ranks compared numerically across main+delta gave wrong lexicographic
+    order. Ranks must be cross-segment comparable."""
+    c = Collection("ssort", [
+        Field("title", "string"),
+        Field("name", "string", sort=True),
+    ])
+    mains = ["banana", "dragonfruit", "fig", "kiwi", "mango", "papaya"]
+    for i, n in enumerate(mains):
+        c.add({"id": f"m{i}", "title": "common token", "name": n})
+    c._ensure_index()
+    deltas = ["apple", "cherry", "grape", "lemon", "nectarine", "quince"]
+    for i, n in enumerate(deltas):
+        c.add({"id": f"d{i}", "title": "common token", "name": n})
+    assert c._delta_start < c.next_seq_id  # delta really exists
+    res = c.search({"q": "common", "query_by": "title",
+                    "sort_by": "name:asc", "per_page": 20,
+                    "num_typos": "0", "prefix": "false"})
+    got = [h["document"]["name"] for h in res["hits"]]
+    assert got == sorted(mains + deltas), got
+    res = c.search({"q": "common", "query_by": "title",
+                    "sort_by": "name:desc", "per_page": 20,
+                    "num_typos": "0", "prefix": "false"})
+    got = [h["document"]["name"] for h in res["hits"]]
+    assert got == sorted(mains + deltas, reverse=True), got
+
+
+def test_string_sort_delta_interleave_dense():
+    """Many delta values interleaving between adjacent main values must keep
+    strict order (gap bisection)."""
+    c = Collection("ssort2", [
+        Field("title", "string"),
+        Field("name", "string", sort=True),
+    ])
+    c.add({"id": "a", "title": "tok", "name": "aa"})
+    c.add({"id": "z", "title": "tok", "name": "zz"})
+    c._ensure_index()
+    names = [f"m{chr(ord('a') + i)}" for i in range(10)]  # ma..mj between
+    for i, n in enumerate(names):
+        c.add({"id": f"d{i}", "title": "tok", "name": n})
+    res = c.search({"q": "tok", "query_by": "title", "sort_by": "name:asc",
+                    "per_page": 20, "num_typos": "0", "prefix": "false"})
+    got = [h["document"]["name"] for h in res["hits"]]
+    assert got == sorted(["aa", "zz"] + names), got
+
+
+def test_facet_counts_exact_above_16_values():
+    """Regression (round-1 VERDICT weak #5): facet counting silently capped
+    at 16 values per doc."""
+    c = Collection("fac", [
+        Field("title", "string"),
+        Field("tags", "string[]", facet=True),
+    ])
+    tags = [f"tag{i:02d}" for i in range(25)]
+    c.add({"id": "big", "title": "facet stress doc", "tags": tags})
+    c.add({"id": "small", "title": "facet stress doc", "tags": ["tag24"]})
+    res = c.search({"q": "facet", "query_by": "title", "facet_by": "tags",
+                    "max_facet_values": 30, "num_typos": "0",
+                    "prefix": "false"})
+    counts = {f["value"]: f["count"] for f in res["facet_counts"][0]["counts"]}
+    assert len(counts) == 25, len(counts)
+    for i in range(24):
+        assert counts[f"tag{i:02d}"] == 1
+    assert counts["tag24"] == 2
+
+
+def test_rand_sort_consistent_across_segments():
+    """_rand(seed) keys must be a function of (seed, doc) only, not of the
+    segment size, so merged ordering is stable."""
+    c = Collection("rnd", [Field("title", "string")])
+    for i in range(8):
+        c.add({"id": f"m{i}", "title": "tok"})
+    c._ensure_index()
+    for i in range(4):
+        c.add({"id": f"d{i}", "title": "tok"})
+    r1 = c.search({"q": "tok", "query_by": "title",
+                   "sort_by": "_rand(42):asc", "per_page": 20,
+                   "num_typos": "0", "prefix": "false"})
+    order1 = [h["document"]["id"] for h in r1["hits"]]
+    # compact and re-search: same seed must give the same global order
+    c._dirty = True
+    r2 = c.search({"q": "tok", "query_by": "title",
+                   "sort_by": "_rand(42):asc", "per_page": 20,
+                   "num_typos": "0", "prefix": "false"})
+    order2 = [h["document"]["id"] for h in r2["hits"]]
+    assert order1 == order2
+    assert len(order1) == 12

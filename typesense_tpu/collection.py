@@ -381,7 +381,8 @@ class Collection:
                      if s >= self._delta_start]
             if self._needs_flatten():
                 items = [(s, self._flat_doc(d)) for s, d in items]
-            seg = build_segment(items, self.fields, max(self.next_seq_id, 1))
+            seg = build_segment(items, self.fields, max(self.next_seq_id, 1),
+                                str_sort_dicts=main.seg.str_sort_dicts)
             self._delta_engine = IndexEngine(seg, self.fields)
             self._delta_dirty = False
         return [main, self._delta_engine]

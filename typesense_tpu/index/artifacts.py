@@ -72,6 +72,7 @@ class SegmentArrays:
     facet_columns: dict[str, tuple[np.ndarray, np.ndarray]] = dc_field(default_factory=dict)  # (offsets, value_ids)
     facet_values: dict[str, list[str]] = dc_field(default_factory=dict)    # value_id -> string
     str_sort_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)  # (N,) int64 order-preserving rank
+    str_sort_dicts: dict[str, tuple] = dc_field(default_factory=dict)  # field -> (sorted_values, gapped ranks); seeds delta-segment rank interpolation
     vectors: dict[str, np.ndarray] = dc_field(default_factory=dict)        # (N, D) float32 (unit-normalized if cosine)
     geo_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)    # (N, 2) float32 lat,lng (NaN = missing)
     geopoly_columns: dict[str, tuple[np.ndarray, np.ndarray]] = dc_field(default_factory=dict)  # ((N, Vmax, 2) f32, (N,) int32 vert counts)

@@ -118,7 +118,11 @@ class IndexEngine:
         for name in self.names["facet"]:
             offs = segment.facet_columns[name][0]
             cap = int(max((offs[1:] - offs[:-1]).max(initial=0), 1))
-            self._facet_caps[name] = min(cap, 16)
+            # exact counting: the unroll width must cover the TRUE max
+            # values-per-doc (the round-1 min(cap, 16) silently under-counted
+            # docs with >16 facet values); round up to a power of two so
+            # compile shapes bucket
+            self._facet_caps[name] = 1 << (cap - 1).bit_length() if cap > 1 else 1
 
     # ------------------------------------------------------------------
     def mark_deleted(self, seq_ids: list[int]):
@@ -497,10 +501,20 @@ class IndexEngine:
         return dev
 
     def rand_column(self, seed: int):
-        """_rand(seed) sort: a seeded pseudo-random permutation of doc ids."""
-        rng = np.random.default_rng(seed & 0xFFFFFFFF)
-        return jax.device_put(jnp.asarray(
-            rng.permutation(max(self.N, 1)).astype(np.int64)))
+        """_rand(seed) sort: a seeded pseudo-random key per doc id.
+
+        A stateless splitmix64-style hash of (seed, doc_id) — NOT a
+        permutation of [0, N): the key for a given doc must be identical in
+        every segment regardless of that segment's N, or cross-segment merge
+        ordering would be inconsistent.
+        """
+        x = (np.arange(max(self.N, 1), dtype=np.uint64)
+             + np.uint64((seed & 0xFFFFFFFFFFFFFFFF) ^ 0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        # positive int64 (engine sort keys clip to +-2^61)
+        return jax.device_put(jnp.asarray((x >> np.uint64(3)).astype(np.int64)))
 
     def mask_to_column(self, masks_and_weights: list[tuple]):
         """_eval([(filter):w, ...]) sort: weighted sum of filter masks."""
