@@ -715,27 +715,73 @@ class Collection:
         never drop tokens (reference behavior for phrases)."""
         from typesense_tpu.search.candidates import token_candidate_sets
 
+        from typesense_tpu.search.candidates import bounded_typo_cost
+
         tokens = list(q_tokens)
         excludes = list(exclude_flags) or [False] * len(tokens)
         can_drop = not phrase_pairs and not any(excludes)
         results: list[RawResult] = []
         cand_memo: dict = {}
+        max_typos = num_typos[0] if num_typos else 2
+        threshold = max(typo_tokens_threshold, 1)
+        empty_raw = RawResult(np.empty(0, np.int32),
+                              np.empty((0, 3), np.int64), 0)
         while True:
             exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
                           for i in range(len(tokens))]
+
+            def dispatch(cands):
+                # host-side short circuit: an include token with zero
+                # candidates makes the AND impossible — skip the round trip
+                if any(len(cands[i][0]) == 0 and not excludes[i]
+                       for i in range(len(cands))):
+                    return None
+                return engine.keyword_search(
+                    cands, search_fields, weights, sort_slots,
+                    filter_mask=filter_mask, facet_fields=facet_fields, k=k,
+                    prioritize_exact=prioritize_exact,
+                    prioritize_num_fields=prioritize_num_fields,
+                    phrase_pairs=phrase_pairs,
+                    exclude_flags=tuple(excludes[:len(tokens)]),
+                    field_num_typos=num_typos,
+                    field_prefixes=prefixes)
+
+            # staged typo expansion, mirroring the reference's ascending
+            # cost-combination loop (index.cpp:4860-4870) gated by
+            # typo_tokens_threshold: (1) cost-0 candidates only, (2) typos
+            # on tokens with no cost-0 candidates, (3) typos everywhere.
+            # Each stage's candidate set is a superset of the previous one,
+            # so the latest dispatch supersedes earlier ones.
+            budgets = [0 if exact_only[i]
+                       else bounded_typo_cost(max_typos, len(tokens[i]))
+                       for i in range(len(tokens))]
+            mask = [False] * len(tokens)
             cands = token_candidate_sets(
                 engine, tokens, search_fields, num_typos, prefixes,
                 max_candidates, typo_tokens_threshold, exact_only=exact_only,
-                memo=cand_memo)
-            raw = engine.keyword_search(
-                cands, search_fields, weights, sort_slots,
-                filter_mask=filter_mask, facet_fields=facet_fields, k=k,
-                prioritize_exact=prioritize_exact,
-                prioritize_num_fields=prioritize_num_fields,
-                phrase_pairs=phrase_pairs,
-                exclude_flags=tuple(excludes[:len(tokens)]),
-                field_num_typos=num_typos,
-                field_prefixes=prefixes)
+                memo=cand_memo, typo_tokens=mask)
+            raw = dispatch(cands)
+            if raw is None or raw.found < threshold:
+                mask2 = [budgets[i] > 0 and len(cands[i][0]) == 0
+                         for i in range(len(tokens))]
+                if any(mask2):
+                    cands = token_candidate_sets(
+                        engine, tokens, search_fields, num_typos, prefixes,
+                        max_candidates, typo_tokens_threshold,
+                        exact_only=exact_only, memo=cand_memo,
+                        typo_tokens=mask2)
+                    raw = dispatch(cands) or raw
+                    mask = mask2
+            if raw is None or raw.found < threshold:
+                mask3 = [budgets[i] > 0 for i in range(len(tokens))]
+                if mask3 != mask and any(mask3):
+                    cands = token_candidate_sets(
+                        engine, tokens, search_fields, num_typos, prefixes,
+                        max_candidates, typo_tokens_threshold,
+                        exact_only=exact_only, memo=cand_memo,
+                        typo_tokens=mask3)
+                    raw = dispatch(cands) or raw
+            raw = raw if raw is not None else empty_raw
             results.append(raw)
             if (raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1
                     or not can_drop

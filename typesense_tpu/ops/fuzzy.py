@@ -7,9 +7,9 @@ bit-parallel edit-distance automaton (Hyyrö's formulation) simultaneously
 over EVERY term in the flattened, lexicographically sorted term table AND
 over every query token at once:
 
-- each query pattern (<= 32 chars) becomes a (256,) uint64 match-mask row
+- each query pattern (<= 32 chars) becomes a (256,) uint32 match-mask row
 - each of the 32 unrolled steps advances the automaton for all (token, term)
-  pairs with ~14 elementwise uint64 ops on (Qt, T) lanes — pure VPU work
+  pairs with ~14 elementwise uint32 ops on (Qt, T) lanes — pure VPU work
 - non-prefix cost = the automaton score where each term ends; prefix cost =
   the running minimum over steps (edit distance of the query against every
   term prefix), matching the reference's prefix fuzzy semantics
@@ -43,22 +43,25 @@ def _build_fuzzy_kernel(L: int, K: int, QT: int):
     def kernel(term_chars_cols,   # (L, T) int32 char codes (0 = pad)
                term_lens,         # (T,) int32
                freqs,             # (T,) int32 doc frequencies
-               pm,                # (QT, 256) uint64 pattern match masks
+               pm,                # (QT, 256) uint32 pattern match masks
                meta,              # (QT, 4) int64: m, budget, prefix, min_len
                ):
         T = term_lens.shape[0]
-        one = jnp.uint64(1)
+        # patterns are <= MAX_TERM_LEN = 32 chars, so the automaton fits in
+        # uint32 lanes — int64 bit ops are emulated on TPU (32-bit VPU) and
+        # measure several times slower
+        one = jnp.uint32(1)
         m = meta[:, 0]
         budget = meta[:, 1].astype(jnp.int32)
         prefix = meta[:, 2] > 0
         min_len = meta[:, 3].astype(jnp.int32)
 
-        full = jnp.where(m >= 64, ~jnp.uint64(0),
-                         (one << m.astype(jnp.uint64)) - one)       # (QT,)
-        msb = one << jnp.maximum(m - 1, 0).astype(jnp.uint64)
+        full = jnp.where(m >= 32, ~jnp.uint32(0),
+                         (one << m.astype(jnp.uint32)) - one)       # (QT,)
+        msb = one << jnp.maximum(m - 1, 0).astype(jnp.uint32)
 
         VP = jnp.broadcast_to(full[:, None], (QT, T))
-        VN = jnp.zeros((QT, T), jnp.uint64)
+        VN = jnp.zeros((QT, T), jnp.uint32)
         score = jnp.broadcast_to(m.astype(jnp.int32)[:, None], (QT, T))
         best = score
 
@@ -99,9 +102,9 @@ def _build_fuzzy_kernel(L: int, K: int, QT: int):
 def _pm_table(token: str) -> tuple[np.ndarray, int]:
     b = token.encode("utf-8")[:MAX_TERM_LEN]
     m = len(b)
-    pm = np.zeros(256, dtype=np.uint64)
+    pm = np.zeros(256, dtype=np.uint32)
     for j, ch in enumerate(b):
-        pm[ch] |= np.uint64(1) << np.uint64(j)
+        pm[ch] |= np.uint32(1) << np.uint32(j)
     return pm, m
 
 
@@ -123,7 +126,7 @@ def fuzzy_candidates_batch(engine, tokens: list[tuple[str, int, bool]],
     QT = len(tokens)
     K = min(max(max_candidates * 4, 16), max(engine.seg.num_terms, 1))
 
-    pm = np.zeros((QT, 256), np.uint64)
+    pm = np.zeros((QT, 256), np.uint32)
     meta = np.zeros((QT, 4), np.int64)
     for i, (tok, budget, prefix) in enumerate(tokens):
         row, m = _pm_table(tok)

@@ -65,12 +65,18 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                          found_so_far: int = 0,
                          exact_only: list[bool] | None = None,
                          memo: dict | None = None,
+                         typo_tokens: list[bool] | None = None,
                          ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per query token -> (term_ids, typo_costs). The last token is treated
     as a prefix when `prefix` is enabled (instant-search semantics).
     exact_only marks phrase/excluded tokens (no prefix/typo expansion).
     memo: per-search cache keyed by (token, is_last) so drop_tokens retries
-    reuse candidate sets instead of re-dispatching the fuzzy kernel."""
+    reuse candidate sets instead of re-dispatching the fuzzy kernel.
+    typo_tokens: per-token gate for fuzzy expansion — the caller stages
+    expansion like the reference's ascending cost-combination loop
+    (index.cpp:4860-4870): first no typos, then typos only on tokens with no
+    cost-0 candidates, then everywhere, stopping as soon as found >=
+    typo_tokens_threshold. None = every eligible token (legacy callers)."""
     if max_candidates <= 0:
         max_candidates = DEFAULT_MAX_CANDIDATES
     prefix_on = prefixes[0] if prefixes else True
@@ -82,7 +88,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
     for ti, tok in enumerate(tokens):
         strict = bool(exact_only[ti]) if exact_only else False
         is_last = ti == len(tokens) - 1 and not strict
-        mkey = (tok, is_last, strict)
+        typo_ok = typo_tokens[ti] if typo_tokens is not None else True
+        mkey = (tok, is_last, strict, typo_ok)
         memo_keys.append(mkey)
         if memo is not None and mkey in memo:
             partial.append(None)  # filled from memo at the end
@@ -107,10 +114,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                     costs.append(int(pc))
                     kinds.append(1)
 
-        # typo candidates when exact+prefix hit nothing (or exhaustive);
-        # mirrors typo_tokens_threshold gating (index.cpp fuzzy loop)
         cost_budget = bounded_typo_cost(max_typos, len(tok))
-        if cost_budget > 0 and (not ids or found_so_far < typo_tokens_threshold):
+        if cost_budget > 0 and typo_ok:
             fuzzy_req.append((ti, tok, cost_budget, is_last and prefix_on))
         partial.append((ids, costs, kinds))
 

@@ -236,64 +236,63 @@ class IndexEngine:
             # driver token matches nothing anywhere -> no results (AND semantics)
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
 
-        # driver rows stream through fixed-size chunks with a DYNAMIC trip
-        # count — posting-list length never enters the compile signature.
-        # Two chunk tiers only: small queries (rare driver token) take the
-        # narrow program, everything else the wide one.
-        max_row = int(row_lens[drv].max())
-        if max_row <= 256:
-            S = 256
-        elif max_row <= 2 * SCORE_CHUNK_MAX:
-            S = SCORE_CHUNK_MAX
-        else:
-            S = SCORE_CHUNK_WIDE   # huge posting lists: amortize the per-
-            # chunk top-k sort + loop overhead over a much wider chunk
+        # the driver token's (field, candidate) rows form ONE logical stream:
+        # the kernel remaps lane -> (row, offset) via cumulative lengths, so
+        # the sequential scan-chunk count is ceil(total/S) regardless of C.
+        drv_total = int(row_lens[drv].sum())
+        drows_start = cand_starts[drv].reshape(-1).astype(np.int64)  # (F*C,)
+        drows_cum = np.zeros(Fq * C + 1, dtype=np.int64)
+        np.cumsum(row_lens[drv].reshape(-1), out=drows_cum[1:])
+        # driver chunk size S: few chunks (each pays a sequential top-k
+        # merge + position gather), power-of-4 tiers bound recompiles.
+        need = max(drv_total // 4, 1)
+        S = 256
+        while S < need and S < 16384:
+            S *= 4
         # cap the (S, Q, P) position-gather temp (per field) to ~64 MB
         while S > 1024 and S * Q * MAX_POS_PER_POSTING * 8 > 1 << 26:
-            S //= 2
-        chunk_starts: list[int] = []
-        chunk_lens: list[int] = []
-        chunk_rows: list[int] = []
-        for f in range(Fq):
-            for c in range(C):
-                s, e = int(cand_starts[drv, f, c]), int(cand_ends[drv, f, c])
-                for off in range(s, e, S):
-                    chunk_starts.append(off)
-                    chunk_lens.append(min(S, e - off))
-                    chunk_rows.append(f * C + c)
-        n_chunks = len(chunk_starts)
-        CB = bucket4(max(n_chunks, 1), lo=64, hi=1 << 22)
-        pad = CB - n_chunks
-        ch_starts = np.asarray(chunk_starts + [0] * pad, dtype=np.int64)
-        ch_lens = np.asarray(chunk_lens + [0] * pad, dtype=np.int64)
-        ch_rows = np.asarray(chunk_rows + [0] * pad, dtype=np.int64)
+            S //= 4
+        n_chunks = (drv_total + S - 1) // S
 
         # strategy by estimated cost: probe kernel does
         # drv_total * (Q*F*C) * iters random gathers; scatter kernel does
-        # ~2 writes per posting of EVERY candidate row plus Q*F plane
-        # gathers per driver element. Pick the cheaper program.
-        drv_total = int(row_lens[drv].sum())
+        # one packed scatter-min write per posting of EVERY candidate row,
+        # a (Q*F*N) plane memset (sequential writes ~8x cheaper than random
+        # ops), plus Q*F plane gathers per driver element. Pick the cheaper
+        # program.
+        total_postings = int(row_lens.sum())
         probe_cost = drv_total * (Q * Fq * C) * self._iters
-        scatter_cost = 2 * int(row_lens.sum()) + drv_total * (Q * Fq)
+        scatter_cost = (total_postings + drv_total * (Q * Fq)
+                        + (Q * Fq * self.N) // 8)
         use_probe = probe_cost < scatter_cost
+        if int(row_lens.max()) >= (1 << 25):
+            # plane values pack the row-relative offset into 25 bits; a row
+            # longer than that can't scatter — probe instead
+            use_probe = True
 
-        # scatter chunks: EVERY (token, field, cand) row, descending candidate
-        # order so the lowest (best) candidate wins each dense-plane cell
+        # scatter chunks: EVERY (token, field, cand) row in fixed (SS,)
+        # slices (min-scatter makes write order irrelevant)
+        SS = 2048
         s_starts: list[int] = []
         s_lens: list[int] = []
         s_qf: list[int] = []
         s_c: list[int] = []
-        for c in range(C - 1, -1, -1):
-            for q in range(Q):
-                for f in range(Fq):
-                    s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
-                    if e0 <= s0 or cand_costs[q, c] >= 255:
-                        continue
-                    for off in range(s0, e0, S):
-                        s_starts.append(off)
-                        s_lens.append(min(S, e0 - off))
-                        s_qf.append(q * Fq + f)
-                        s_c.append(c)
+        s_rel0: list[int] = []   # chunk offset within its row (packs into
+        # the plane value's low 25 bits; the kernel reconstructs the absolute
+        # posting index as cand_starts[q,f,c] + rel)
+        if not use_probe:
+            for c in range(C):
+                for q in range(Q):
+                    for f in range(Fq):
+                        s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
+                        if e0 <= s0 or cand_costs[q, c] >= 255:
+                            continue
+                        for off in range(s0, e0, SS):
+                            s_starts.append(off)
+                            s_lens.append(min(SS, e0 - off))
+                            s_qf.append(q * Fq + f)
+                            s_c.append(c)
+                            s_rel0.append(off - s0)
         n_sc = len(s_starts)
         SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
         spad = SCB - n_sc
@@ -301,6 +300,7 @@ class IndexEngine:
         sc_lens = np.asarray(s_lens + [0] * spad, dtype=np.int64)
         sc_qf = np.asarray(s_qf + [0] * spad, dtype=np.int64)
         sc_c = np.asarray(s_c + [0] * spad, dtype=np.int64)
+        sc_rel0 = np.asarray(s_rel0 + [0] * spad, dtype=np.int64)
         K = bucket(k, lo=16, hi=1 << 14)
 
         slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
@@ -312,13 +312,13 @@ class IndexEngine:
 
         if use_probe:
             kern = kernels.build_probe_kernel(
-                Q, Fq, C, CB, S, K, MAX_POS_PER_POSTING, self._iters,
+                Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))
         else:
             kern = kernels.build_keyword_kernel(
-                Q, Fq, C, SCB, CB, S, K, MAX_POS_PER_POSTING, self._iters,
+                Q, Fq, C, SCB, SS, S, K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))
@@ -328,7 +328,7 @@ class IndexEngine:
         weights[:len(field_weights)] = field_weights[:Fq]
 
         if use_probe:
-            qbuf = kernels.pack_probe_buf(ch_starts, ch_lens, ch_rows,
+            qbuf = kernels.pack_probe_buf(drows_start, drows_cum,
                                           n_chunks, drv,
                                           cand_starts.astype(np.int64),
                                           cand_ends.astype(np.int64),
@@ -336,8 +336,10 @@ class IndexEngine:
                                           token_valid, weights)
         else:
             qbuf = kernels.pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c,
-                                          n_sc, ch_starts, ch_lens, ch_rows,
+                                          sc_rel0, n_sc,
+                                          drows_start, drows_cum,
                                           n_chunks, drv,
+                                          cand_starts.astype(np.int64),
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,

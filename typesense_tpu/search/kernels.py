@@ -83,18 +83,19 @@ def topk_merge(keys0, keys1, keys2, doc_ids, valid, k: int):
     return -s0[:k], -s1[:k], -s2[:k], out_ids
 
 
-def pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
-                   chunk_starts, chunk_lens, chunk_rows, n_chunks, drv,
-                   cand_costs, token_valid, field_weights):
+def pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
+                   drows_start, drows_cum, n_chunks, drv,
+                   cand_starts, cand_costs, token_valid, field_weights):
     """Single host->device upload per query: the tunnel charges per transfer,
     so every small per-query array rides in one int64 buffer."""
     import numpy as np
     return np.concatenate([
         sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
+        sc_rel0.ravel(),
         np.array([n_sc], dtype=np.int64),
-        chunk_starts.ravel(), chunk_lens.ravel(), chunk_rows.ravel(),
+        drows_start.ravel(), drows_cum.ravel(),
         np.array([n_chunks, drv], dtype=np.int64),
-        cand_costs.ravel(),
+        cand_starts.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
     ]).astype(np.int64)
 
@@ -216,7 +217,7 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
 
 
 @lru_cache(maxsize=512)
-def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
+def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
                          K: int, P: int, iters: int, slot_kinds: tuple,
                          slot_signs: tuple, prioritize_exact: bool,
                          prioritize_num_fields: bool, n_facets: int,
@@ -228,22 +229,25 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
     single compiled program serves every posting-list length:
 
       1. SCATTER: every (token, field, candidate) posting row streams through
-         fixed-size chunks and scatters (candidate_id+1, posting_idx) into
-         dense (Q*F, N) membership planes — sequential reads + one random
-         write per posting. This replaces per-driver-element binary search
-         (the old or_iterator-style probe cost O(drv_len * QFC * log P)
-         random gathers; the planes cost O(total postings) writes).
-         Rows scatter in DESCENDING candidate order so the lowest (best
-         typo-cost) candidate wins each cell.
-      2. DRIVER SCAN: the driver token's rows stream through (S,) chunks;
-         membership/cost/position lookups are single plane gathers; docs are
-         deduped by ownership (first driver (field, cand) row containing the
-         doc, derived from the planes); proximity scoring, filter mask,
-         3-slot sort keys, running top-K merge, facet scatter-add.
+         fixed-size (SS,) chunks; G chunks at a time scatter-MIN a packed
+         uint32 (cand+1)<<25 | row-relative-offset into dense (Q*F, N)
+         membership planes. Min-scatter is order-independent, so the phase
+         is ~n_sc/G parallel super-steps (the round-1 version looped n_sc
+         sequential steps — >1000 for typo queries). uint32 matters: TPU
+         int64 scatter-min measures ~9x slower than 32-bit.
+      2. DRIVER SCAN: the driver token's rows form ONE logical stream
+         (device-side lane -> (row, offset) remap via cumulative row
+         lengths), so the chunk count is ceil(total/S) regardless of how
+         many (field, candidate) rows the driver has — the round-1 version
+         paid >= F*C chunks x ~4.5 ms even for tiny rows. Membership/cost/
+         position lookups are single plane gathers; docs are deduped by
+         ownership (first driver (field, cand) row containing the doc);
+         proximity scoring, filter mask, 3-slot sort keys, running top-K
+         merge, facet scatter-add.
 
     Q: query token count; F: searched fields; C: candidate bucket;
-    SCB/CB: scatter/driver chunk-descriptor pads (tiny ints, loop never
-    visits padding); S: chunk size; K: top-k; P: positions cap.
+    SCB: scatter chunk-descriptor pad; SS: scatter chunk size; S: driver
+    chunk size; K: top-k; P: positions cap.
     phrase_pairs: static (i, j) token index pairs that must be adjacent in
     the same field value (do_phrase_search, index.cpp:5909). exclude_flags:
     per-token `-token` negation (collection.cpp:4544).
@@ -252,6 +256,7 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
     found | facet counts...] — one device->host readback per query.
     """
     exclude = tuple(bool(x) for x in exclude_flags) + (False,) * (Q - len(exclude_flags))
+    DR = F * C   # driver stream rows
 
     @jax.jit
     def kernel(post_doc_ids, post_flags, pos_offsets, positions,
@@ -265,12 +270,14 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
         sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_qf = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_rel0 = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         n_sc = qbuf[o].astype(jnp.int32); o += 1
-        chunk_starts = qbuf[o:o + CB].astype(jnp.int32); o += CB
-        chunk_lens = qbuf[o:o + CB].astype(jnp.int32); o += CB
-        chunk_rows = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        drows_start = qbuf[o:o + DR].astype(jnp.int32); o += DR
+        drows_cum = qbuf[o:o + DR + 1].astype(jnp.int32); o += DR + 1
         n_chunks = qbuf[o].astype(jnp.int32); o += 1
         drv = qbuf[o].astype(jnp.int32); o += 1
+        cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
+        o += Q * F * C
         cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32); o += Q * C
         token_valid = qbuf[o:o + Q].astype(bool); o += Q
         field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
@@ -281,42 +288,56 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
         tve = token_valid[:, None] & excl                      # exclude tokens
 
         # ---- phase 1: scatter membership planes ----
-        def scatter_chunk(i, st):
-            dc, dp = st
-            base = sc_starts[i]
-            ln = sc_lens[i]
-            qf = sc_qf[i]
-            c = sc_c[i]
-            idx = base + jnp.arange(S, dtype=jnp.int32)
-            valid = jnp.arange(S) < ln
-            docs = jnp.where(valid,
-                             post_doc_ids[jnp.clip(idx, 0,
-                                                   post_doc_ids.shape[0] - 1)],
-                             jnp.int32(N))   # out of range -> dropped
-            qf_vec = jnp.full((S,), qf, jnp.int32)
-            dc = dc.at[qf_vec, docs].set((c + 1).astype(jnp.int32), mode="drop")
-            dp = dp.at[qf_vec, docs].set(idx, mode="drop")
-            return dc, dp
+        G = max(1, min((1 << 17) // SS, SCB))
+        EMPTY32 = jnp.uint32(0xFFFFFFFF)
+        ss_lane = jnp.arange(SS, dtype=jnp.int32)
 
-        dense_cand = jnp.zeros((Q * F, N), jnp.int32)
-        dense_pidx = jnp.zeros((Q * F, N), jnp.int32)
-        dense_cand, dense_pidx = lax.fori_loop(
-            0, n_sc, scatter_chunk, (dense_cand, dense_pidx))
+        def scatter_step(i, plane):
+            base = lax.dynamic_slice(sc_starts, (i * G,), (G,))
+            ln = lax.dynamic_slice(sc_lens, (i * G,), (G,))
+            qf = lax.dynamic_slice(sc_qf, (i * G,), (G,))
+            c = lax.dynamic_slice(sc_c, (i * G,), (G,))
+            rel0 = lax.dynamic_slice(sc_rel0, (i * G,), (G,))
+            idx = base[:, None] + ss_lane[None, :]              # (G, SS)
+            valid = ss_lane[None, :] < ln[:, None]
+            docs = post_doc_ids[jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)]
+            flat = jnp.where(valid, qf[:, None] * N + docs,
+                             jnp.int32(Q * F * N))              # OOB -> drop
+            val = (((c[:, None] + 1) << 25) |
+                   (rel0[:, None] + ss_lane[None, :])).astype(jnp.uint32)
+            return plane.at[flat.reshape(-1)].min(val.reshape(-1), mode="drop")
 
-        # ---- phase 2: driver scan ----
+        n_steps = (n_sc + G - 1) // G   # dynamic; min-scatter is idempotent,
+        # so the clamped re-read of the final partial step is harmless
+        plane = lax.fori_loop(0, n_steps, scatter_step,
+                              jnp.full((Q * F * N,), EMPTY32, jnp.uint32))
+        dense_val = plane.reshape(Q * F, N)
+
+        # ---- phase 2: driver scan over the concatenated driver stream ----
+        lane = jnp.arange(S, dtype=jnp.int32)
+        total_drv = drows_cum[DR]
+
         def score_chunk(chunk_i, carry):
-            cbase = chunk_starts[chunk_i]
-            ln = chunk_lens[chunk_i]
-            row_fc = chunk_rows[chunk_i]
-            idx = cbase + jnp.arange(S, dtype=jnp.int32)
-            in_range = jnp.arange(S) < ln
+            g = chunk_i * S + lane                             # (S,) global
+            in_range = g < total_drv
+            # lane -> (row, offset) remap: row = searchsorted(cum, g)
+            row = jnp.sum(g[:, None] >= drows_cum[None, 1:],
+                          axis=1).astype(jnp.int32)            # (S,) in [0, DR)
+            rsafe = jnp.clip(row, 0, DR - 1)
+            idx = drows_start[rsafe] + (g - drows_cum[rsafe])
             d = jnp.where(in_range,
                           post_doc_ids[jnp.clip(idx, 0,
                                                 post_doc_ids.shape[0] - 1)], 0)
 
-            cand_id = dense_cand[:, d].reshape(Q, F, S)        # (Q, F, S)
-            pidx = dense_pidx[:, d].reshape(Q, F, S)
-            tok_field = cand_id > 0                            # (Q, F, S)
+            val = dense_val[:, d].reshape(Q, F, S)             # (Q, F, S)
+            member = val != EMPTY32
+            cand_id = jnp.where(member,
+                                (val >> 25).astype(jnp.int32), 0)
+            rel = (val & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+            row_base = jnp.take_along_axis(
+                cand_starts, jnp.clip(cand_id - 1, 0, C - 1), axis=2)
+            pidx = row_base + rel
+            tok_field = member                                 # (Q, F, S)
             tok_any = jnp.any(tok_field, axis=1)               # (Q, S)
             all_match = (jnp.all(tok_any | ~tv, axis=0)
                          & jnp.any(tok_any & tv, axis=0)
@@ -329,9 +350,10 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
                                          (1, F, S))[0]         # (F, S)
             has_f = drv_cand > 0
             first_f = jnp.argmax(has_f, axis=0).astype(jnp.int32)  # (S,)
-            f_of_row = row_fc // C
-            c_of_row = row_fc % C
-            c_sel = lax.dynamic_slice(drv_cand, (f_of_row, zero), (1, S))[0]
+            f_of_row = rsafe // C                              # (S,)
+            c_of_row = rsafe % C
+            c_sel = jnp.take_along_axis(drv_cand, f_of_row[None, :],
+                                        axis=0)[0]             # (S,)
             own = (first_f == f_of_row) & (c_sel == c_of_row + 1)
 
             fmask = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
@@ -369,13 +391,13 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, CB: int, S: int,
     return kernel
 
 
-def pack_probe_buf(chunk_starts, chunk_lens, chunk_rows, n_chunks, drv,
+def pack_probe_buf(drows_start, drows_cum, n_chunks, drv,
                    cand_starts, cand_ends, cand_costs, token_valid,
                    field_weights):
     """Query buffer for the probe-path kernel (small drivers)."""
     import numpy as np
     return np.concatenate([
-        chunk_starts.ravel(), chunk_lens.ravel(), chunk_rows.ravel(),
+        drows_start.ravel(), drows_cum.ravel(),
         np.array([n_chunks, drv], dtype=np.int64),
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
@@ -383,7 +405,7 @@ def pack_probe_buf(chunk_starts, chunk_lens, chunk_rows, n_chunks, drv,
 
 
 @lru_cache(maxsize=512)
-def build_probe_kernel(Q: int, F: int, C: int, CB: int, S: int,
+def build_probe_kernel(Q: int, F: int, C: int, S: int,
                        K: int, P: int, iters: int, slot_kinds: tuple,
                        slot_signs: tuple, prioritize_exact: bool,
                        prioritize_num_fields: bool, n_facets: int,
@@ -393,17 +415,20 @@ def build_probe_kernel(Q: int, F: int, C: int, CB: int, S: int,
     membership (the or_iterator-style intersect, or_iterator.h:61-182). For a
     rare driver token the probe count (drv_len * QFC * log P random gathers)
     is tiny and beats the scatter planes, which would scan every candidate
-    row in full. Large drivers take build_keyword_kernel (scatter planes)."""
+    row in full. Large drivers take build_keyword_kernel (scatter planes).
+    The driver's rows form one logical stream (lane -> (row, offset) remap
+    via cumulative lengths) so the chunk count is ceil(total/S) regardless
+    of the number of (field, candidate) rows."""
     exclude = tuple(bool(x) for x in exclude_flags) + (False,) * (Q - len(exclude_flags))
+    DR = F * C
 
     @jax.jit
     def kernel(post_doc_ids, post_flags, pos_offsets, positions,
                field_token_counts, filter_mask, qbuf,
                sort_col0, sort_col1, sort_col2, facet_offs, facet_vals):
         o = 0
-        chunk_starts = qbuf[o:o + CB].astype(jnp.int32); o += CB
-        chunk_lens = qbuf[o:o + CB].astype(jnp.int32); o += CB
-        chunk_rows = qbuf[o:o + CB].astype(jnp.int32); o += CB
+        drows_start = qbuf[o:o + DR].astype(jnp.int32); o += DR
+        drows_cum = qbuf[o:o + DR + 1].astype(jnp.int32); o += DR + 1
         n_chunks = qbuf[o].astype(jnp.int32); o += 1
         drv = qbuf[o].astype(jnp.int32); o += 1
         cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32); o += Q * F * C
@@ -418,13 +443,16 @@ def build_probe_kernel(Q: int, F: int, C: int, CB: int, S: int,
         cs = cand_starts.reshape(-1, 1)
         ce = cand_ends.reshape(-1, 1)
         cvalid = (cand_costs < 255)[:, None, :, None]
+        lane = jnp.arange(S, dtype=jnp.int32)
+        total_drv = drows_cum[DR]
 
         def score_chunk(chunk_i, carry):
-            cbase = chunk_starts[chunk_i]
-            ln = chunk_lens[chunk_i]
-            row_fc = chunk_rows[chunk_i]
-            idx = cbase + jnp.arange(S, dtype=jnp.int32)
-            in_range = jnp.arange(S) < ln
+            g = chunk_i * S + lane
+            in_range = g < total_drv
+            row = jnp.sum(g[:, None] >= drows_cum[None, 1:],
+                          axis=1).astype(jnp.int32)
+            rsafe = jnp.clip(row, 0, DR - 1)
+            idx = drows_start[rsafe] + (g - drows_cum[rsafe])
             d = jnp.where(in_range,
                           post_doc_ids[jnp.clip(idx, 0,
                                                 post_doc_ids.shape[0] - 1)],
@@ -449,8 +477,9 @@ def build_probe_kernel(Q: int, F: int, C: int, CB: int, S: int,
             zero = jnp.int32(0)
             drv_member = lax.dynamic_slice(
                 found, (drv, zero, zero, zero), (1, F, C, S)).reshape(F * C, S)
-            first_row = jnp.argmax(drv_member, axis=0)
-            own = first_row == row_fc
+            # row index within drv_member is f*C+c == the stream row id
+            first_row = jnp.argmax(drv_member, axis=0).astype(jnp.int32)
+            own = first_row == rsafe
 
             fmask = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
             m = all_match & in_range & own & fmask & (d < INT32_INF)
