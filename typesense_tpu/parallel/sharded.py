@@ -235,3 +235,341 @@ def build_sharded_search_step(mesh: Mesh, Q: int, D: int, K: int, iters: int,
         return kid[0], kk[0], vid[0], vd[0], found[0]
 
     return search_step
+
+
+# ---------------------------------------------------------------------------
+# The REAL sharded engine: the full keyword kernel (typo candidates,
+# scatter/scan intersection, proximity scoring, facets, filters) runs per
+# doc shard under shard_map; shards merge with ICI collectives
+# (all_gather top-k re-merge, psum found/facets). This is the production
+# mapping of the reference's windowed scoring fan-out + aggregate_topster
+# (/root/reference/src/index.cpp:6653-6655, include/index.h:525) onto a
+# device mesh (SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+
+from types import SimpleNamespace
+
+from jax.sharding import NamedSharding
+
+from typesense_tpu.search import kernels
+from typesense_tpu.search.engine import (
+    IndexEngine, MAX_POS_PER_POSTING, RawResult, float32_sortable_int64,
+)
+
+
+class _ShardView:
+    """Host-side view of one shard for O(query) planning: term dictionary,
+    prefix ranges, fuzzy tables, PADDED posting offsets. Exposes exactly the
+    attribute surface that token_candidate_sets / fuzzy_candidates_batch /
+    IndexEngine.prepare_keyword_dispatch touch, so the single-device planner
+    runs unchanged per shard."""
+
+    def __init__(self, seg, padded_offsets, field_idx, T):
+        self._iters = max(
+            int(np.ceil(np.log2(max(len(seg.post_doc_ids), 2)))) + 1, 2)
+        self.seg = SimpleNamespace(
+            term_to_id=seg.term_to_id,
+            term_doc_freq=seg.term_doc_freq,
+            num_terms=seg.num_terms,
+            term_chars=seg.term_chars,
+            term_lens=seg.term_lens,
+            post_offsets=padded_offsets,
+        )
+        self.field_idx = field_idx
+        self.T = T
+        self.N = seg.num_docs
+
+    _row_bounds = IndexEngine._row_bounds
+    prepare_keyword_dispatch = IndexEngine.prepare_keyword_dispatch
+
+
+class ShardedEngine:
+    """Doc-sharded index over a Mesh running the SAME kernel body as the
+    single-device engine (kernels.keyword_kernel_body) per shard.
+
+    Semantics note: each shard owns an independent term dictionary, so
+    frequency-ranked candidate CAPS (max_candidates) rank by shard-local
+    frequency. With caps that don't bind (or exact tokens), results are
+    identical to the single-device engine on the same corpus — asserted by
+    tests/dryrun. Facet value ids are remapped to one GLOBAL dictionary at
+    build time so facet psum merges are exact."""
+
+    def __init__(self, docs: list[tuple[int, dict]], fields: list[Field],
+                 mesh: Mesh):
+        self.mesh = mesh
+        self.fields = fields
+        n = mesh.devices.size
+        self.n_shards = n
+
+        shards: list[list[tuple[int, dict]]] = [[] for _ in range(n)]
+        globals_per_shard: list[list[int]] = [[] for _ in range(n)]
+        for i, (seq, doc) in enumerate(docs):
+            s = i % n
+            globals_per_shard[s].append(seq)
+            shards[s].append((len(shards[s]), doc))
+        per_docs = max(max((len(s) for s in shards), default=1), 1)
+        segs = [build_segment(s, fields, num_docs=per_docs) for s in shards]
+        self.segs = segs
+
+        # global facet dictionaries (exact cross-shard psum counting)
+        self.facet_values: dict[str, list[str]] = {}
+        facet_names = [f.name for f in fields if f.facet]
+        for name in facet_names:
+            seen: dict[str, int] = {}
+            vals: list[str] = []
+            for seg in segs:
+                for v in seg.facet_values.get(name, []):
+                    if v not in seen:
+                        seen[v] = len(vals)
+                        vals.append(v)
+            self.facet_values[name] = vals
+            for seg in segs:
+                local_vals = seg.facet_values.get(name, [])
+                offs, ids = seg.facet_columns[name]
+                if len(local_vals):
+                    remap = np.asarray([seen[v] for v in local_vals],
+                                       dtype=np.int32)
+                    ids = remap[ids] if len(ids) else ids.astype(np.int32)
+                seg.facet_columns[name] = (offs, ids)
+
+        T = max(max(s.num_terms for s in segs), 1)
+        P_len = max(max(len(s.post_doc_ids) for s in segs), 1)
+        PP = max(max(len(s.positions) for s in segs), 1)
+        self.T = T
+        self.N_local = per_docs
+        self.field_idx = {nm: i for i, nm in enumerate(segs[0].search_fields)}
+        self._iters = max(int(np.ceil(np.log2(max(P_len, 2)))) + 1, 2)
+
+        def pad(a, ln, fill=0):
+            if a.shape[0] >= ln:
+                return a[:ln]
+            return np.concatenate(
+                [a, np.full((ln - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
+        def pad_offsets_tail(a, ln):
+            # monotone offsets: pad by repeating the last value
+            if a.shape[0] >= ln:
+                return a[:ln]
+            return np.concatenate(
+                [a, np.full(ln - a.shape[0], a[-1], a.dtype)])
+
+        padded_po = [_pad_offsets(s, max(len(segs[0].search_fields), 1), T,
+                                  P_len) for s in segs]
+        self.views = [
+            _ShardView(seg, po, self.field_idx, T)
+            for seg, po in zip(segs, padded_po)]
+
+        shard = NamedSharding(mesh, P(DOC_AXIS))
+        self._shard = shard
+
+        def put(stacked):
+            return jax.device_put(stacked, shard)
+
+        self.post_doc_ids = put(np.stack(
+            [pad(s.post_doc_ids, P_len) for s in segs]).astype(np.int32))
+        self.post_flags = put(np.stack(
+            [pad(s.post_flags, P_len) for s in segs]))
+        self.pos_offsets = put(np.stack(
+            [pad_offsets_tail(s.pos_offsets, P_len + 1) for s in segs]))
+        self.positions = put(np.stack(
+            [pad(s.positions, PP) for s in segs]).astype(np.int32))
+        self.field_token_counts = put(np.stack(
+            [s.field_token_counts for s in segs]))
+        self.live = put(np.stack([s.live for s in segs]))
+        self.doc_base = put(np.stack(
+            [np.asarray((list(g) + list(range(len(g), per_docs)))[:per_docs],
+                        dtype=np.int32)
+             for g in globals_per_shard]))
+        self._zero_col = put(np.zeros((n, per_docs), np.int64))
+
+        # sort-ready int64 columns (same key transform as IndexEngine)
+        self.sort_cols: dict[str, jax.Array] = {}
+        for name in segs[0].num_columns:
+            stacked = []
+            for s in segs:
+                col = s.num_columns[name]
+                if col.dtype == np.float32:
+                    stacked.append(float32_sortable_int64(col))
+                else:
+                    stacked.append(np.clip(col, -(2**61), 2**61))
+            self.sort_cols[name] = put(np.stack(stacked).astype(np.int64))
+        for name in segs[0].str_sort_columns:
+            self.sort_cols[name] = put(np.stack(
+                [np.clip(s.str_sort_columns[name], -(2**61), 2**61)
+                 for s in segs]).astype(np.int64))
+        self._raw_cols = {name: put(np.stack(
+            [s.num_columns[name] for s in segs]))
+            for name in segs[0].num_columns}
+
+        # facet CSR (global value ids)
+        self.facet_offs: dict[str, jax.Array] = {}
+        self.facet_vals: dict[str, jax.Array] = {}
+        for name in facet_names:
+            vmax = max(max((len(s.facet_columns[name][1]) for s in segs),
+                           default=1), 1)
+            self.facet_offs[name] = put(np.stack(
+                [s.facet_columns[name][0] for s in segs]).astype(np.int64))
+            self.facet_vals[name] = put(np.stack(
+                [pad(s.facet_columns[name][1].astype(np.int32), vmax)
+                 for s in segs]))
+            caps = [int(max((s.facet_columns[name][0][1:]
+                             - s.facet_columns[name][0][:-1]).max(initial=0),
+                            1)) for s in segs]
+            cap = max(caps)
+            setattr(self, "_cap_" + name,
+                    1 << (cap - 1).bit_length() if cap > 1 else 1)
+
+        self._kern_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _sharded_kernel(self, statics: tuple):
+        kern = self._kern_cache.get(statics)
+        if kern is not None:
+            return kern
+        (Q, F, C, SCB, SS, S, K, Pp, iters, slot_kinds, slot_signs,
+         pe, pnf, n_facets, f_caps, f_sizes, phrase_pairs, excl) = statics
+
+        def local(pd, pf, po, pos, ftc, fm, qbuf, c0, c1, c2, db,
+                  f_offs, f_vals):
+            buf = kernels.keyword_kernel_body(
+                Q, F, C, SCB, SS, S, K, Pp, iters, slot_kinds, slot_signs,
+                pe, pnf, n_facets, f_caps, f_sizes, phrase_pairs, excl,
+                pd[0], pf[0], po[0], pos[0], ftc[0], fm[0], qbuf[0],
+                c0[0], c1[0], c2[0],
+                tuple(x[0] for x in f_offs), tuple(x[0] for x in f_vals),
+                doc_base=db[0])
+            rid = buf[:K]
+            r0, r1, r2 = buf[K:2 * K], buf[2 * K:3 * K], buf[3 * K:4 * K]
+            found = buf[4 * K]
+            o = 4 * K + 1
+            # cross-shard merges over ICI
+            gid = lax.all_gather(rid, DOC_AXIS, tiled=True)
+            g0 = lax.all_gather(r0, DOC_AXIS, tiled=True)
+            g1 = lax.all_gather(r1, DOC_AXIS, tiled=True)
+            g2 = lax.all_gather(r2, DOC_AXIS, tiled=True)
+            m0, m1, m2, mid = kernels.topk_merge(
+                g0, g1, g2, gid.astype(jnp.int32), gid >= 0, K)
+            found = lax.psum(found, DOC_AXIS)
+            out = [mid.astype(jnp.int64), m0, m1, m2, found[None]]
+            for sz in f_sizes:
+                out.append(lax.psum(buf[o:o + sz], DOC_AXIS))
+                o += sz
+            return jnp.concatenate(out)[None]
+
+        spec = P(DOC_AXIS)
+        kern = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(spec,) * 13,
+            out_specs=spec, check_vma=False))
+        self._kern_cache[statics] = kern
+        return kern
+
+    # ------------------------------------------------------------------
+    def search(self, tokens: list[str], field_names: list[str],
+               field_weights: list[int] | None = None,
+               sort_specs: list[tuple] | None = None,
+               facet_fields: list[str] | None = None,
+               num_typos: list[int] | None = None,
+               prefixes: list[bool] | None = None,
+               max_candidates: int = 64,
+               filter_range: tuple | None = None,
+               k: int = 16) -> RawResult:
+        """Typo-tolerant faceted filtered search over the mesh.
+
+        sort_specs: up to 3 of (kind, sign, column_name_or_None) using
+        kernels.SLOT_* kinds. filter_range: (num_field, lo, hi) inclusive.
+        """
+        from typesense_tpu.search.candidates import token_candidate_sets
+
+        num_typos = num_typos or [0]
+        prefixes = prefixes if prefixes is not None else [False]
+        field_weights = field_weights or [1] * len(field_names)
+        facet_fields = [f for f in (facet_fields or [])
+                        if f in self.facet_values]
+
+        # per-shard planning with the single-device planner
+        preps = []
+        per_shard_cands = []
+        for view in self.views:
+            cands = token_candidate_sets(
+                view, tokens, field_names, num_typos, prefixes,
+                max_candidates, typo_tokens_threshold=1)
+            per_shard_cands.append(cands)
+            preps.append(IndexEngine.prepare_keyword_dispatch(
+                view, cands, field_names, field_weights, k=k))
+        if all(p is None for p in preps):
+            return RawResult(np.empty(0, np.int32),
+                             np.empty((0, 3), np.int64), 0)
+        # one SPMD program: every shard re-plans with the SAME statics
+        force = {
+            "C": max(p["C"] for p in preps if p),
+            "S": max(p["S"] for p in preps if p),
+            "K": max(p["K"] for p in preps if p),
+            "use_probe": False,
+        }
+        preps = [IndexEngine.prepare_keyword_dispatch(
+            view, cands, field_names, field_weights, k=k, force=force)
+            for view, cands in zip(self.views, per_shard_cands)]
+        force["SCB"] = max(p["SCB"] for p in preps)
+        if any(p["SCB"] != force["SCB"] for p in preps):
+            preps = [IndexEngine.prepare_keyword_dispatch(
+                view, cands, field_names, field_weights, k=k,
+                force=force)
+                for view, cands in zip(self.views, per_shard_cands)]
+        qbuf = jax.device_put(
+            np.stack([p["qbuf"] for p in preps]), self._shard)
+
+        # sort slots
+        kinds, signs, cols = [], [], []
+        sort_specs = list(sort_specs or [(kernels.SLOT_TEXT, 1, None)])
+        for i in range(3):
+            if i < len(sort_specs):
+                kd, sg, nm = sort_specs[i]
+                kinds.append(kd)
+                signs.append(sg)
+                cols.append(self.sort_cols[nm] if nm else self._zero_col)
+            else:
+                kinds.append(kernels.SLOT_NONE)
+                signs.append(1)
+                cols.append(self._zero_col)
+
+        # filter mask (elementwise on sharded arrays — sharding propagates)
+        if filter_range is not None:
+            fname, lo, hi = filter_range
+            col = self._raw_cols[fname]
+            fmask = _range_mask(col, self.live, lo, hi)
+        else:
+            fmask = self.live
+
+        f_offs = tuple(self.facet_offs[f] for f in facet_fields)
+        f_vals = tuple(self.facet_vals[f] for f in facet_fields)
+        f_caps = tuple(getattr(self, "_cap_" + f) for f in facet_fields)
+        f_sizes = tuple(len(self.facet_values[f]) for f in facet_fields)
+        p0 = preps[0]
+        statics = (p0["Q"], p0["Fq"], force["C"], force["SCB"], p0["SS"],
+                   force["S"], force["K"], MAX_POS_PER_POSTING, self._iters,
+                   tuple(kinds), tuple(signs), True, True,
+                   len(facet_fields), f_caps, f_sizes, (), ())
+        kern = self._sharded_kernel(statics)
+        buf = np.asarray(kern(
+            self.post_doc_ids, self.post_flags, self.pos_offsets,
+            self.positions, self.field_token_counts, fmask, qbuf,
+            cols[0], cols[1], cols[2], self.doc_base,
+            f_offs, f_vals))[0]
+        K = force["K"]
+        rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
+        scores = np.stack([r0, r1, r2], axis=1)
+        valid = rid >= 0
+        rid, scores = rid[valid][:k], scores[valid][:k]
+        facets = {f: (self.facet_values[f], f_acc[i])
+                  for i, f in enumerate(facet_fields)}
+        return RawResult(doc_ids=rid, scores=scores, found=int(found),
+                         facet_counts=facets,
+                         out_of=int(sum(s.live.sum() for s in self.segs)))
+
+
+@partial(jax.jit, static_argnums=())
+def _range_mask(col, live, lo, hi):
+    if col.dtype == jnp.float32:
+        return live & (col >= lo) & (col <= hi)
+    return live & (col >= jnp.int64(lo)) & (col <= jnp.int64(hi))

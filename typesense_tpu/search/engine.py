@@ -153,20 +153,28 @@ class IndexEngine:
         return starts.astype(np.int32), ends.astype(np.int32)
 
     # ------------------------------------------------------------------
-    def keyword_search(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
-                       field_names: list[str], field_weights: list[int],
-                       sort_slots: list[SortSpec], filter_mask=None,
-                       facet_fields: list[str] | None = None,
-                       k: int = TOPK, prioritize_exact: bool = True,
-                       prioritize_num_fields: bool = True,
-                       phrase_pairs: tuple = (),
-                       exclude_flags: tuple = (),
-                       field_num_typos: list[int] | None = None,
-                       field_prefixes: list[bool] | None = None) -> RawResult:
-        """token_candidates: per query token, (term_ids (C_i,), costs (C_i,)).
+    def prepare_keyword_dispatch(
+            self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
+            field_names: list[str], field_weights: list[int],
+            k: int = TOPK,
+            phrase_pairs: tuple = (),
+            exclude_flags: tuple = (),
+            field_num_typos: list[int] | None = None,
+            field_prefixes: list[bool] | None = None,
+            force: dict | None = None) -> dict | None:
+        """Host-side O(query) planning: candidate row bounds, driver stream,
+        chunk descriptors, static shape selection, packed query buffer.
+
+        Returns None when the query is provably empty — UNLESS `force` pins
+        the static shapes (the sharded engine forces identical statics on
+        every shard so all shards run one SPMD program and participate in
+        the collectives even when locally empty).
+
+        token_candidates: per query token, (term_ids (C_i,), costs (C_i,)).
         field_num_typos: per-field typo budgets (num_typos=2,0 maps onto
         query_by fields, collection.h:65-341) — candidate rows whose typo
         cost exceeds a field's budget are masked out for that field."""
+        force = force or {}
         Fq = len(field_names)
         Qn = min(len(token_candidates), MAX_QUERY_TOKENS)
         # normalize entries to (ids, costs, kinds); kind 1 = prefix-derived
@@ -175,10 +183,11 @@ class IndexEngine:
              np.zeros(len(tc[0]), np.int64))
             for tc in token_candidates[:Qn]]
         if Qn == 0 or Fq == 0:
-            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+            return None
 
         Q = max(Qn, 1)
-        C = bucket4(max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
+        C = force.get("C") or bucket4(
+            max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
 
         cand_rows = np.full((Q, Fq, C), -1, dtype=np.int64)
         cand_costs = np.full((Q, C), 255, dtype=np.int32)
@@ -232,9 +241,9 @@ class IndexEngine:
             if ex:
                 totals[qi] = np.iinfo(np.int64).max
         drv = int(np.argmin(totals))
-        if totals[drv] == 0:
+        if totals[drv] == 0 and not force:
             # driver token matches nothing anywhere -> no results (AND semantics)
-            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+            return None
 
         # the driver token's (field, candidate) rows form ONE logical stream:
         # the kernel remaps lane -> (row, offset) via cumulative lengths, so
@@ -245,13 +254,16 @@ class IndexEngine:
         np.cumsum(row_lens[drv].reshape(-1), out=drows_cum[1:])
         # driver chunk size S: few chunks (each pays a sequential top-k
         # merge + position gather), power-of-4 tiers bound recompiles.
-        need = max(drv_total // 4, 1)
-        S = 256
-        while S < need and S < 16384:
-            S *= 4
-        # cap the (S, Q, P) position-gather temp (per field) to ~64 MB
-        while S > 1024 and S * Q * MAX_POS_PER_POSTING * 8 > 1 << 26:
-            S //= 4
+        if force.get("S"):
+            S = force["S"]
+        else:
+            need = max(drv_total // 4, 1)
+            S = 256
+            while S < need and S < 16384:
+                S *= 4
+            # cap the (S, Q, P) position-gather temp (per field) to ~64 MB
+            while S > 1024 and S * Q * MAX_POS_PER_POSTING * 8 > 1 << 26:
+                S //= 4
         n_chunks = (drv_total + S - 1) // S
 
         # strategy by estimated cost: probe kernel does
@@ -269,6 +281,8 @@ class IndexEngine:
             # plane values pack the row-relative offset into 25 bits; a row
             # longer than that can't scatter — probe instead
             use_probe = True
+        if "use_probe" in force:
+            use_probe = force["use_probe"]
 
         # scatter chunks: EVERY (token, field, cand) row in fixed (SS,)
         # slices (min-scatter makes write order irrelevant)
@@ -280,7 +294,7 @@ class IndexEngine:
         s_rel0: list[int] = []   # chunk offset within its row (packs into
         # the plane value's low 25 bits; the kernel reconstructs the absolute
         # posting index as cand_starts[q,f,c] + rel)
-        if not use_probe:
+        if not use_probe and drv_total > 0:
             for c in range(C):
                 for q in range(Q):
                     for f in range(Fq):
@@ -301,29 +315,8 @@ class IndexEngine:
         sc_qf = np.asarray(s_qf + [0] * spad, dtype=np.int64)
         sc_c = np.asarray(s_c + [0] * spad, dtype=np.int64)
         sc_rel0 = np.asarray(s_rel0 + [0] * spad, dtype=np.int64)
-        K = bucket(k, lo=16, hi=1 << 14)
+        K = force.get("K") or bucket(k, lo=16, hi=1 << 14)
 
-        slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
-        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
-        f_offs = tuple(self.dev.facet_offsets[self._facet_idx[f]] for f in facet_fields)
-        f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
-        f_caps = tuple(self._facet_caps[f] for f in facet_fields)
-        f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
-
-        if use_probe:
-            kern = kernels.build_probe_kernel(
-                Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
-                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags))
-        else:
-            kern = kernels.build_keyword_kernel(
-                Q, Fq, C, SCB, SS, S, K, MAX_POS_PER_POSTING, self._iters,
-                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags))
-
-        fmask = filter_mask if filter_mask is not None else self._live
         weights = np.zeros(Fq, dtype=np.int64)
         weights[:len(field_weights)] = field_weights[:Fq]
 
@@ -342,9 +335,54 @@ class IndexEngine:
                                           cand_starts.astype(np.int64),
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
+        return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
+                "K": K, "use_probe": use_probe, "qbuf": qbuf,
+                "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
+
+    def keyword_search(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
+                       field_names: list[str], field_weights: list[int],
+                       sort_slots: list[SortSpec], filter_mask=None,
+                       facet_fields: list[str] | None = None,
+                       k: int = TOPK, prioritize_exact: bool = True,
+                       prioritize_num_fields: bool = True,
+                       phrase_pairs: tuple = (),
+                       exclude_flags: tuple = (),
+                       field_num_typos: list[int] | None = None,
+                       field_prefixes: list[bool] | None = None) -> RawResult:
+        """Single-device keyword search: plan on host, dispatch ONE kernel."""
+        prep = self.prepare_keyword_dispatch(
+            token_candidates, field_names, field_weights, k=k,
+            phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
+            field_num_typos=field_num_typos, field_prefixes=field_prefixes)
+        if prep is None:
+            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+        Q, Fq, C, S, SS, SCB, K = (prep["Q"], prep["Fq"], prep["C"], prep["S"],
+                                   prep["SS"], prep["SCB"], prep["K"])
+
+        slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
+        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
+        f_offs = tuple(self.dev.facet_offsets[self._facet_idx[f]] for f in facet_fields)
+        f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
+        f_caps = tuple(self._facet_caps[f] for f in facet_fields)
+        f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
+
+        if prep["use_probe"]:
+            kern = kernels.build_probe_kernel(
+                Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
+                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                tuple(phrase_pairs), tuple(exclude_flags))
+        else:
+            kern = kernels.build_keyword_kernel(
+                Q, Fq, C, SCB, SS, S, K, MAX_POS_PER_POSTING, self._iters,
+                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                tuple(phrase_pairs), tuple(exclude_flags))
+
+        fmask = filter_mask if filter_mask is not None else self._live
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
                    self.dev.positions, self.dev.field_token_counts, fmask,
-                   jnp.asarray(qbuf), cols[0], cols[1], cols[2],
+                   jnp.asarray(prep["qbuf"]), cols[0], cols[1], cols[2],
                    f_offs, f_vals)
         rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)

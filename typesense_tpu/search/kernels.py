@@ -46,8 +46,13 @@ SLOT_NONE = 3
 SLOT_VECTOR = 4  # vector distance (hybrid/vector searches), ascending
 
 
-def _slot_keys(kind: int, sign: int, text_match, doc_ids, col, vec_dist=None):
-    """Build one int64 sort key vector for a slot. Higher key = better."""
+def _slot_keys(kind: int, sign: int, text_match, doc_ids, col, vec_dist=None,
+               key_ids=None):
+    """Build one int64 sort key vector for a slot. Higher key = better.
+    doc_ids index per-shard columns (LOCAL ids); key_ids are the ids used as
+    sort keys themselves (GLOBAL ids under sharding; defaults to doc_ids)."""
+    if key_ids is None:
+        key_ids = doc_ids
     if kind == SLOT_TEXT:
         k = text_match  # packed score is non-negative and < 2**63; sign always +1
     elif kind == SLOT_COLUMN:
@@ -55,7 +60,7 @@ def _slot_keys(kind: int, sign: int, text_match, doc_ids, col, vec_dist=None):
         # clip so negation for descending sort can't overflow int64
         k = jnp.clip(col[safe], -(2**61), 2**61)
     elif kind == SLOT_SEQ_ID:
-        k = doc_ids.astype(jnp.int64)
+        k = key_ids.astype(jnp.int64)
     elif kind == SLOT_VECTOR and vec_dist is not None:
         # distances are float in [-1, 2]; scale to preserve order in int64
         k = (vec_dist * jnp.float32(1e9)).astype(jnp.int64)
@@ -106,10 +111,13 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
                      facet_offs, facet_vals,
                      Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                      prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                     phrase_pairs):
+                     phrase_pairs, gid=None):
     """Shared per-chunk scoring tail: proximity Match + packed text score,
     3-slot sort keys, running top-K merge, facet scatter-add (used by both
-    the scatter-plane and probe kernels)."""
+    the scatter-plane and probe kernels). gid: GLOBAL doc ids for sort keys
+    and result ids under sharding (d stays the local index for gathers)."""
+    if gid is None:
+        gid = d
     query_len = jnp.sum(ta & tv, axis=0).astype(jnp.int32)  # (S,)
     dsafe = jnp.clip(d, 0, field_token_counts.shape[0] - 1)
 
@@ -186,11 +194,14 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
     if phrase_pairs:
         m = m & phrase_ok
 
-    k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0)
-    k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1)
-    k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2)
+    k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, d, sort_col0,
+                    key_ids=gid)
+    k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, d, sort_col1,
+                    key_ids=gid)
+    k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match, d, sort_col2,
+                    key_ids=gid)
 
-    t0, t1, t2, tid = topk_merge(k0, k1, k2, d, m, K)
+    t0, t1, t2, tid = topk_merge(k0, k1, k2, gid, m, K)
     r0, r1, r2, rid, fnd, f_acc = carry
     fnd = fnd + jnp.sum(m, dtype=jnp.int64)
     mk0 = jnp.concatenate([r0, t0])
@@ -255,15 +266,39 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
     All outputs pack into ONE int64 array [ids K | k0 K | k1 K | k2 K |
     found | facet counts...] — one device->host readback per query.
     """
-    exclude = tuple(bool(x) for x in exclude_flags) + (False,) * (Q - len(exclude_flags))
-    DR = F * C   # driver stream rows
-
     @jax.jit
     def kernel(post_doc_ids, post_flags, pos_offsets, positions,
-               field_token_counts, filter_mask,
-               qbuf,                           # packed per-query scalars
-               sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
-               facet_offs, facet_vals):        # tuples of facet CSR arrays
+               field_token_counts, filter_mask, qbuf,
+               sort_col0, sort_col1, sort_col2, facet_offs, facet_vals):
+        return keyword_kernel_body(
+            Q, F, C, SCB, SS, S, K, P, iters, slot_kinds, slot_signs,
+            prioritize_exact, prioritize_num_fields, n_facets, facet_caps,
+            facet_sizes, phrase_pairs, exclude_flags,
+            post_doc_ids, post_flags, pos_offsets, positions,
+            field_token_counts, filter_mask, qbuf,
+            sort_col0, sort_col1, sort_col2, facet_offs, facet_vals)
+
+    return kernel
+
+
+def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
+                        slot_signs, prioritize_exact, prioritize_num_fields,
+                        n_facets, facet_caps, facet_sizes, phrase_pairs,
+                        exclude_flags,
+                        post_doc_ids, post_flags, pos_offsets, positions,
+                        field_token_counts, filter_mask,
+                        qbuf,                           # packed per-query scalars
+                        sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
+                        facet_offs, facet_vals,         # tuples of facet CSR arrays
+                        doc_base=None):  # (N,) local->GLOBAL doc id (sharded)
+    """Traceable scatter+scan program shared by the single-chip jit wrapper
+    (build_keyword_kernel) and the shard_map'd multi-chip engine
+    (parallel/sharded.py), which calls it per shard and merges the packed
+    result buffers with ICI collectives."""
+    if True:
+        exclude = tuple(bool(x) for x in exclude_flags) + \
+            (False,) * (Q - len(exclude_flags))
+        DR = F * C   # driver stream rows
         # unpack qbuf (layout mirrors pack_query_buf)
         o = 0
         sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
@@ -369,6 +404,8 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
             sp = pidx                                          # (Q, F, S)
             tf = tok_field
             ta = tok_any
+            gid = None if doc_base is None else \
+                doc_base[jnp.clip(d, 0, doc_base.shape[0] - 1)]
 
             return _score_and_merge(
                 carry, d, m, tc, tf, ta, sp, tv,
@@ -377,7 +414,7 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
                 facet_offs, facet_vals,
                 Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                phrase_pairs)
+                phrase_pairs, gid=gid)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
@@ -387,8 +424,6 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
         return jnp.concatenate(out)
-
-    return kernel
 
 
 def pack_probe_buf(drows_start, drows_cum, n_chunks, drv,
