@@ -900,8 +900,8 @@ class Collection:
         from typesense_tpu.search.joins import make_join_resolver
         node = parse_filter_query(filter_by)
         return DeviceFilterEvaluator(
-            engine, join_resolver=make_join_resolver(self)).evaluate(
-            node, self.field_map)
+            engine, join_resolver=make_join_resolver(self),
+            id_resolver=self.id_to_seq).evaluate(node, self.field_map)
 
     @staticmethod
     def _merge_segments(raws: list[RawResult]) -> RawResult:
@@ -1236,7 +1236,8 @@ class Collection:
         else:
             pairs.append((args, 1))
         from typesense_tpu.search.joins import make_join_resolver
-        ev = DeviceFilterEvaluator(engine, join_resolver=make_join_resolver(self))
+        ev = DeviceFilterEvaluator(engine, join_resolver=make_join_resolver(self),
+                                   id_resolver=self.id_to_seq)
         mw = []
         for expr, w in pairs:
             expr = expr.strip()

@@ -31,11 +31,18 @@ class FilterNode:
 
 
 class LeafNode(FilterNode):
-    def __init__(self, field_name: str, op: str, values: list, negate: bool = False):
+    def __init__(self, field_name: str, op: str, values: list, negate: bool = False,
+                 value_ops: list | None = None):
         self.field_name = field_name
-        self.op = op          # '=', '!=', '>', '>=', '<', '<=', 'range', 'in'
+        # '=', '!=', '>', '>=', '<', '<=', 'range', 'in', 'not_in',
+        # 'contains', 'contains_phrase' (string CONTAINS/CONTAINS_PHRASE,
+        # filter.h:17-27)
+        self.op = op
         self.values = values
         self.negate = negate
+        # per-value comparator override for mixed arrays like
+        # [alpha, "beta gamma"] (filter.cpp:698-726)
+        self.value_ops = value_ops
 
 
 class BoolNode(FilterNode):
@@ -155,16 +162,199 @@ def _parse_leaf(expr: str) -> FilterNode:
     elif rhs.startswith("="):
         op, rhs = "=", rhs[1:].strip()
     else:
-        op = "="  # `field: value` — non-exact match treated as equality on value/token
+        # bare `field: value` — CONTAINS for strings (token-level match,
+        # filter.cpp:677 default str_comparator), equality for numerics
+        # (evaluators map it by field type)
+        op = "contains"
 
     if rhs.startswith("[") and rhs.endswith("]"):
         inner = rhs[1:-1]
         if ".." in inner and "," not in inner:
             lo, hi = inner.split("..", 1)
             return LeafNode(fname, "range", [_strip_value(lo), _strip_value(hi)], negate=(op == "!="))
-        vals = [_strip_value(v) for v in _split_top_level(inner, ",")]
-        return LeafNode(fname, "in" if op == "=" else "not_in", vals)
+        raw_vals = [v.strip() for v in _split_top_level(inner, ",")]
+        # mixed arrays: quoted values are phrases; their presence makes
+        # unquoted siblings EQUALS (filter.cpp:706-726)
+        has_phrase = any(len(v) > 1 and v[0] == '"' and v[-1] == '"'
+                         for v in raw_vals)
+        default_vop = "=" if (has_phrase or op in ("=", "!=")) else "contains"
+        vals, vops = [], []
+        for v in raw_vals:
+            if len(v) > 1 and v[0] == '"' and v[-1] == '"':
+                vals.append(v[1:-1])
+                vops.append("contains_phrase")
+            else:
+                vals.append(_strip_value(v))
+                vops.append(default_vop)
+        return LeafNode(fname, "not_in" if op == "!=" else "in", vals,
+                        value_ops=vops)
+    if len(rhs) > 1 and rhs[0] == '"' and rhs[-1] == '"':
+        return LeafNode(fname, "contains_phrase", [rhs[1:-1]],
+                        negate=(op == "!="))
     return LeafNode(fname, op, [_strip_value(rhs)])
+
+
+# ---------------------------------------------------------------------------
+# string CONTAINS / CONTAINS_PHRASE over host posting CSR (shared by both
+# evaluators; reference: posting_list_t::intersect / get_phrase_matches,
+# filter_result_iterator.cpp:3013-3068)
+# ---------------------------------------------------------------------------
+
+def _field_row_slice(seg, field_pos: int, tid: int) -> np.ndarray:
+    T = max(seg.num_terms, 1)
+    row = field_pos * T + tid
+    s, e = int(seg.post_offsets[row]), int(seg.post_offsets[row + 1])
+    return seg.post_doc_ids[s:e], s
+
+
+def _prefix_term_range(seg, token: str) -> tuple[int, int]:
+    """Lexicographic term-id range covering `token*` (term table is sorted)."""
+    from bisect import bisect_left
+    terms = getattr(seg, "_terms_sorted_cache", None)
+    if terms is None:
+        terms = sorted(seg.term_to_id)
+        try:
+            seg._terms_sorted_cache = terms
+        except AttributeError:
+            pass
+    lo = bisect_left(terms, token)
+    hi = bisect_left(terms, token + "￿")
+    return lo, hi
+
+
+def string_filter_doc_ids(seg, f: Field, value: str, op: str) -> np.ndarray:
+    """Doc ids matching one string filter value under CONTAINS /
+    CONTAINS_PHRASE semantics: tokenize the value, intersect the field's
+    posting rows; a trailing `*` makes the last token a prefix
+    (filter_result_iterator.cpp:3171); phrases additionally require adjacent
+    positions within the same array element (get_phrase_matches)."""
+    from typesense_tpu.index.builder import tokenize_value
+    try:
+        field_pos = seg.search_fields.index(f.name)
+    except ValueError:
+        return np.empty(0, np.int64)
+    prefix_last = op == "contains" and value.endswith("*")
+    if prefix_last:
+        value = value[:-1]
+    tokens = tokenize_value(value, f)
+    if not tokens:
+        return np.empty(0, np.int64)
+
+    T = max(seg.num_terms, 1)
+    doc_sets: list[np.ndarray] = []
+    tids: list[int] = []
+    for i, tok in enumerate(tokens):
+        if prefix_last and i == len(tokens) - 1:
+            lo, hi = _prefix_term_range(seg, tok)
+            if hi <= lo:
+                return np.empty(0, np.int64)
+            parts = [_field_row_slice(seg, field_pos, t)[0]
+                     for t in range(lo, hi)]
+            docs = np.unique(np.concatenate(parts)) if parts else \
+                np.empty(0, np.int32)
+            tids.append(-1)
+        else:
+            tid = seg.term_to_id.get(tok, -1)
+            if tid < 0:
+                return np.empty(0, np.int64)
+            docs, _ = _field_row_slice(seg, field_pos, tid)
+            tids.append(tid)
+        doc_sets.append(np.asarray(docs, np.int64))
+    out = doc_sets[0]
+    for ds in doc_sets[1:]:
+        out = np.intersect1d(out, ds, assume_unique=False)
+        if not len(out):
+            return out
+
+    if op == "contains_phrase" and len(tokens) > 1:
+        out = _phrase_adjacent(seg, field_pos, tids, out)
+    return out
+
+
+def _positions_for(seg, field_pos: int, tid: int, doc: int):
+    """Packed (elem << POS_BITS | pos) values of one (field, term, doc)."""
+    T = max(seg.num_terms, 1)
+    row = field_pos * T + tid
+    s, e = int(seg.post_offsets[row]), int(seg.post_offsets[row + 1])
+    docs = seg.post_doc_ids[s:e]
+    i = np.searchsorted(docs, doc)
+    if i >= len(docs) or docs[i] != doc:
+        return np.empty(0, np.int64)
+    pidx = s + i
+    ps, pe = int(seg.pos_offsets[pidx]), int(seg.pos_offsets[pidx + 1])
+    return seg.positions[ps:pe].astype(np.int64)
+
+
+def _phrase_adjacent(seg, field_pos: int, tids: list[int],
+                     docs: np.ndarray) -> np.ndarray:
+    """Docs where tokens appear at consecutive positions in one element."""
+    keep = []
+    for doc in docs:
+        cur = _positions_for(seg, field_pos, tids[0], int(doc))
+        ok = len(cur) > 0
+        for tid in tids[1:]:
+            if not ok:
+                break
+            nxt = _positions_for(seg, field_pos, tid, int(doc))
+            # packed positions: +1 within the same element is +1 packed
+            cur = nxt[np.isin(nxt, cur + 1)]
+            ok = len(cur) > 0
+        if ok:
+            keep.append(int(doc))
+    return np.asarray(keep, np.int64)
+
+
+def string_leaf_mask(seg, f: Field, node: LeafNode) -> np.ndarray:
+    """Full string-leaf evaluation -> dense bool mask (CONTAINS,
+    CONTAINS_PHRASE, EQUALS, arrays with per-value ops, negation)."""
+    N = seg.num_docs
+    vindex = seg.value_index.get(f.name)
+    vops = node.value_ops or [
+        {"in": "=", "not_in": "=", "!=": "=", "=": "="}.get(node.op, node.op)
+    ] * len(node.values)
+    m = np.zeros(N, dtype=bool)
+    for v, vop in zip(node.values, vops):
+        if vop == "=":
+            if vindex is None:
+                raise BadRequest(f"Filtering on long-text field `{f.name}` "
+                                 f"is not supported.")
+            ids = vindex.get(v)
+            if ids is not None:
+                m[ids] = True
+        else:
+            ids = string_filter_doc_ids(seg, f, v, vop)
+            if len(ids):
+                m[ids] = True
+    if node.op in ("!=", "not_in") or node.negate:
+        return ~m
+    return m
+
+
+def _normalize_numeric_op(node: LeafNode) -> LeafNode:
+    """Bare-colon 'contains' is string-only; on numeric/bool fields it means
+    equality (filter.cpp numeric parse)."""
+    op = node.op
+    if op == "contains" or op == "contains_phrase":
+        op = "="
+    if op == node.op:
+        return node
+    return LeafNode(node.field_name, op, node.values, node.negate)
+
+
+def _id_leaf_mask(node: LeafNode, id_resolver, N: int) -> np.ndarray:
+    """`id: [...]` filter (filter_result_iterator SEQ_IDS path): resolve doc
+    id strings to seq ids via the collection's id map."""
+    if id_resolver is None:
+        raise BadRequest("Filtering by `id` is only supported through a "
+                         "collection search.")
+    m = np.zeros(N, dtype=bool)
+    for v in node.values:
+        seq = id_resolver.get(v)
+        if seq is not None and 0 <= seq < N:
+            m[seq] = True
+    if node.op in ("!=", "not_in") or node.negate:
+        return ~m
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -179,11 +369,12 @@ class DeviceFilterEvaluator:
     to docs; string equality uploads only the (small) matching doc-id lists
     from the host value index."""
 
-    def __init__(self, engine, join_resolver=None):
+    def __init__(self, engine, join_resolver=None, id_resolver=None):
         self.engine = engine
         self.seg = engine.seg
         self.fields = None  # set per evaluate() call
         self.join_resolver = join_resolver  # (coll_name, expr) -> numpy bool mask
+        self.id_resolver = id_resolver      # doc id string -> seq id (collection)
 
     def evaluate(self, node: FilterNode | None, fields: dict[str, Field]):
         import jax.numpy as jnp
@@ -212,6 +403,9 @@ class DeviceFilterEvaluator:
         import jax.numpy as jnp
         f = self.fields.get(node.field_name)
         if f is None:
+            if node.field_name == "id":
+                return jnp.asarray(_id_leaf_mask(node, self.id_resolver,
+                                                 self.seg.num_docs))
             raise BadRequest(f"Could not find a filter field named "
                              f"`{node.field_name}` in the schema.")
         eng = self.engine
@@ -221,6 +415,7 @@ class DeviceFilterEvaluator:
         if f.is_geo:
             return self._eval_geo(node, f)
         if f.is_numeric or f.is_bool:
+            node = _normalize_numeric_op(node)
             coerce = FilterEvaluator(self.seg, self.fields)._coerce_num
             vals = [coerce(f, s) for s in node.values]
             if f.is_array:
@@ -240,22 +435,9 @@ class DeviceFilterEvaluator:
             else:
                 missing = col == jnp.iinfo(jnp.int64).min
             return _cmp_jnp(col, node.op, vals) & ~missing
-        # string field: resolve via host value index, upload matching ids
-        vindex = self.seg.value_index.get(f.name)
-        if vindex is None:
-            raise BadRequest(f"Filtering on long-text field `{f.name}` is not supported.")
-        ids = []
-        for v in node.values:
-            arr = vindex.get(v)
-            if arr is not None:
-                ids.append(arr)
-        idvec = (np.concatenate(ids) if ids else np.empty(0, np.int32))
-        m = jnp.zeros(N, bool).at[jnp.asarray(idvec)].set(True, mode="drop")
-        if node.op in ("!=", "not_in"):
-            return ~m
-        if node.op in ("=", "in"):
-            return m
-        raise BadRequest(f"Operator not supported on string field `{f.name}`.")
+        # string field: CONTAINS / CONTAINS_PHRASE / EQUALS resolved on the
+        # host posting CSR + value index, uploaded as one mask
+        return jnp.asarray(string_leaf_mask(self.seg, f, node))
 
     def _eval_geo(self, node: LeafNode, f: Field):
         # ONE jitted program per shape: the tunnel charges a full remote
@@ -409,9 +591,11 @@ def _cmp_jnp(col, op: str, v: list):
 # ---------------------------------------------------------------------------
 
 class FilterEvaluator:
-    def __init__(self, seg: SegmentArrays, fields: dict[str, Field]):
+    def __init__(self, seg: SegmentArrays, fields: dict[str, Field],
+                 id_resolver=None):
         self.seg = seg
         self.fields = fields
+        self.id_resolver = id_resolver
 
     def evaluate(self, node: FilterNode | None) -> np.ndarray | None:
         if node is None:
@@ -440,7 +624,7 @@ class FilterEvaluator:
         return self._eval_string(node, f)
 
     def _eval_id(self, node: LeafNode) -> np.ndarray:
-        raise BadRequest("Filtering by `id` requires the collection layer.")
+        return _id_leaf_mask(node, self.id_resolver, self.seg.num_docs)
 
     def _coerce_num(self, f: Field, s: str):
         if f.is_bool:
@@ -503,33 +687,11 @@ class FilterEvaluator:
         raise BadRequest(f"Unsupported operator on numeric field `{f.name}`.")
 
     def _eval_numeric(self, node: LeafNode, f: Field) -> np.ndarray:
+        node = _normalize_numeric_op(node)
         return self._numeric_col_mask(f, node.op, node.values)
 
     def _eval_string(self, node: LeafNode, f: Field) -> np.ndarray:
-        N = self.seg.num_docs
-        vindex = self.seg.value_index.get(f.name)
-        if vindex is None:
-            raise BadRequest(f"Filtering on long-text field `{f.name}` is not supported.")
-
-        def value_mask(val: str) -> np.ndarray:
-            m = np.zeros(N, dtype=bool)
-            ids = vindex.get(val)
-            if ids is not None:
-                m[ids] = True
-            return m
-
-        op = node.op
-        if op in ("=", "in"):
-            m = np.zeros(N, dtype=bool)
-            for v in node.values:
-                m |= value_mask(v)
-            return m
-        if op in ("!=", "not_in"):
-            m = np.zeros(N, dtype=bool)
-            for v in node.values:
-                m |= value_mask(v)
-            return ~m & self.seg.live
-        raise BadRequest(f"Operator not supported on string field `{f.name}`.")
+        return string_leaf_mask(self.seg, f, node)
 
     def _eval_geo(self, node: LeafNode, f: Field) -> np.ndarray:
         """`loc:(lat, lng, radius km|mi)` or polygon `(lat1, lng1, lat2, ...)`."""

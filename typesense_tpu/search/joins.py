@@ -70,7 +70,8 @@ def _matching_target_seqs(target_coll, expr: str) -> set[int]:
     if node is None:
         return set(int(s) for s in np.flatnonzero(engine.seg.live))
     resolver = make_join_resolver(target_coll)
-    mask = DeviceFilterEvaluator(engine, join_resolver=resolver).evaluate(
+    mask = DeviceFilterEvaluator(engine, join_resolver=resolver,
+                                 id_resolver=target_coll.id_to_seq).evaluate(
         node, target_coll.field_map)
     return set(int(s) for s in np.flatnonzero(np.asarray(mask)))
 
