@@ -649,9 +649,31 @@ def get_replication_log(server, req):
 def get_replication_status(server, req):
     repl = server.replication
     if repl is None:
-        return {"applied_seq": -1, "state": "LEADER"}
-    return {"applied_seq": repl.applied_seq, "state":
-            "LEADER" if repl.is_leader else "FOLLOWER"}
+        return {"applied_seq": -1, "state": "LEADER", "term": 0,
+                "oldest_seq": 0}
+    return repl.status() | {"applied_seq": repl.applied_seq}
+
+
+def get_replication_snapshot(server, req):
+    """Full store image for gapped-follower catch-up (on_snapshot_save)."""
+    repl = server.replication
+    if repl is None:
+        raise BadRequest("Not clustered.")
+    return repl.snapshot_dump()
+
+
+def post_request_vote(server, req):
+    repl = server.replication
+    if repl is None:
+        raise BadRequest("Not clustered.")
+    return repl.handle_request_vote(req.json())
+
+
+def post_heartbeat(server, req):
+    repl = server.replication
+    if repl is None:
+        raise BadRequest("Not clustered.")
+    return repl.handle_heartbeat(req.json())
 
 
 # ---------------------------------------------------------------------------

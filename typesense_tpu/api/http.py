@@ -148,6 +148,9 @@ class HttpServer:
         # pulling, so followers keep working.
         r("GET", "/replication/log", h.get_replication_log, "replication:list")
         r("GET", "/replication/status", h.get_replication_status, "replication:list")
+        r("GET", "/replication/snapshot", h.get_replication_snapshot, "replication:list")
+        r("POST", "/replication/request_vote", h.post_request_vote, "replication:vote")
+        r("POST", "/replication/heartbeat", h.post_heartbeat, "replication:vote")
         # conversation / nl search / personalization models
         r("POST", "/conversations/models", h.post_conversation_model, "conversations:create")
         r("GET", "/conversations/models", h.get_conversation_models, "conversations:list")
@@ -324,6 +327,13 @@ class HttpServer:
                          and self.is_write_route(req.method, req.path)
                          and "x-ts-replicated" not in req.headers)
         if is_repl_write and not repl.is_leader:
+            if repl.leader is None or repl.leader == \
+                    getattr(repl, "self_addr", None):
+                # no elected leader / lost lease: reject instead of looping
+                # the forward back to ourselves (term-fenced ex-leader)
+                return 503, _json_bytes(
+                    {"message": "Not Ready or Lagging: no elected leader."}), \
+                    "application/json"
             try:
                 return await asyncio.get_running_loop().run_in_executor(
                     self.executor, self.forward_to_leader, req)

@@ -109,6 +109,9 @@ class Config:
     def load(cls, argv: list[str] | None = None) -> "Config":
         """env < config file < CLI (typesense_server.cpp:194-197)."""
         cfg = cls.get_instance()
+        cfg.__init__()   # reset to defaults: options from a previous
+        # make_server (e.g. --nodes in a multi-server test process) must not
+        # leak into this load
         cfg.load_env()
         cfg.load_args(argv or [])
         return cfg

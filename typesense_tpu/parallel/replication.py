@@ -36,6 +36,10 @@ import urllib.request
 
 OPLOG_PREFIX = "$OL"
 APPLIED_KEY = "$OL_APPLIED"
+TERM_KEY = "$TERM"
+ELECTION_TIMEOUT_S = 6.0
+LEASE_S = 5.0
+HEARTBEAT_S = 1.0
 
 
 class NodesFile:
@@ -69,7 +73,8 @@ class ReplicationState:
 
     def __init__(self, store, apply_fn, nodes: NodesFile,
                  self_addr: tuple[str, int], api_key: str = "",
-                 healthy_read_lag: int = 1000, healthy_write_lag: int = 500):
+                 healthy_read_lag: int = 1000, healthy_write_lag: int = 500,
+                 data_store=None, reload_fn=None):
         self.store = store
         self.apply_fn = apply_fn      # (op: dict) -> None; replays a write
         self.nodes = nodes
@@ -79,7 +84,19 @@ class ReplicationState:
         self.healthy_write_lag = healthy_write_lag
         self.next_seq = 0             # leader: next op sequence number
         self.applied_seq = -1         # highest op applied locally
+        self.oldest_seq = 0           # oldest op still in the local log
         self.leader: tuple[str, int] | None = None
+        # raft-lite consensus state (raft_server.cpp:292 quorum semantics):
+        # a monotone TERM with majority votes elects the leader; the leader
+        # holds a LEASE renewed by majority heartbeat ACKs — an ex-leader cut
+        # off from the majority loses the lease and stops accepting writes
+        # (term-fenced split-brain protection)
+        self.term = 0
+        self.voted_for: str | None = None
+        self._lease_until = 0.0
+        self._last_heartbeat = time.time()
+        self.data_store = data_store  # main doc store (snapshot shipping)
+        self.reload_fn = reload_fn    # () -> None; rebuild after install
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._load()
@@ -91,44 +108,209 @@ class ReplicationState:
         ap = self.store.get(APPLIED_KEY)
         self.applied_seq = int(ap) if ap else -1
         self.next_seq = self.applied_seq + 1
+        self.oldest_seq = None
         for k, _v in self.store.scan(OPLOG_PREFIX + "_"):
             try:
-                self.next_seq = max(self.next_seq, int(k.rsplit("_", 1)[1]) + 1)
+                seq = int(k.rsplit("_", 1)[1])
             except ValueError:
-                pass
+                continue
+            self.next_seq = max(self.next_seq, seq + 1)
+            self.oldest_seq = seq if self.oldest_seq is None else \
+                min(self.oldest_seq, seq)
+        if self.oldest_seq is None:
+            self.oldest_seq = self.applied_seq + 1
+        tv = self.store.get(TERM_KEY)
+        if tv:
+            obj = json.loads(tv)
+            self.term = obj.get("term", 0)
+            self.voted_for = obj.get("voted_for")
+
+    def _persist_term(self):
+        if self.store is not None:
+            self.store.insert(TERM_KEY, json.dumps(
+                {"term": self.term, "voted_for": self.voted_for}))
 
     def _persist_op(self, seq: int, op: dict):
         if self.store is not None:
             self.store.batch_write({f"{OPLOG_PREFIX}_{seq:020d}": json.dumps(op),
                                     APPLIED_KEY: str(seq)})
 
-    # -- leadership ------------------------------------------------------
-    def refresh_leader(self) -> tuple[str, int] | None:
-        """First reachable peer in file order is leader (deterministic
-        priority election)."""
+    # -- leadership (quorum election + leader lease) ----------------------
+    def _cluster(self) -> list[tuple[str, int]]:
         peers = self.nodes.peers()
-        if not peers:
+        return peers if peers else [self.self_addr]
+
+    def _majority(self) -> int:
+        return len(self._cluster()) // 2 + 1
+
+    def _post(self, addr: tuple[str, int], path: str, body: dict,
+              timeout: float = 2.0) -> dict | None:
+        try:
+            req = urllib.request.Request(
+                f"http://{addr[0]}:{addr[1]}{path}",
+                data=json.dumps(body).encode(), method="POST",
+                headers={"Content-Type": "application/json",
+                         "X-TYPESENSE-API-KEY": self.api_key})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read().decode())
+        except Exception:  # noqa: BLE001 — peer unreachable / refused
+            return None
+
+    def refresh_leader(self) -> tuple[str, int] | None:
+        """Discover the current leader from peers' status (adopting the
+        highest term); if none claims leadership and this node is the first
+        alive node in file order, start an election."""
+        cluster = self._cluster()
+        if cluster == [self.self_addr]:
             self.leader = self.self_addr
+            self._lease_until = float("inf")
             return self.leader
-        for host, port in peers:
-            if (host, port) == self.self_addr:
-                self.leader = self.self_addr
-                return self.leader
-            try:
-                req = urllib.request.Request(
-                    f"http://{host}:{port}/health", method="GET")
-                with urllib.request.urlopen(req, timeout=2) as resp:
-                    if resp.status == 200:
-                        self.leader = (host, port)
-                        return self.leader
-            except Exception:  # noqa: BLE001 — unreachable peer, try next
+        best = None
+        first_alive = None
+        for addr in cluster:
+            if addr == self.self_addr:
+                if first_alive is None:
+                    first_alive = addr
                 continue
-        self.leader = self.self_addr
+            st = self._status_of(addr)
+            if st is None:
+                continue
+            if first_alive is None:
+                first_alive = addr
+            if st.get("state") == "LEADER" and st.get("term", 0) >= self.term:
+                if best is None or st["term"] > best[1]:
+                    best = (addr, st.get("term", 0))
+        if best is not None:
+            with self._lock:
+                self.leader = best[0]
+                if best[1] > self.term:
+                    self.term = best[1]
+                    self.voted_for = None
+                    self._persist_term()
+                self._last_heartbeat = time.time()
+            return self.leader
+        if self.is_leader and self._lease_valid():
+            return self.leader
+        if first_alive == self.self_addr:
+            self.start_election()
         return self.leader
+
+    def _status_of(self, addr: tuple[str, int]) -> dict | None:
+        try:
+            req = urllib.request.Request(
+                f"http://{addr[0]}:{addr[1]}/replication/status",
+                headers={"X-TYPESENSE-API-KEY": self.api_key})
+            with urllib.request.urlopen(req, timeout=2) as resp:
+                return json.loads(resp.read().decode())
+        except Exception:  # noqa: BLE001
+            return None
+
+    def start_election(self) -> bool:
+        """Raft-style candidacy: bump term, vote self, request votes from
+        peers; a MAJORITY of grants makes this node leader
+        (raft_server.cpp:292 node->apply requires the braft quorum — here
+        the quorum gates leadership and the lease gates writes)."""
+        cluster = self._cluster()
+        with self._lock:
+            self.term += 1
+            self.voted_for = f"{self.self_addr[0]}:{self.self_addr[1]}"
+            self._persist_term()
+            term = self.term
+        votes = 1
+        for addr in cluster:
+            if addr == self.self_addr:
+                continue
+            resp = self._post(addr, "/replication/request_vote", {
+                "term": term,
+                "candidate": f"{self.self_addr[0]}:{self.self_addr[1]}",
+                "last_seq": self.applied_seq})
+            if resp and resp.get("granted"):
+                votes += 1
+            elif resp and resp.get("term", 0) > term:
+                with self._lock:
+                    self.term = resp["term"]
+                    self.voted_for = None
+                    self._persist_term()
+                return False
+        if votes >= self._majority():
+            with self._lock:
+                self.leader = self.self_addr
+                self._lease_until = time.time() + LEASE_S
+            self.send_heartbeats()
+            return True
+        return False
+
+    def handle_request_vote(self, body: dict) -> dict:
+        """Grant a vote when the candidate's term is newer and its log is at
+        least as complete as ours (raft election safety)."""
+        with self._lock:
+            term = int(body.get("term", 0))
+            if term < self.term:
+                return {"granted": False, "term": self.term}
+            if term > self.term:
+                self.term = term
+                self.voted_for = None
+            cand = body.get("candidate", "")
+            up_to_date = int(body.get("last_seq", -1)) >= self.applied_seq
+            grant = (self.voted_for in (None, cand)) and up_to_date
+            if grant:
+                self.voted_for = cand
+                self._last_heartbeat = time.time()  # reset election timer
+            self._persist_term()
+            return {"granted": grant, "term": self.term}
+
+    def handle_heartbeat(self, body: dict) -> dict:
+        """Follower side of the leader heartbeat: adopt newer terms, track
+        liveness for the election timeout."""
+        with self._lock:
+            term = int(body.get("term", 0))
+            if term < self.term:
+                return {"granted": False, "term": self.term}
+            if term > self.term:
+                self.term = term
+                self.voted_for = None
+                self._persist_term()
+            host, port = body.get("leader", ":0").rsplit(":", 1)
+            self.leader = (host, int(port))
+            self._last_heartbeat = time.time()
+            return {"granted": True, "term": self.term}
+
+    def send_heartbeats(self) -> int:
+        """Leader: ping followers; a majority of ACKs renews the write
+        lease. Without the lease the leader stops accepting writes — the
+        split-brain fence."""
+        cluster = self._cluster()
+        if cluster == [self.self_addr]:
+            self._lease_until = float("inf")
+            return 1
+        acks = 1
+        for addr in cluster:
+            if addr == self.self_addr:
+                continue
+            resp = self._post(addr, "/replication/heartbeat", {
+                "term": self.term,
+                "leader": f"{self.self_addr[0]}:{self.self_addr[1]}",
+                "applied_seq": self.applied_seq})
+            if resp and resp.get("granted"):
+                acks += 1
+            elif resp and resp.get("term", 0) > self.term:
+                with self._lock:     # deposed by a newer term
+                    self.term = resp["term"]
+                    self.voted_for = None
+                    self._persist_term()
+                    self.leader = None
+                    self._lease_until = 0.0
+                return acks
+        if acks >= self._majority():
+            self._lease_until = time.time() + LEASE_S
+        return acks
+
+    def _lease_valid(self) -> bool:
+        return time.time() < self._lease_until
 
     @property
     def is_leader(self) -> bool:
-        return self.leader is None or self.leader == self.self_addr
+        return self.leader == self.self_addr and self._lease_valid()
 
     # -- write path (ReplicationState::write, raft_server.cpp:292) -------
     def log_write(self, op: dict) -> int:
@@ -153,6 +335,11 @@ class ReplicationState:
                 self.apply_fn(op)
                 self.applied_seq = seq
                 return {"seq": seq}
+            if self.leader is None or self.leader == self.self_addr:
+                from typesense_tpu.core.errors import ServiceUnavailable
+                raise ServiceUnavailable(
+                    "Not Ready or Lagging: no elected leader "
+                    "(quorum unavailable).")
             host, port = self.leader
         body = json.dumps(op).encode()
         req = urllib.request.Request(
@@ -183,8 +370,12 @@ class ReplicationState:
         return out
 
     def catch_up_once(self) -> int:
-        """Pull and apply ops newer than applied_seq from the leader."""
-        if self.is_leader:
+        """Pull and apply ops newer than applied_seq from the leader. When
+        the leader has COMPACTED past our position (gap), install its
+        snapshot instead (on_snapshot_load equivalent: store replace +
+        deterministic rebuild)."""
+        if self.is_leader or self.leader is None or \
+                self.leader == self.self_addr:
             return 0
         host, port = self.leader
         url = (f"http://{host}:{port}/replication/log"
@@ -193,18 +384,85 @@ class ReplicationState:
             "X-TYPESENSE-API-KEY": self.api_key})
         with urllib.request.urlopen(req, timeout=10) as resp:
             ops = json.loads(resp.read().decode())["ops"]
+        gap = bool(ops) and ops[0]["_seq"] > self.applied_seq + 1
+        if not ops:
+            st = self._status_of((host, port))
+            gap = bool(st) and st.get("applied_seq", -1) > self.applied_seq \
+                and st.get("oldest_seq", 0) > self.applied_seq + 1
+        if gap:
+            # the oplog no longer reaches back to us — full snapshot install
+            self.install_snapshot()
+            return 1
         n = 0
         with self._lock:
             for op in ops:
                 seq = op.pop("_seq")
                 if seq != self.applied_seq + 1:
-                    continue  # gap — wait for next round (or snapshot)
+                    continue  # out-of-order slice — wait for next round
                 self._persist_op(seq, op)
                 self.apply_fn(op)
                 self.applied_seq = seq
                 self.next_seq = seq + 1
                 n += 1
         return n
+
+    # -- snapshot ship / install (on_snapshot_save/load, raft_server.cpp) --
+    def snapshot_dump(self) -> dict:
+        """Leader: full store image for a gapped follower (the braft
+        snapshot = RocksDB checkpoint shipped over RPC, SURVEY.md §3.5)."""
+        data = self.data_store.scan("") if self.data_store is not None else []
+        meta = [(k, v) for k, v in self.store.scan("")
+                if not k.startswith(OPLOG_PREFIX) and k != TERM_KEY] \
+            if self.store is not None else []
+        return {"applied_seq": self.applied_seq, "term": self.term,
+                "data": list(data), "meta": list(meta)}
+
+    def install_snapshot(self) -> None:
+        """Follower: fetch the leader's snapshot, REPLACE both stores'
+        contents, then rebuild in-memory state (reload_fn -> manager.load —
+        indices are derived state, SURVEY.md §5 checkpoint/resume)."""
+        host, port = self.leader
+        req = urllib.request.Request(
+            f"http://{host}:{port}/replication/snapshot",
+            headers={"X-TYPESENSE-API-KEY": self.api_key})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            snap = json.loads(resp.read().decode())
+        with self._lock:
+            if self.data_store is not None:
+                old = [k for k, _ in self.data_store.scan("")]
+                self.data_store.batch_write(dict(snap["data"]), deletes=old)
+            if self.store is not None:
+                old = [k for k, _ in self.store.scan("")
+                       if not k.startswith(OPLOG_PREFIX) and k != TERM_KEY]
+                stale_ops = [k for k, _ in
+                             self.store.scan(OPLOG_PREFIX + "_")]
+                self.store.batch_write(
+                    {**dict(snap["meta"]),
+                     APPLIED_KEY: str(snap["applied_seq"])},
+                    deletes=old + stale_ops)
+            self.applied_seq = snap["applied_seq"]
+            self.next_seq = self.applied_seq + 1
+            self.oldest_seq = self.applied_seq + 1
+        if self.reload_fn is not None:
+            self.reload_fn()
+
+    def compact_oplog(self, keep: int = 1000) -> int:
+        """Leader: drop ops already covered by the snapshot horizon, keeping
+        the last `keep` for incremental catch-up."""
+        if self.store is None:
+            return 0
+        cutoff = self.applied_seq - keep
+        dels = []
+        for k, _ in self.store.scan(OPLOG_PREFIX + "_"):
+            try:
+                if int(k.rsplit("_", 1)[1]) <= cutoff:
+                    dels.append(k)
+            except ValueError:
+                pass
+        if dels:
+            self.store.batch_write({}, deletes=dels)
+            self.oldest_seq = max(self.oldest_seq, cutoff + 1)
+        return len(dels)
 
     def leader_seq(self) -> int:
         """Leader's applied seq (for lag measurement)."""
@@ -236,26 +494,53 @@ class ReplicationState:
             "state": "LEADER" if self.is_leader else "FOLLOWER",
             "leader": (f"{self.leader[0]}:{self.leader[1]}"
                        if self.leader else ""),
+            "term": self.term,
             "committed_index": self.next_seq - 1,
             "applied_seq": self.applied_seq,
+            "oldest_seq": self.oldest_seq,
             "queued_writes": 0,
         }
 
-    # -- background loop (refresh_nodes every 10s + catch-up) ------------
+    # -- background loop: heartbeats (leader) / catch-up + election timer
+    # (followers); refresh_nodes every `interval` like the reference's 10 s
+    # peer refresh ---------------------------------------------------------
     def run_loop(self, interval: float = 10.0, catchup_interval: float = 1.0):
         def loop():
             last_refresh = 0.0
+            cluster = self._cluster()
+            try:
+                stagger = cluster.index(self.self_addr) * (
+                    ELECTION_TIMEOUT_S / 2)
+            except ValueError:
+                stagger = 0.0
             while not self._stop.is_set():
                 now = time.time()
-                if now - last_refresh >= interval:
+                if self.leader == self.self_addr:
+                    try:
+                        self.send_heartbeats()   # renews the write lease
+                    except Exception:  # noqa: BLE001
+                        pass
+                    self._stop.wait(HEARTBEAT_S)
+                    continue
+                if now - last_refresh >= interval or self.leader is None:
                     try:
                         self.refresh_leader()
                     except Exception:  # noqa: BLE001
                         pass
                     last_refresh = now
-                if not self.is_leader:
+                if self.leader is not None and \
+                        self.leader != self.self_addr:
                     try:
                         self.catch_up_once()
+                    except Exception:  # noqa: BLE001
+                        pass
+                # election timeout: the leader went silent
+                if (self.leader != self.self_addr and
+                        now - self._last_heartbeat >
+                        ELECTION_TIMEOUT_S + stagger):
+                    try:
+                        self._last_heartbeat = time.time()
+                        self.start_election()
                     except Exception:  # noqa: BLE001
                         pass
                 self._stop.wait(catchup_interval)

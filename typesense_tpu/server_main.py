@@ -84,12 +84,25 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
         from typesense_tpu.parallel.replication import NodesFile, ReplicationState
         nf = NodesFile(path=cfg.nodes if "/" in cfg.nodes else None,
                        inline=None if "/" in cfg.nodes else cfg.nodes)
+        def _reload_after_snapshot():
+            # in-memory index state is derived; rebuild from the replaced
+            # stores (on_snapshot_load -> init_db -> CollectionManager::load)
+            manager.collections.clear()
+            manager.aliases.clear()
+            manager.presets.clear()
+            manager.load()
+            auth.keys.clear()
+            auth.load()
+            server.analytics.load()
+            server.ratelimits.load()
+
         repl = ReplicationState(
             meta_store, server.apply_replicated, nf,
             (cfg.api_address if cfg.api_address != "0.0.0.0" else "127.0.0.1",
              cfg.api_port), api_key=cfg.api_key,
             healthy_read_lag=cfg.healthy_read_lag,
-            healthy_write_lag=cfg.healthy_write_lag)
+            healthy_write_lag=cfg.healthy_write_lag,
+            data_store=store, reload_fn=_reload_after_snapshot)
         repl.refresh_leader()
         repl.run_loop()
         server.replication = repl
