@@ -194,3 +194,73 @@ def test_snapshot_install_for_gapped_follower(tmp_path_factory):
     s1.replication.catch_up_once()
     st, b = req(base + 1, "GET", "/collections/snapc")
     assert b["num_documents"] == 9
+
+
+def test_crash_poison_skip(tmp_path):
+    """An op that crashes mid-apply leaves the $AP marker; the restarted
+    node converts it to a $XP skip entry and advances past the poison op
+    (crash_callback -> persist_applying_index -> BatchedIndexer skip,
+    typesense_server.cpp:159-172, batched_indexer.h:82-88)."""
+    from typesense_tpu.core.store import Store
+    from typesense_tpu.parallel.replication import (
+        APPLYING_KEY, ReplicationState, NodesFile,
+    )
+
+    store = Store(str(tmp_path / "meta"))
+    applied = []
+
+    def apply_fn(op):
+        applied.append(op["body"])
+
+    # build a 2-node-ish state and a fake leader log
+    leader_store = Store(str(tmp_path / "leader"))
+    leader = ReplicationState(leader_store, lambda op: None,
+                              NodesFile(inline=""), ("127.0.0.1", 1))
+    for i in range(4):
+        leader.log_write({"method": "POST", "path": "/x", "query": {},
+                          "body": f"op{i}"})
+
+    follower = ReplicationState(store, apply_fn, NodesFile(inline=""),
+                                ("127.0.0.1", 2))
+    # simulate: follower crashed while applying op seq 2
+    store.insert(APPLYING_KEY, "2")
+    follower2 = ReplicationState(store, apply_fn, NodesFile(inline=""),
+                                 ("127.0.0.1", 2))
+    assert 2 in follower2.skip_seqs
+    assert store.get(APPLYING_KEY) is None
+
+    # replay the leader's log through the skip logic
+    ops = leader.log_since(0)
+    with follower2._lock:
+        for op in ops:
+            seq = op.pop("_seq")
+            if seq != follower2.applied_seq + 1:
+                continue
+            follower2._persist_op(seq, op)
+            if seq in follower2.skip_seqs:
+                follower2.applied_seq = seq
+                follower2.next_seq = seq + 1
+                continue
+            store.insert(APPLYING_KEY, str(seq))
+            follower2.apply_fn(op)
+            store.remove(APPLYING_KEY)
+            follower2.applied_seq = seq
+            follower2.next_seq = seq + 1
+    assert applied == ["op0", "op1", "op3"]   # poison op2 skipped
+    assert follower2.applied_seq == 3
+    store.close()
+    leader_store.close()
+
+
+def test_skip_writes_mode(tmp_path):
+    base = BASE + 40
+    s = make_server(["--data-dir", str(tmp_path), "--api-key", KEY,
+                     "--api-address", "127.0.0.1",
+                     "--api-port", str(base), "--skip-writes", "true"])
+    threading.Thread(target=s.run, daemon=True).start()
+    time.sleep(0.5)
+    st, b = req(base, "POST", "/collections", {
+        "name": "x", "fields": [{"name": "t", "type": "string"}]})
+    assert st == 422, (st, b)
+    st, _ = req(base, "GET", "/collections")
+    assert st == 200

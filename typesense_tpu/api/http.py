@@ -317,6 +317,14 @@ class HttpServer:
                                              getattr(req, "remote_ip", ""))):
             return 429, _json_bytes({"message": "Rate limit exceeded or blocked."}), \
                 "application/json"
+        # --skip-writes recovery mode: the node serves reads but ignores all
+        # writes, so an operator can boot past poison requests
+        # (typesense_server_utils.cpp --skip-writes flag)
+        if getattr(self, "skip_writes", False) and \
+                self.is_write_route(req.method, req.path):
+            return 422, _json_bytes(
+                {"message": "Skipping write as `--skip-writes` is enabled "
+                            "on this node."}), "application/json"
         # clustered writes: followers forward to the leader BEFORE executing
         # anything locally (is_write_request routing, http_server.h:199 +
         # raft_server.cpp:387); the leader authenticates + applies first and

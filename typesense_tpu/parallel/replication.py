@@ -37,6 +37,8 @@ import urllib.request
 OPLOG_PREFIX = "$OL"
 APPLIED_KEY = "$OL_APPLIED"
 TERM_KEY = "$TERM"
+APPLYING_KEY = "$AP"    # set while an op is being applied; survives a crash
+SKIP_PREFIX = "$XP"     # poison ops to skip on restart (batched_indexer.h:82)
 ELECTION_TIMEOUT_S = 6.0
 LEASE_S = 5.0
 HEARTBEAT_S = 1.0
@@ -124,6 +126,23 @@ class ReplicationState:
             obj = json.loads(tv)
             self.term = obj.get("term", 0)
             self.voted_for = obj.get("voted_for")
+        # crash-poison recovery (reference: crash_callback persists the
+        # applying raft-log index, typesense_server.cpp:159-172; restart
+        # skips it via $XP keys, batched_indexer.h:82-88): the APPLYING
+        # marker is cleared only on successful apply — if it survives to
+        # this load, the op it names crashed the process and must be skipped
+        self.skip_seqs: set[int] = set()
+        ap_marker = self.store.get(APPLYING_KEY)
+        if ap_marker:
+            seq = int(ap_marker)
+            self.store.batch_write({f"{SKIP_PREFIX}_{seq}": "1"},
+                                   deletes=[APPLYING_KEY])
+            self.skip_seqs.add(seq)
+        for k, _v in self.store.scan(SKIP_PREFIX + "_"):
+            try:
+                self.skip_seqs.add(int(k.rsplit("_", 1)[1]))
+            except ValueError:
+                pass
 
     def _persist_term(self):
         if self.store is not None:
@@ -400,7 +419,17 @@ class ReplicationState:
                 if seq != self.applied_seq + 1:
                     continue  # out-of-order slice — wait for next round
                 self._persist_op(seq, op)
+                if seq in self.skip_seqs:
+                    # poison op: advance past it without re-applying
+                    self.applied_seq = seq
+                    self.next_seq = seq + 1
+                    n += 1
+                    continue
+                if self.store is not None:
+                    self.store.insert(APPLYING_KEY, str(seq))
                 self.apply_fn(op)
+                if self.store is not None:
+                    self.store.remove(APPLYING_KEY)
                 self.applied_seq = seq
                 self.next_seq = seq + 1
                 n += 1

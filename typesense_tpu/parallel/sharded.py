@@ -426,13 +426,14 @@ class ShardedEngine:
         kern = self._kern_cache.get(statics)
         if kern is not None:
             return kern
-        (Q, F, C, SCB, SS, S, K, Pp, iters, slot_kinds, slot_signs,
+        (Q, F, C, SCB, SS, S, CAP, SB, K, Pp, iters, slot_kinds, slot_signs,
          pe, pnf, n_facets, f_caps, f_sizes, phrase_pairs, excl) = statics
 
         def local(pd, pf, po, pos, ftc, fm, qbuf, c0, c1, c2, db,
                   f_offs, f_vals):
             buf = kernels.keyword_kernel_body(
-                Q, F, C, SCB, SS, S, K, Pp, iters, slot_kinds, slot_signs,
+                Q, F, C, SCB, SS, S, CAP, SB, K, Pp, iters, slot_kinds,
+                slot_signs,
                 pe, pnf, n_facets, f_caps, f_sizes, phrase_pairs, excl,
                 pd[0], pf[0], po[0], pos[0], ftc[0], fm[0], qbuf[0],
                 c0[0], c1[0], c2[0],
@@ -505,6 +506,8 @@ class ShardedEngine:
             "C": max(p["C"] for p in preps if p),
             "S": max(p["S"] for p in preps if p),
             "K": max(p["K"] for p in preps if p),
+            "CAP": max(p["CAP"] for p in preps if p),
+            "SB": max(p["SB"] for p in preps if p),
             "use_probe": False,
         }
         preps = [IndexEngine.prepare_keyword_dispatch(
@@ -547,7 +550,8 @@ class ShardedEngine:
         f_sizes = tuple(len(self.facet_values[f]) for f in facet_fields)
         p0 = preps[0]
         statics = (p0["Q"], p0["Fq"], force["C"], force["SCB"], p0["SS"],
-                   force["S"], force["K"], MAX_POS_PER_POSTING, self._iters,
+                   force["S"], force["CAP"], force["SB"],
+                   force["K"], MAX_POS_PER_POSTING, self._iters,
                    tuple(kinds), tuple(signs), True, True,
                    len(facet_fields), f_caps, f_sizes, (), ())
         kern = self._sharded_kernel(statics)

@@ -257,14 +257,18 @@ class IndexEngine:
         if force.get("S"):
             S = force["S"]
         else:
+            # the match pass is cheap per lane (plane gathers + cumsum),
+            # so size its chunk for <= ~4 sequential trips
             need = max(drv_total // 4, 1)
             S = 256
-            while S < need and S < 16384:
+            while S < need and S < 65536:
                 S *= 4
-            # cap the (S, Q, P) position-gather temp (per field) to ~64 MB
-            while S > 1024 and S * Q * MAX_POS_PER_POSTING * 8 > 1 << 26:
-                S //= 4
         n_chunks = (drv_total + S - 1) // S
+        # scoring pass runs over ONLY the matched docs in (SB,) chunks; the
+        # compacted buffer CAP must hold every possible survivor
+        SB = force.get("SB") or min(S, 8192)
+        CAP = force.get("CAP") or bucket4(max(drv_total, 1), lo=256,
+                                          hi=1 << 25)
 
         # strategy by estimated cost: probe kernel does
         # drv_total * (Q*F*C) * iters random gathers; scatter kernel does
@@ -336,6 +340,7 @@ class IndexEngine:
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
         return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
+                "CAP": CAP, "SB": SB,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
 
@@ -374,7 +379,8 @@ class IndexEngine:
                 tuple(phrase_pairs), tuple(exclude_flags))
         else:
             kern = kernels.build_keyword_kernel(
-                Q, Fq, C, SCB, SS, S, K, MAX_POS_PER_POSTING, self._iters,
+                Q, Fq, C, SCB, SS, S, prep["CAP"], prep["SB"],
+                K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))

@@ -229,6 +229,7 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
 
 @lru_cache(maxsize=512)
 def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
+                         CAP: int, SB: int,
                          K: int, P: int, iters: int, slot_kinds: tuple,
                          slot_signs: tuple, prioritize_exact: bool,
                          prioritize_num_fields: bool, n_facets: int,
@@ -271,7 +272,7 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
                field_token_counts, filter_mask, qbuf,
                sort_col0, sort_col1, sort_col2, facet_offs, facet_vals):
         return keyword_kernel_body(
-            Q, F, C, SCB, SS, S, K, P, iters, slot_kinds, slot_signs,
+            Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds, slot_signs,
             prioritize_exact, prioritize_num_fields, n_facets, facet_caps,
             facet_sizes, phrase_pairs, exclude_flags,
             post_doc_ids, post_flags, pos_offsets, positions,
@@ -281,7 +282,7 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
     return kernel
 
 
-def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
+def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
                         slot_signs, prioritize_exact, prioritize_num_fields,
                         n_facets, facet_caps, facet_sizes, phrase_pairs,
                         exclude_flags,
@@ -348,11 +349,16 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
                               jnp.full((Q * F * N,), EMPTY32, jnp.uint32))
         dense_val = plane.reshape(Q * F, N)
 
-        # ---- phase 2: driver scan over the concatenated driver stream ----
+        # ---- phase 2a: MATCH over the driver stream, compact survivors ----
+        # The AND-intersection is usually a small fraction of the driver
+        # stream; positions/facets/sort-key work (the per-lane HBM hot spots)
+        # runs in phase 2b over ONLY the matched docs. This pass is plane
+        # gathers + a cumsum-compaction scatter per chunk.
         lane = jnp.arange(S, dtype=jnp.int32)
         total_drv = drows_cum[DR]
 
-        def score_chunk(chunk_i, carry):
+        def match_chunk(chunk_i, carry):
+            matched, comp = carry
             g = chunk_i * S + lane                             # (S,) global
             in_range = g < total_drv
             # lane -> (row, offset) remap: row = searchsorted(cum, g)
@@ -368,16 +374,10 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
             member = val != EMPTY32
             cand_id = jnp.where(member,
                                 (val >> 25).astype(jnp.int32), 0)
-            rel = (val & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-            row_base = jnp.take_along_axis(
-                cand_starts, jnp.clip(cand_id - 1, 0, C - 1), axis=2)
-            pidx = row_base + rel
-            tok_field = member                                 # (Q, F, S)
-            tok_any = jnp.any(tok_field, axis=1)               # (Q, S)
+            tok_any = jnp.any(member, axis=1)                  # (Q, S)
             all_match = (jnp.all(tok_any | ~tv, axis=0)
                          & jnp.any(tok_any & tv, axis=0)
                          & ~jnp.any(tok_any & tve, axis=0))
-            tok_field = tok_field & ~excl[:, :, None]
 
             # ownership: first driver (field, cand) row containing d
             zero = jnp.int32(0)
@@ -393,26 +393,51 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
 
             fmask = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
             m = all_match & in_range & own & fmask
+            mi = m.astype(jnp.int32)
+            out_idx = jnp.where(m, matched + jnp.cumsum(mi) - mi,
+                                jnp.int32(CAP))
+            comp = comp.at[out_idx].set(d, mode="drop")
+            return matched + jnp.sum(mi, dtype=jnp.int32), comp
+
+        matched, comp = lax.fori_loop(
+            0, n_chunks, match_chunk,
+            (jnp.int32(0), jnp.zeros((CAP,), jnp.int32)))
+
+        # ---- phase 2b: score ONLY the matched docs ----
+        lane2 = jnp.arange(SB, dtype=jnp.int32)
+
+        def score_chunk(chunk_i, carry):
+            g = chunk_i * SB + lane2
+            in_range = g < matched
+            d = jnp.where(in_range, comp[jnp.clip(g, 0, CAP - 1)], 0)
+
+            val = dense_val[:, d].reshape(Q, F, SB)            # (Q, F, SB)
+            member = val != EMPTY32
+            cand_id = jnp.where(member,
+                                (val >> 25).astype(jnp.int32), 0)
+            rel = (val & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+            row_base = jnp.take_along_axis(
+                cand_starts, jnp.clip(cand_id - 1, 0, C - 1), axis=2)
+            pidx = row_base + rel
+            tok_any = jnp.any(member, axis=1)                  # (Q, SB)
+            tok_field = member & ~excl[:, :, None]
 
             # typo cost of the selected (lowest) candidate per (token, field)
             cc = cand_costs[jnp.arange(Q)[:, None, None],
-                            jnp.clip(cand_id - 1, 0, C - 1)]   # (Q, F, S)
+                            jnp.clip(cand_id - 1, 0, C - 1)]   # (Q, F, SB)
             cc = jnp.where(tok_field, cc, 255)
-            min_cost_q = jnp.min(cc, axis=1)                   # (Q, S)
+            min_cost_q = jnp.min(cc, axis=1)                   # (Q, SB)
             tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
 
-            sp = pidx                                          # (Q, F, S)
-            tf = tok_field
-            ta = tok_any
             gid = None if doc_base is None else \
                 doc_base[jnp.clip(d, 0, doc_base.shape[0] - 1)]
 
             return _score_and_merge(
-                carry, d, m, tc, tf, ta, sp, tv,
+                carry, d, in_range, tc, tok_field, tok_any, pidx, tv,
                 post_flags, pos_offsets, positions, field_token_counts,
                 field_weights, sort_col0, sort_col1, sort_col2,
                 facet_offs, facet_vals,
-                Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
+                Q, F, SB, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
                 phrase_pairs, gid=gid)
 
@@ -420,7 +445,9 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, K, P, iters, slot_kinds,
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
                 jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
                 jnp.int64(0), init_f)
-        r0, r1, r2, rid, found_count, f_acc = lax.fori_loop(0, n_chunks, score_chunk, init)
+        n2 = (matched + SB - 1) // SB
+        r0, r1, r2, rid, found_count, f_acc = lax.fori_loop(
+            0, n2, score_chunk, init)
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
         return jnp.concatenate(out)

@@ -37,6 +37,7 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
     server = HttpServer(manager, auth, host=cfg.api_address, port=cfg.api_port,
                         num_threads=min(cfg.thread_pool_size, 64))
     server.metrics = AppMetrics()
+    server.skip_writes = cfg.skip_writes
     from typesense_tpu.analytics import AnalyticsManager
     from typesense_tpu.ratelimit import RateLimitManager
     server.analytics = AnalyticsManager(meta_store, manager)
