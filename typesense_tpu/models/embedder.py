@@ -143,6 +143,58 @@ def _encoder_forward(params, token_ids, n_heads: int):
     return pooled / jnp.maximum(norm, 1e-12)
 
 
+def _bert_forward(params, token_ids, n_heads: int):
+    """Faithful HF BertModel forward (+ mean pooling + L2 normalize): the
+    architecture real public checkpoints ship (all-MiniLM-*, e5-*, mpnet
+    use this post-LN encoder — text_embedder.h:4-51 loads the same graphs
+    via ONNX Runtime; here it is one XLA program). Parity vs
+    transformers.BertModel is asserted in tests/test_embed_convert.py."""
+    B, L = token_ids.shape
+    mask = (token_ids != PAD_ID)
+    dt = params["tok_emb"].dtype
+    x = (params["tok_emb"][token_ids]
+         + params["pos_emb"][None, :L]
+         + params["type_emb"][None, None, 0])
+    x = _layer_norm(x, params["emb_ln_g"], params["emb_ln_b"], eps=1e-12)
+    neg = jnp.float32(-1e9)
+    attn_bias = jnp.where(mask[:, None, None, :], 0.0, neg)
+
+    for blk in params["blocks"]:
+        dim = x.shape[-1]
+        hd = dim // n_heads
+
+        def proj(w, b):
+            y = jnp.einsum("bld,de->ble", x, w,
+                           preferred_element_type=jnp.float32) + b
+            return y.reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+
+        q = proj(blk["wq"], blk["bq"])
+        k = proj(blk["wk"], blk["bk"])
+        v = proj(blk["wv"], blk["bv"])
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(hd) + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v.astype(dt))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        attn_out = jnp.einsum("bld,de->ble", ctx, blk["wo"],
+                              preferred_element_type=jnp.float32) + blk["bo"]
+        x = _layer_norm(x.astype(jnp.float32) + attn_out,
+                        blk["ln1_g"], blk["ln1_b"], eps=1e-12).astype(dt)
+
+        ff = jnp.einsum("bld,de->ble", x, blk["w1"],
+                        preferred_element_type=jnp.float32) + blk["b1"]
+        ff = jax.nn.gelu(ff, approximate=False).astype(dt)
+        ff = jnp.einsum("bld,de->ble", ff, blk["w2"],
+                        preferred_element_type=jnp.float32) + blk["b2"]
+        x = _layer_norm(x.astype(jnp.float32) + ff,
+                        blk["ln2_g"], blk["ln2_b"], eps=1e-12).astype(dt)
+
+    m = mask[:, :, None].astype(jnp.float32)
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / \
+        jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
 class TextEncoder:
     """One embedding model instance (TextEmbedder equivalent)."""
 
@@ -157,16 +209,19 @@ class TextEncoder:
         self.model_name = model_name
         self.num_dim = dim
         self.n_heads = heads
+        self.tokenizer = None   # WordPiece when a real checkpoint is loaded
         self.params = self._load_or_init(model_name, models_dir, dim, layers,
                                          heads, ff_mult)
-        self._fwd = jax.jit(partial(_encoder_forward, n_heads=heads))
+        fwd = _bert_forward if self.tokenizer is not None else _encoder_forward
+        self._fwd = jax.jit(partial(fwd, n_heads=self.n_heads))
 
-    @staticmethod
-    def _load_or_init(name, models_dir, dim, layers, heads, ff_mult):
+    def _load_or_init(self, name, models_dir, dim, layers, heads, ff_mult):
         safe = name.replace("/", "_")
         path = os.path.join(models_dir or "", f"{safe}.npz")
         if models_dir and os.path.exists(path):
-            raw = np.load(path)
+            raw = np.load(path, allow_pickle=False)
+            if "arch" in raw and str(raw["arch"]) == "bert":
+                return self._load_bert(raw)
             params = {"tok_emb": jnp.asarray(raw["tok_emb"], jnp.bfloat16),
                       "pos_emb": jnp.asarray(raw["pos_emb"], jnp.bfloat16),
                       "blocks": []}
@@ -182,14 +237,48 @@ class TextEncoder:
             return params
         return _init_params(name, dim, layers, heads, ff_mult)
 
+    def _load_bert(self, raw):
+        """Real checkpoint converted by models/convert.py: BERT weights +
+        WordPiece vocab + arch meta (embedder_manager.h public models)."""
+        from typesense_tpu.text.wordpiece import WordPieceTokenizer
+        dt = jnp.float32 if str(raw["precision"]) == "f32" else jnp.bfloat16
+        self.n_heads = int(raw["n_heads"])
+        self.num_dim = int(raw["tok_emb"].shape[1])
+        seq_len = min(MAX_LEN, int(raw["pos_emb"].shape[0]))
+        self.tokenizer = WordPieceTokenizer.from_lines(
+            str(raw["vocab"]).split("\n"),
+            lower=bool(int(raw["do_lower_case"])), max_len=seq_len)
+        params = {
+            "tok_emb": jnp.asarray(raw["tok_emb"], dt),
+            "pos_emb": jnp.asarray(raw["pos_emb"][:seq_len], dt),
+            "type_emb": jnp.asarray(raw["type_emb"], dt),
+            "emb_ln_g": jnp.asarray(raw["emb_ln_g"], jnp.float32),
+            "emb_ln_b": jnp.asarray(raw["emb_ln_b"], jnp.float32),
+            "blocks": [],
+        }
+        for i in range(int(raw["n_layers"])):
+            params["blocks"].append({
+                k: jnp.asarray(raw[f"blocks.{i}.{k}"],
+                               jnp.float32 if k.startswith(("ln", "b"))
+                               else dt)
+                for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                          "w1", "b1", "w2", "b2",
+                          "ln1_g", "ln1_b", "ln2_g", "ln2_b")})
+        return params
+
+    def _token_ids(self, text: str) -> np.ndarray:
+        if self.tokenizer is not None:
+            return self.tokenizer.encode(text)
+        return hash_tokenize(text)
+
     def embed_batch(self, texts: list[str], batch_size: int = 32) -> np.ndarray:
         """Embed texts in fixed-size padded batches (one compiled program)."""
         out = np.zeros((len(texts), self.num_dim), dtype=np.float32)
         for i in range(0, len(texts), batch_size):
             chunk = texts[i:i + batch_size]
-            ids = np.stack([hash_tokenize(t) for t in chunk])
+            ids = np.stack([self._token_ids(t) for t in chunk])
             if len(chunk) < batch_size:
-                pad = np.full((batch_size - len(chunk), MAX_LEN), PAD_ID,
+                pad = np.full((batch_size - len(chunk), ids.shape[1]), PAD_ID,
                               np.int32)
                 pad[:, 0] = 1  # keep one real token so pooling is well-defined
                 ids = np.concatenate([ids, pad])
