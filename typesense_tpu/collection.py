@@ -479,6 +479,25 @@ class Collection:
 
         k = max(250, fetch)
 
+        # --- group_by (parsed early: grouping changes the dispatch) ---
+        group_fields = _as_list(params.get("group_by"))
+        for gf in group_fields:
+            f = self.field_map.get(gf)
+            if f is None:
+                raise NotFound(f"Could not find a field named `{gf}` in the schema.")
+            if not f.facet:
+                raise BadRequest(f"Group by field `{gf}` should be a faceted field.")
+        dispatch_facet_fields = facet_fields
+        if group_fields:
+            # per-group counts and the total group count come EXACTLY from
+            # facet counting over the full matched set (the reference
+            # estimates them with LogLogBeta + CMS, topster.h:252-264); the
+            # collector also fetches a deeper ranked list so page groups
+            # fill up to group_limit, escalating when truncated
+            k = int(params.get("_group_k", max(k, 1024)))
+            dispatch_facet_fields = facet_fields + [
+                gf for gf in group_fields if gf not in facet_fields]
+
         # --- vector / hybrid ---
         vec_dist_map: dict[int, float] = {}
         vq = None
@@ -579,8 +598,9 @@ class Collection:
                     distance_threshold=vq.distance_threshold)
             if q == "*":
                 return (eng.wildcard_search(slots, filter_mask=fm,
-                                            facet_fields=facet_fields,
-                                            k=fetch or 10), vdm, [])
+                                            facet_fields=dispatch_facet_fields,
+                                            k=k if group_fields else (fetch or 10)),
+                        vdm, [])
             first_field = self.field_map[search_fields[0]]
             if _as_bool(params.get("pre_segmented_query")):
                 # client already segmented the query (CJK locales,
@@ -598,13 +618,14 @@ class Collection:
                 exclude_flags = tuple([False] * len(q_toks))
             if not q_toks:
                 return (eng.wildcard_search(slots, filter_mask=fm,
-                                            facet_fields=facet_fields,
-                                            k=fetch or 10), vdm, [])
+                                            facet_fields=dispatch_facet_fields,
+                                            k=k if group_fields else (fetch or 10)),
+                        vdm, [])
             typo_thresh = int(params.get("typo_tokens_threshold",
                                          TYPO_TOKENS_THRESHOLD))
             raw_e = self._keyword_with_drop_tokens(
                 eng, q_toks, search_fields, weights, slots,
-                fm, facet_fields, k, num_typos, prefixes,
+                fm, dispatch_facet_fields, k, num_typos, prefixes,
                 max_candidates, drop_tokens_threshold,
                 prioritize_exact, prioritize_num_fields, typo_thresh,
                 phrase_pairs=phrase_pairs, exclude_flags=exclude_flags)
@@ -618,7 +639,7 @@ class Collection:
                     for alt in alts:
                         merged.append(self._keyword_with_drop_tokens(
                             eng, alt, search_fields, weights, slots,
-                            fm, facet_fields, k, num_typos, prefixes,
+                            fm, dispatch_facet_fields, k, num_typos, prefixes,
                             max_candidates, 1, prioritize_exact,
                             prioritize_num_fields, typo_thresh))
                     raw_e = self._merge_results(merged)
@@ -643,7 +664,7 @@ class Collection:
                 raw_i = eng.keyword_search(
                     icands, infix_fields,
                     weights[:len(infix_fields)], slots,
-                    filter_mask=fm, facet_fields=facet_fields,
+                    filter_mask=fm, facet_fields=dispatch_facet_fields,
                     k=k, prioritize_exact=prioritize_exact,
                     prioritize_num_fields=prioritize_num_fields)
                 raw_e = self._merge_results([raw_e, raw_i])
@@ -674,13 +695,6 @@ class Collection:
             raw = self._apply_diversity(raw, params["diversity"], fetch)
 
         # group_by (topster.h:252 group_kv_map; grouped over the ranked set)
-        group_fields = _as_list(params.get("group_by"))
-        for gf in group_fields:
-            f = self.field_map.get(gf)
-            if f is None:
-                raise NotFound(f"Could not find a field named `{gf}` in the schema.")
-            if not f.facet:
-                raise BadRequest(f"Group by field `{gf}` should be a faceted field.")
         group_limit = int(params.get("group_limit", 3)) if group_fields else 0
         group_missing_values = _as_bool(params.get("group_missing_values"), True)
 
@@ -698,6 +712,13 @@ class Collection:
                                         vec_dist_map=vec_dist_map,
                                         sort_slots=sort_slots,
                                         facet_specs=facet_specs)
+        # grouped-search escalation: when the page's groups need hits that
+        # lie beyond the ranked list, re-run with a 4x deeper collector
+        # (per-group topsters over the full scan, topster.h:252; our
+        # collector deepens until the page is complete or k hits the cap)
+        if resp.pop("_groups_truncated", False) and k < 16384 \
+                and time.monotonic() <= self._deadline:
+            return self.search({**params, "_group_k": k * 4})
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         resp["search_cutoff"] = time.monotonic() > self._deadline
         return resp
@@ -1410,6 +1431,19 @@ class Collection:
                                     sort_slots=sort_slots,
                                     facet_specs=facet_specs)
         hit_by_rank = {i: h for i, h in enumerate(base["hits"])}
+        # EXACT per-group counts + total group count when grouping on one
+        # scalar facet field: the dispatch counted the group field over the
+        # FULL matched set (the reference instead estimates with LogLogBeta
+        # + CountMinSketch, topster.h:252-264)
+        exact_counts = None
+        single_scalar = (len(group_fields) == 1 and
+                         not self.field_map[group_fields[0]].is_array)
+        if single_scalar and group_fields[0] in raw.facet_counts:
+            vals, counts = raw.facet_counts[group_fields[0]]
+            counts = np.asarray(counts)
+            exact_counts = {v: int(c) for v, c in zip(vals, counts) if c}
+
+        truncated = False
         grouped = []
         for gk in page_keys:
             idxs = groups[gk]
@@ -1418,19 +1452,38 @@ class Collection:
             for gf in group_fields:
                 v = doc0.get(gf)
                 gkey.append(v)
+            gfound = len(idxs)
+            if exact_counts is not None and gk[0] is not None:
+                gfound = exact_counts.get(str(gkey[0]), gfound)
+            if len(idxs) < min(max(group_limit, 1), gfound):
+                truncated = True   # deeper hits exist beyond the ranked list
             grouped.append({
                 "group_key": gkey,
-                "found": len(idxs),
+                "found": gfound,
                 "hits": [hit_by_rank[i] for i in idxs if i in hit_by_rank],
             })
-        n_groups = len(order)
-        if raw.found > len(raw.doc_ids) and len(raw.doc_ids):
-            n_groups = int(raw.found * n_groups / len(raw.doc_ids))
+        if exact_counts is not None:
+            n_groups = len(exact_counts)
+            if not group_missing_values or any(
+                    gk[0] is None for gk in order):
+                # missing-value groups aren't facet-counted; add what we saw
+                n_groups += sum(1 for gk in order
+                                if gk and (gk[0] is None
+                                           or gk[0] == "__uniq__"))
+        else:
+            n_groups = len(order)
+            if raw.found > len(raw.doc_ids) and len(raw.doc_ids):
+                n_groups = int(raw.found * n_groups / len(raw.doc_ids))
+        if len(order) < start + per_page and n_groups > len(order) and \
+                raw.found > len(raw.doc_ids):
+            truncated = True       # groups exist beyond the ranked list
         base.pop("hits", None)
         base["grouped_hits"] = grouped
         base["found"] = n_groups
         base["found_docs"] = raw.found
         base["page"] = page
+        if truncated and len(raw.doc_ids) < raw.found:
+            base["_groups_truncated"] = True
         return base
 
     def _assemble_facets(self, raw: RawResult, facet_fields, max_facet_values,
