@@ -115,6 +115,7 @@ class Collection:
         self._engine: IndexEngine | None = None
         self._dirty = True
         self._join_cache_dirty = True
+        self._write_version = getattr(self, "_write_version", 0) + 1
         # incremental writes: docs with seq >= _delta_start live in a small
         # delta segment searched alongside the main one (the reference
         # mutates postings in place, index.cpp:700; we batch into segments)
@@ -194,6 +195,7 @@ class Collection:
         else:
             self._dirty = True
         self._join_cache_dirty = True
+        self._write_version = getattr(self, "_write_version", 0) + 1
         return doc
 
     def _validate(self, doc: dict, dirty_values: str):
@@ -247,6 +249,7 @@ class Collection:
         else:
             self._dirty = True
         self._join_cache_dirty = True
+        self._write_version = getattr(self, "_write_version", 0) + 1
         return doc
 
     @property
@@ -272,6 +275,7 @@ class Collection:
         self.next_seq_id = max_seq + 1
         self._dirty = True
         self._join_cache_dirty = True
+        self._write_version = getattr(self, "_write_version", 0) + 1
 
     # ------------------------------------------------------------------
     # index lifecycle

@@ -62,35 +62,42 @@ def find_reference(local_coll, target_coll):
                      f"field found.")
 
 
-def _matching_target_seqs(target_coll, expr: str) -> set[int]:
-    """Evaluate a filter expression on the target collection -> seq id set."""
+def _matching_target_mask(target_coll, expr: str) -> np.ndarray:
+    """Evaluate a filter expression on the target collection -> bool mask."""
     from typesense_tpu.search.filters import parse_filter_query, DeviceFilterEvaluator
     node = parse_filter_query(expr) if expr.strip() else None
     engine = target_coll._ensure_index()
     if node is None:
-        return set(int(s) for s in np.flatnonzero(engine.seg.live))
+        return np.asarray(engine.seg.live, bool)
     resolver = make_join_resolver(target_coll)
     mask = DeviceFilterEvaluator(engine, join_resolver=resolver,
                                  id_resolver=target_coll.id_to_seq).evaluate(
         node, target_coll.field_map)
-    return set(int(s) for s in np.flatnonzero(np.asarray(mask)))
+    return np.asarray(mask, bool)
 
 
-def resolve_join_mask(local_coll, coll_name: str, expr: str) -> np.ndarray:
-    """Boolean mask over local docs that satisfy `$Coll(expr)`
-    (do_reference_filtering_with_lock, index.h:856)."""
-    manager = local_coll.manager
-    target = manager.get_collection(coll_name) if manager is not None else None
-    if target is None:
-        raise NotFound(f"Referenced collection `{coll_name}` not found.")
+def _ref_csr(local_coll, target, direction, ref_field, key_field):
+    """CSR mapping local seq -> referenced TARGET seq ids (the reference
+    keeps these as in-index reference postings, include/join.h:77 +
+    index.h:446 reference_index). Built once per write-version of either
+    collection; per-query `$Coll(...)` filters then reduce to one vectorized
+    gather + segment-any instead of a Python loop over the corpus.
 
-    direction, ref_field, key_field = find_reference(local_coll, target)
-    matched = _matching_target_seqs(target, expr)
-    N = max(local_coll.next_seq_id, 1)
-    mask = np.zeros(N, dtype=bool)
+    Returns (row_of_elem (E,) int64 local seq per element, tseqs (E,) int64).
+    """
+    cache = getattr(local_coll, "_ref_csr_cache", None)
+    if cache is None:
+        local_coll._ref_csr_cache = cache = {}
+    key = (target.name, direction, ref_field, key_field)
+    ver = (getattr(local_coll, "_write_version", 0),
+           getattr(target, "_write_version", 0))
+    ent = cache.get(key)
+    if ent is not None and ent[0] == ver:
+        return ent[1], ent[2]
 
+    rows: list[int] = []
+    tseqs: list[int] = []
     if direction == "forward":
-        # local.ref_field values -> target.key_field
         kmap = _key_map(target, key_field)
         for seq, doc in local_coll.docs.items():
             v = doc.get(ref_field)
@@ -99,25 +106,44 @@ def resolve_join_mask(local_coll, coll_name: str, expr: str) -> np.ndarray:
                 tsq = kmap.get(x if key_field != "id" else str(x))
                 if tsq is None:
                     continue
-                tseqs = tsq if isinstance(tsq, list) else [tsq]
-                if any(t in matched for t in tseqs):
-                    mask[seq] = True
-                    break
+                for t in (tsq if isinstance(tsq, list) else [tsq]):
+                    rows.append(seq)
+                    tseqs.append(t)
     else:
-        # target.ref_field values -> local.key_field
         kmap = _key_map(local_coll, key_field)
-        for tseq in matched:
-            doc = target.docs.get(tseq)
-            if doc is None:
-                continue
-            v = doc.get(ref_field)
+        for tseq, tdoc in target.docs.items():
+            v = tdoc.get(ref_field)
             vals = v if isinstance(v, list) else ([v] if v is not None else [])
             for x in vals:
                 lsq = kmap.get(x if key_field != "id" else str(x))
                 if lsq is None:
                     continue
                 for s in (lsq if isinstance(lsq, list) else [lsq]):
-                    mask[s] = True
+                    rows.append(s)
+                    tseqs.append(tseq)
+    ent = (ver, np.asarray(rows, np.int64), np.asarray(tseqs, np.int64))
+    cache[key] = ent
+    return ent[1], ent[2]
+
+
+def resolve_join_mask(local_coll, coll_name: str, expr: str) -> np.ndarray:
+    """Boolean mask over local docs that satisfy `$Coll(expr)`
+    (do_reference_filtering_with_lock, index.h:856). Per query: evaluate the
+    target filter, gather it through the cached reference CSR, scatter-any
+    back to local docs — O(edges) numpy, no Python doc loop."""
+    manager = local_coll.manager
+    target = manager.get_collection(coll_name) if manager is not None else None
+    if target is None:
+        raise NotFound(f"Referenced collection `{coll_name}` not found.")
+
+    direction, ref_field, key_field = find_reference(local_coll, target)
+    tmask = _matching_target_mask(target, expr)
+    rows, tseqs = _ref_csr(local_coll, target, direction, ref_field, key_field)
+    N = max(local_coll.next_seq_id, 1)
+    mask = np.zeros(N, dtype=bool)
+    if len(rows):
+        hit = tmask[np.clip(tseqs, 0, len(tmask) - 1)] & (tseqs < len(tmask))
+        mask[rows[hit]] = True
     return mask
 
 
@@ -176,43 +202,21 @@ def join_sort_column(local_coll, coll_name: str, sort_field: str) -> np.ndarray:
         raise BadRequest(f"Referenced field `{sort_field}` in `{coll_name}` "
                          f"is not sortable.")
 
-    def target_key(tdoc) -> int | None:
-        v = tdoc.get(sort_field)
-        if v is None:
-            return None
-        if tf.is_float:
-            return int(float32_sortable_int64(np.asarray([v], np.float32))[0])
-        return int(np.clip(int(v), -(2**61), 2**61))
-
-    if direction == "forward":
-        kmap = _key_map(target, key_field)
-        for seq, doc in local_coll.docs.items():
-            v = doc.get(ref_field)
-            vals = v if isinstance(v, list) else ([v] if v is not None else [])
-            best = None
-            for x in vals:
-                tsq = kmap.get(x if key_field != "id" else str(x))
-                if tsq is None:
-                    continue
-                for t in (tsq if isinstance(tsq, list) else [tsq]):
-                    tdoc = target.docs.get(t)
-                    k = target_key(tdoc) if tdoc else None
-                    if k is not None and (best is None or k > best):
-                        best = k
-            if best is not None:
-                col[seq] = best
+    # the target engine's sort columns already hold the int64 key transform
+    tengine = target._ensure_index()
+    tcol = tengine.seg.num_columns.get(sort_field)
+    if tcol is None:
+        tcol_keys = np.full(max(target.next_seq_id, 1), -(2**61), np.int64)
+    elif tcol.dtype == np.float32:
+        tcol_keys = np.where(np.isnan(tcol), -(2**61),
+                             float32_sortable_int64(tcol))
     else:
-        kmap = _key_map(local_coll, key_field)
-        for tseq, tdoc in target.docs.items():
-            k = target_key(tdoc)
-            if k is None:
-                continue
-            v = tdoc.get(ref_field)
-            vals = v if isinstance(v, list) else ([v] if v is not None else [])
-            for x in vals:
-                lsq = kmap.get(x if key_field != "id" else str(x))
-                if lsq is None:
-                    continue
-                for s in (lsq if isinstance(lsq, list) else [lsq]):
-                    col[s] = max(col[s], k)
+        missing = tcol == np.iinfo(np.int64).min
+        tcol_keys = np.where(missing, -(2**61),
+                             np.clip(tcol, -(2**61), 2**61))
+
+    rows, tseqs = _ref_csr(local_coll, target, direction, ref_field, key_field)
+    if len(rows):
+        keys = tcol_keys[np.clip(tseqs, 0, len(tcol_keys) - 1)]
+        np.maximum.at(col, rows, keys)
     return col
