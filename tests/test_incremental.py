@@ -179,3 +179,51 @@ def test_rand_sort_consistent_across_segments():
     order2 = [h["document"]["id"] for h in r2["hits"]]
     assert order1 == order2
     assert len(order1) == 12
+
+
+def test_update_main_segment_doc_relocates_without_rebuild():
+    """Updating a doc that lives in the MAIN segment must NOT force a full
+    rebuild: the doc is tombstoned there and reinserted into the delta
+    (reference mutates postings in place, src/index.cpp remove+add)."""
+    c = Collection("upd", [Field("title", "string"),
+                           Field("points", "int32")])
+    for i in range(20):
+        c.add({"id": f"d{i}", "title": f"alpha item{i}", "points": i})
+    c._ensure_index()
+    assert not c._dirty
+    c.add({"id": "d3", "title": "bravo replacement", "points": 99},
+          operation="upsert")
+    assert not c._dirty, "main-segment update must not mark a full rebuild"
+    # old content gone, new content findable, no duplicate
+    r = c.search({"q": "alpha", "query_by": "title", "per_page": 30,
+                  "num_typos": "0", "prefix": "false"})
+    ids = [h["document"]["id"] for h in r["hits"]]
+    assert "d3" not in ids and len(ids) == 19
+    r2 = c.search({"q": "bravo", "query_by": "title", "per_page": 10,
+                   "num_typos": "0", "prefix": "false"})
+    assert [h["document"]["id"] for h in r2["hits"]] == ["d3"]
+    assert r2["hits"][0]["document"]["points"] == 99
+    # partial update merges remaining fields
+    c.add({"id": "d3", "points": 7}, operation="update")
+    r3 = c.search({"q": "bravo", "query_by": "title", "per_page": 10,
+                   "num_typos": "0", "prefix": "false"})
+    assert r3["hits"][0]["document"]["points"] == 7
+    assert r3["out_of"] == 20
+
+
+def test_update_relocation_persists_across_store_reload(tmp_path):
+    from typesense_tpu.core.store import Store
+    store = Store(str(tmp_path / "s"))
+    c = Collection("upd2", [Field("title", "string")], store=store)
+    for i in range(10):
+        c.add({"id": f"d{i}", "title": f"tok{i}"})
+    c._ensure_index()
+    c.add({"id": "d5", "title": "fresh"}, operation="upsert")
+    store2 = Store(str(tmp_path / "s2"))
+    store.create_check_point(str(tmp_path / "s2"))
+    store2.reload(str(tmp_path / "s2"))
+    c2 = Collection("upd2", [Field("title", "string")], store=store2)
+    c2.collection_id = c.collection_id
+    c2.load_from_store()
+    assert c2.num_documents == 10
+    assert c2.get("d5")["title"] == "fresh"

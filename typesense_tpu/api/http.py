@@ -373,8 +373,14 @@ class HttpServer:
                         req.query[k] = v if isinstance(v, str) else json.dumps(v)
             loop = asyncio.get_running_loop()
             t0 = time.monotonic()
-            result = await loop.run_in_executor(
-                self.executor, handler, self, req)
+            try:
+                result = await loop.run_in_executor(
+                    self.executor, handler, self, req)
+            except RuntimeError as e:
+                if "shutdown" in str(e):  # server stopping; request in flight
+                    return 503, _json_bytes({"message": "Server is shutting "
+                                             "down."}), "application/json"
+                raise
             metrics = getattr(self, "metrics", None)
             if metrics is not None:
                 label = "search" if req.path.endswith("/documents/search") or \

@@ -162,6 +162,7 @@ class Collection:
             self.fields.append(nf)
             self.field_map[nf.name] = nf
 
+        old_seq = None
         if exists and operation in ("upsert", "update", "emplace"):
             seq_id = self.id_to_seq[doc_id]
             if operation in ("update", "emplace"):
@@ -169,6 +170,20 @@ class Collection:
                 merged.update(doc)
                 doc = merged
             self._validate(doc, dirty_values)
+            if (self._engine is not None and not self._dirty and not new_fields
+                    and seq_id < self._delta_start):
+                # RELOCATE a main-segment doc into the delta: tombstone the
+                # old seq and reinsert under a fresh one. Updates stay
+                # O(delta) instead of forcing a full O(corpus) rebuild (the
+                # reference mutates postings in place, index.cpp remove+add;
+                # we append — same observable behavior).
+                old_seq = seq_id
+                self._engine.mark_deleted([old_seq])
+                self._deleted_since_build.add(old_seq)
+                del self.docs[old_seq]
+                seq_id = self.next_seq_id
+                self.next_seq_id += 1
+                self.id_to_seq[doc_id] = seq_id
             self.docs[seq_id] = doc
         else:
             if doc_id is None:
@@ -185,7 +200,7 @@ class Collection:
             self.store.batch_write({
                 self._doc_key(seq_id): json.dumps(doc, ensure_ascii=False),
                 self._id_key(doc["id"]): str(seq_id),
-            })
+            }, deletes=[self._doc_key(old_seq)] if old_seq is not None else None)
         if (self._engine is not None and not self._dirty and not new_fields
                 and seq_id >= self._delta_start):
             self._delta_dirty = True          # new doc -> delta segment only
@@ -750,7 +765,8 @@ class Collection:
         max_typos = num_typos[0] if num_typos else 2
         threshold = max(typo_tokens_threshold, 1)
         empty_raw = RawResult(np.empty(0, np.int32),
-                              np.empty((0, 3), np.int64), 0)
+                              np.empty((0, 3), np.int64), 0,
+                              out_of=int(engine.seg.live.sum()))
         while True:
             exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
                           for i in range(len(tokens))]

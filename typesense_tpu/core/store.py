@@ -6,8 +6,11 @@ iteration) and its role in SURVEY.md §5 (checkpoint of record; in-memory
 indices are derived state rebuilt on boot).
 
 Design: log-structured — an in-memory dict + append-only WAL (JSON lines,
-fsync'd per batch), compacted into a snapshot file when the WAL grows past a
-threshold. Crash recovery replays snapshot + WAL, tolerating a torn final
+fsync'd per batch). When the WAL grows past a threshold it is ROTATED to a
+new generation file and a background thread streams the current state into a
+JSONL snapshot; writers never stall longer than a dict copy (RocksDB's
+memtable-flush discipline, scaled to this engine's needs). Crash recovery
+replays snapshot + all WAL generations in order, tolerating a torn final
 record. This favors the engine's access pattern: point gets on the read path
 (doc hydration) and sequential batch writes on the import path.
 """
@@ -16,9 +19,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 
 _TOMBSTONE = None  # deletions recorded as null values in the WAL
+_WAL_RE = re.compile(r"^wal\.(\d+)\.jsonl$")
 
 
 class StoreStatus:
@@ -36,40 +41,65 @@ class Store:
         self._lock = threading.RLock()
         self._data: dict[str, str] = {}
         self._wal = None
+        self._wal_gen = 0
+        self._compactor: threading.Thread | None = None
         os.makedirs(path, exist_ok=True)
         self._load()
 
     # --- paths ---
     @property
     def _snap_path(self) -> str:
-        return os.path.join(self.path, "snapshot.json")
+        return os.path.join(self.path, "snapshot.jsonl")
 
     @property
-    def _wal_path(self) -> str:
-        return os.path.join(self.path, "wal.jsonl")
+    def _legacy_snap_path(self) -> str:
+        return os.path.join(self.path, "snapshot.json")
+
+    def _wal_path(self, gen: int) -> str:
+        return os.path.join(self.path, f"wal.{gen}.jsonl")
+
+    def _wal_gens(self) -> list[int]:
+        gens = []
+        for name in os.listdir(self.path):
+            m = _WAL_RE.match(name)
+            if m:
+                gens.append(int(m.group(1)))
+        # round-1 layout compatibility: ungenerated wal.jsonl replays first
+        return sorted(gens)
 
     # --- recovery ---
+    def _replay_wal_file(self, path: str):
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # torn tail record from a crash — stop replay
+                k, v = rec["k"], rec["v"]
+                if v is _TOMBSTONE:
+                    self._data.pop(k, None)
+                else:
+                    self._data[k] = v
+
     def _load(self):
         self._data = {}
         if os.path.exists(self._snap_path):
-            with open(self._snap_path, "r", encoding="utf-8") as f:
+            # JSONL snapshot: one {"k":..,"v":..} record per line, streamed
+            self._replay_wal_file(self._snap_path)
+        elif os.path.exists(self._legacy_snap_path):
+            with open(self._legacy_snap_path, "r", encoding="utf-8") as f:
                 self._data = json.load(f)
-        if os.path.exists(self._wal_path):
-            with open(self._wal_path, "r", encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        break  # torn tail record from a crash — stop replay
-                    k, v = rec["k"], rec["v"]
-                    if v is _TOMBSTONE:
-                        self._data.pop(k, None)
-                    else:
-                        self._data[k] = v
-        self._wal = open(self._wal_path, "a", encoding="utf-8")
+        legacy_wal = os.path.join(self.path, "wal.jsonl")
+        if os.path.exists(legacy_wal):
+            self._replay_wal_file(legacy_wal)
+        gens = self._wal_gens()
+        for g in gens:
+            self._replay_wal_file(self._wal_path(g))
+        self._wal_gen = (gens[-1] if gens else 0)
+        self._wal = open(self._wal_path(self._wal_gen), "a", encoding="utf-8")
 
     def _append(self, records: list[tuple[str, str | None]]):
         buf = "".join(json.dumps({"k": k, "v": v}, ensure_ascii=False) + "\n"
@@ -79,7 +109,7 @@ class Store:
         if self.fsync:
             os.fsync(self._wal.fileno())
         if self._wal.tell() > self.wal_compact_bytes:
-            self._compact_locked()
+            self._start_compaction_locked()
 
     # --- public API (store.h:84-118) ---
     def insert(self, key: str, value: str) -> bool:
@@ -134,38 +164,74 @@ class Store:
                 self._append([(k, _TOMBSTONE) for k in doomed])
 
     # --- checkpoint / restore (store.h create_check_point/reload) ---
-    def _compact_locked(self):
-        tmp = self._snap_path + ".tmp"
+    @staticmethod
+    def _stream_snapshot(view: dict[str, str], dest: str):
+        """Stream a state view into a JSONL snapshot file, atomically."""
+        tmp = dest + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self._data, f, ensure_ascii=False)
+            for k, v in view.items():
+                f.write(json.dumps({"k": k, "v": v}, ensure_ascii=False) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, self._snap_path)
-        self._wal.close()
-        with open(self._wal_path, "w"):
-            pass
-        self._wal = open(self._wal_path, "a", encoding="utf-8")
+        os.replace(tmp, dest)
 
-    def compact(self):
+    def _start_compaction_locked(self):
+        """Rotate the WAL and snapshot in the background. The write lock is
+        held only for a dict copy (value strings are shared references), not
+        for the O(dataset) serialization — writers continue against the new
+        WAL generation while the snapshot streams out."""
+        if self._compactor is not None and self._compactor.is_alive():
+            return  # one compaction at a time; the next threshold retriggers
+        view = self._data.copy()
+        old_gens = self._wal_gens()
+        self._wal.close()
+        self._wal_gen += 1
+        self._wal = open(self._wal_path(self._wal_gen), "a", encoding="utf-8")
+
+        def run():
+            self._stream_snapshot(view, self._snap_path)
+            # snapshot covers every generation <= the rotated ones
+            for g in old_gens:
+                try:
+                    os.remove(self._wal_path(g))
+                except FileNotFoundError:
+                    pass
+            for legacy in (self._legacy_snap_path,
+                           os.path.join(self.path, "wal.jsonl")):
+                try:
+                    os.remove(legacy)
+                except FileNotFoundError:
+                    pass
+
+        self._compactor = threading.Thread(target=run, daemon=True,
+                                           name="store-compact")
+        self._compactor.start()
+
+    def compact(self, wait: bool = True):
         with self._lock:
-            self._compact_locked()
+            self._start_compaction_locked()
+            t = self._compactor
+        if wait and t is not None:
+            t.join()
+
+    def wait_compaction(self):
+        t = self._compactor
+        if t is not None:
+            t.join()
 
     def create_check_point(self, checkpoint_dir: str) -> bool:
         """Write a consistent copy of the store into `checkpoint_dir`."""
         with self._lock:
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            snap = os.path.join(checkpoint_dir, "snapshot.json")
-            tmp = snap + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(self._data, f, ensure_ascii=False)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, snap)
-            open(os.path.join(checkpoint_dir, "wal.jsonl"), "w").close()
+            view = self._data.copy()
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._stream_snapshot(view, os.path.join(checkpoint_dir,
+                                                 "snapshot.jsonl"))
+        open(os.path.join(checkpoint_dir, "wal.0.jsonl"), "w").close()
         return True
 
     def reload(self, new_path: str | None = None) -> bool:
         """Close and reopen (optionally from a restored snapshot directory)."""
+        self.wait_compaction()
         with self._lock:
             self._wal.close()
             if new_path:
@@ -178,6 +244,7 @@ class Store:
             return len(self._data)
 
     def close(self):
+        self.wait_compaction()
         with self._lock:
             if self._wal and not self._wal.closed:
                 self._wal.close()

@@ -360,7 +360,8 @@ class IndexEngine:
             phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
             field_num_typos=field_num_typos, field_prefixes=field_prefixes)
         if prep is None:
-            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64), 0)
+            return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64),
+                             0, out_of=int(self.seg.live.sum()))
         Q, Fq, C, S, SS, SCB, K = (prep["Q"], prep["Fq"], prep["C"], prep["S"],
                                    prep["SS"], prep["SCB"], prep["K"])
 
