@@ -42,6 +42,53 @@ def pack_position(elem_idx: int, pos: int) -> int:
     return (min(elem_idx, MAX_ELEM) << POS_BITS) | min(pos, MAX_POS)
 
 
+# --- packed per-posting scoring meta (dense-scan kernel input) ---
+# The dense keyword kernel scores docs by streaming membership planes, so
+# everything proximity ranking needs must fit ONE uint32 per posting:
+#   bits 0-11  pos0: first position, re-packed (elem:5 << 7 | offset:7)
+#   bits 12-23 pos1: second position (== pos0 when the posting has only one)
+#   bit 24     cnt2: posting has >= 2 positions
+#   bit 25     last: token is the last token of its field value (exact match)
+#   bit 26     heavy: meta can't represent this posting exactly (> 2
+#              positions, elem > 31 or offset > 127) — the kernel re-scores
+#              such docs from the full positions CSR, so ranking stays exact
+#   bit 27     spare
+#   bits 28-31 query-time typo cost (scatter-min picks the cheapest candidate)
+# The 5/7-bit position split preserves the window semantics of the full
+# packing: same-element offset deltas are exact and cross-element deltas
+# stay >= 128 > WINDOW_SIZE, so proximity distances are identical.
+META_HEAVY_BIT = np.uint32(1 << 26)
+META_LAST_BIT = np.uint32(1 << 25)
+META_CNT2_BIT = np.uint32(1 << 24)
+
+
+def pack_post_meta(post_flags: np.ndarray, pos_offsets: np.ndarray,
+                   positions: np.ndarray) -> np.ndarray:
+    P = len(post_flags)
+    if len(positions) == 0:
+        return np.zeros(max(P, 1), dtype=np.uint32)
+    cnt = (pos_offsets[1:] - pos_offsets[:-1]).astype(np.int64)
+    last_pos = max(len(positions) - 1, 0)
+    p0 = positions[np.clip(pos_offsets[:-1], 0, last_pos)].astype(np.int64)
+    p1_idx = np.clip(pos_offsets[:-1] + 1, 0, last_pos)
+    p1 = np.where(cnt >= 2, positions[p1_idx].astype(np.int64), p0)
+
+    def enc(p):
+        elem = p >> POS_BITS
+        off = p & MAX_POS
+        over = (elem > 31) | (off > 127)
+        return ((np.minimum(elem, 31) << 7) | np.minimum(off, 127)), over
+
+    e0, o0 = enc(p0)
+    e1, o1 = enc(p1)
+    heavy = (cnt > 2) | o0 | (o1 & (cnt >= 2))
+    meta = (heavy.astype(np.uint32) << 26) \
+        | ((post_flags.astype(np.uint32) & 1) << 25) \
+        | ((cnt >= 2).astype(np.uint32) << 24) \
+        | (e1.astype(np.uint32) << 12) | e0.astype(np.uint32)
+    return meta
+
+
 @dataclass
 class SegmentArrays:
     """Host (numpy) image of one immutable index segment."""
@@ -65,6 +112,10 @@ class SegmentArrays:
     # --- per-doc metadata ---
     live: np.ndarray                   # (N,) bool
     field_token_counts: np.ndarray     # (N, F) int32 tokens in field value (sum over elems)
+
+    # packed per-posting scoring meta (see pack_post_meta); built lazily by
+    # to_device when a segment predates the dense kernel
+    post_meta: np.ndarray = None       # (P,) uint32
 
     # --- columns ---
     num_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)    # (N,) int64|float32
@@ -97,6 +148,7 @@ class DeviceIndex(NamedTuple):
     post_flags: Any
     pos_offsets: Any
     positions: Any
+    post_meta: Any
     live: Any
     field_token_counts: Any
     num_columns: tuple          # aligned with num_column_names
@@ -143,6 +195,9 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         post_flags=put(seg.post_flags),
         pos_offsets=put(seg.pos_offsets),
         positions=put(seg.positions),
+        post_meta=put(seg.post_meta if seg.post_meta is not None else
+                      pack_post_meta(seg.post_flags, seg.pos_offsets,
+                                     seg.positions)),
         live=put(seg.live),
         field_token_counts=put(seg.field_token_counts),
         num_columns=tuple(put(seg.num_columns[n]) for n in num_names),

@@ -81,6 +81,47 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
     return words_present, distance, max_offset
 
 
+def match_components_p2(pos0, pos1, valid, valid2):
+    """Specialized Match for the dense kernel's 2-positions-per-token meta:
+    identical semantics to match_components, but closed-form per anchor —
+    no anchor sort, no (B, A, Q, P) tensor. All inputs (B, Q); positions are
+    12-bit meta encodings (< 4096), pos0 <= pos1 per token.
+
+    next_t(p) needs no min-scan: with two sorted positions per token it is
+    `a if a >= p else (b if b >= p else none)`. The reference's ascending-
+    anchor strict-improvement tie-break folds into one int32 max over
+    (words, -displacement, -anchor)."""
+    B, Q = pos0.shape
+    a = jnp.where(valid, pos0, INF)                    # (B, Q)
+    b = jnp.where(valid2, pos1, INF)
+
+    best = jnp.full((B,), -1, jnp.int32)
+    for t in range(Q):
+        for which in range(2):
+            p = a[:, t] if which == 0 else b[:, t]     # (B,) anchor
+            anchor_ok = p < INF
+            nxt = jnp.where(a >= p[:, None], a,
+                            jnp.where(b >= p[:, None], b, INF))  # (B, Q)
+            alive = nxt < INF
+            in_win = alive & ((nxt - p[:, None]) <= WINDOW_SIZE)
+            words = jnp.sum(in_win, axis=1).astype(jnp.int32)
+            maxwin = jnp.max(jnp.where(in_win, nxt, -1), axis=1)
+            disp = jnp.clip(maxwin - p, 0, 4095).astype(jnp.int32)
+            usable = anchor_ok & (jnp.sum(alive, axis=1) >= 2)
+            key = jnp.where(
+                usable,
+                (words << 24) | ((4095 - disp) << 12) |
+                (4095 - jnp.minimum(p, 4095)),
+                -1)
+            best = jnp.maximum(best, key)
+
+    any_usable = best >= 0
+    words_present = jnp.where(any_usable, best >> 24, 1).astype(jnp.int32)
+    distance = jnp.where(any_usable, 4095 - ((best >> 12) & 0xFFF),
+                         0).astype(jnp.int32)
+    return words_present, distance
+
+
 def pack_field_score(words_present, unique_words, total_cost, distance,
                      exact_match, max_offset_score, synonym_score):
     """match_score.h:56-68 — identical 48-bit packing (int64)."""

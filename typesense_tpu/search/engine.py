@@ -95,19 +95,27 @@ class IndexEngine:
         self._geo_idx = {n: i for i, n in enumerate(self.names["geo"])}
         self._geopoly_idx = {n: i for i, n in enumerate(self.names["geopoly"])}
 
-        # sort-ready int64 device columns
+        # sort-ready int64 device columns; _col_pack_ok marks columns whose
+        # key magnitude fits the dense kernel's packed 2-key merge
+        # (|key| < 2^39, kernels.PACK2_BIAS)
         self._sort_cols: dict[str, jax.Array] = {}
+        self._col_pack_ok: dict[str, bool] = {}
         for name, col in segment.num_columns.items():
             if col.dtype == np.float32:
                 keys = float32_sortable_int64(col)
             else:
                 keys = np.clip(col, -(2**61), 2**61)
+            self._col_pack_ok[name] = bool(
+                np.abs(keys).max(initial=0) < (1 << 39))
             self._sort_cols[name] = jax.device_put(jnp.asarray(keys, jnp.int64))
         for name, col in segment.str_sort_columns.items():
             # string ranks ascend with lexicographic order; missing (INT64_MAX)
             # must sort last both ways -> clamp into range
+            keys = np.clip(col, -(2**61), 2**61)
+            self._col_pack_ok[name] = bool(
+                np.abs(keys).max(initial=0) < (1 << 39))
             self._sort_cols[name] = jax.device_put(
-                jnp.asarray(np.clip(col, -(2**61), 2**61), jnp.int64))
+                jnp.asarray(keys, jnp.int64))
 
         self._zero_col = jax.device_put(jnp.zeros(max(self.N, 1), jnp.int64))
         self._live = jax.device_put(jnp.asarray(segment.live))
@@ -270,23 +278,36 @@ class IndexEngine:
         CAP = force.get("CAP") or bucket4(max(drv_total, 1), lo=256,
                                           hi=1 << 25)
 
-        # strategy by estimated cost: probe kernel does
-        # drv_total * (Q*F*C) * iters random gathers; scatter kernel does
-        # one packed scatter-min write per posting of EVERY candidate row,
-        # a (Q*F*N) plane memset (sequential writes ~8x cheaper than random
-        # ops), plus Q*F plane gathers per driver element. Pick the cheaper
-        # program.
+        # strategy by estimated cost (measured axon-TPU throughputs: random
+        # gather/scatter ~60-90M ops/s, sequential streams ~8x cheaper):
+        #   probe   — drv_total * (Q*F*C) * iters random gathers; wins for
+        #             rare drivers.
+        #   dense   — scatter-min every candidate posting into meta planes
+        #             (total_postings random writes) + one sequential scan
+        #             over N; wins for high-volume queries because scoring
+        #             reads are sequential and proximity uses the 2-position
+        #             meta instead of P=16 CSR gathers.
+        #   scatter — the round-2 driver-stream kernel; kept for phrase
+        #             queries (they need exact CSR adjacency) and the
+        #             sharded force path.
         total_postings = int(row_lens.sum())
         probe_cost = drv_total * (Q * Fq * C) * self._iters
-        scatter_cost = (total_postings + drv_total * (Q * Fq)
-                        + (Q * Fq * self.N) // 8)
-        use_probe = probe_cost < scatter_cost
+        dense_cost = total_postings + (self.N * (Q * Fq + 8)) // 8
+        use_probe = probe_cost < dense_cost
+        plane_bytes = Q * Fq * self.N * 4
+        if plane_bytes > 600_000_000:
+            use_probe = True  # plane memory guard (many tokens x fields)
         if int(row_lens.max()) >= (1 << 25):
             # plane values pack the row-relative offset into 25 bits; a row
             # longer than that can't scatter — probe instead
             use_probe = True
         if "use_probe" in force:
             use_probe = force["use_probe"]
+        mode = "probe" if use_probe else \
+            ("scatter" if (phrase_pairs or force) else "dense")
+        forced_mode = getattr(self, "_force_mode", None)  # tests/benchmarks
+        if forced_mode and not force and not phrase_pairs:
+            mode = forced_mode
 
         # scatter chunks: EVERY (token, field, cand) row in fixed (SS,)
         # slices (min-scatter makes write order irrelevant)
@@ -298,7 +319,7 @@ class IndexEngine:
         s_rel0: list[int] = []   # chunk offset within its row (packs into
         # the plane value's low 25 bits; the kernel reconstructs the absolute
         # posting index as cand_starts[q,f,c] + rel)
-        if not use_probe and drv_total > 0:
+        if mode in ("scatter", "dense") and drv_total > 0:
             for c in range(C):
                 for q in range(Q):
                     for f in range(Fq):
@@ -324,9 +345,16 @@ class IndexEngine:
         weights = np.zeros(Fq, dtype=np.int64)
         weights[:len(field_weights)] = field_weights[:Fq]
 
-        if use_probe:
+        if mode == "probe":
             qbuf = kernels.pack_probe_buf(drows_start, drows_cum,
                                           n_chunks, drv,
+                                          cand_starts.astype(np.int64),
+                                          cand_ends.astype(np.int64),
+                                          cand_costs.astype(np.int64),
+                                          token_valid, weights)
+        elif mode == "dense":
+            qbuf = kernels.pack_dense_buf(sc_starts, sc_lens, sc_qf, sc_c,
+                                          sc_rel0, n_sc,
                                           cand_starts.astype(np.int64),
                                           cand_ends.astype(np.int64),
                                           cand_costs.astype(np.int64),
@@ -340,7 +368,7 @@ class IndexEngine:
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
         return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
-                "CAP": CAP, "SB": SB,
+                "CAP": CAP, "SB": SB, "mode": mode,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
 
@@ -371,13 +399,36 @@ class IndexEngine:
         f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
         f_caps = tuple(self._facet_caps[f] for f in facet_fields)
         f_sizes = tuple(len(self.seg.facet_values[f]) for f in facet_fields)
+        fmask = filter_mask if filter_mask is not None else self._live
 
-        if prep["use_probe"]:
+        mode = prep.get("mode", "probe" if prep["use_probe"] else "scatter")
+        if mode == "probe":
             kern = kernels.build_probe_kernel(
                 Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))
+        elif mode == "dense":
+            pack2 = self._pack2_ok(sort_slots, slot_kinds, slot_signs)
+            # dense chunk size: largest power of two <= N (slices must stay
+            # inside the (N,) column arrays; the clipped-start overlap rescan
+            # is masked out via the `fresh` lane check)
+            SN = min(1 << 18, 1 << int(np.floor(np.log2(max(self.N, 1)))))
+            kern = kernels.build_dense_kernel(
+                Q, Fq, C, SCB, SS, SN, prep["CAP"], 512, K,
+                MAX_POS_PER_POSTING, self._iters,
+                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                tuple(exclude_flags), self.N, pack2)
+            buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
+                       self.dev.pos_offsets, self.dev.positions,
+                       self.dev.field_token_counts, fmask,
+                       jnp.asarray(prep["qbuf"]), cols[0], cols[1], cols[2],
+                       f_offs, f_vals)
+            rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
+                buf, K, f_sizes)
+            return self._collect(rid, r0, r1, r2, found, f_acc,
+                                 facet_fields, k)
         else:
             kern = kernels.build_keyword_kernel(
                 Q, Fq, C, SCB, SS, S, prep["CAP"], prep["SB"],
@@ -386,13 +437,35 @@ class IndexEngine:
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))
 
-        fmask = filter_mask if filter_mask is not None else self._live
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
                    self.dev.positions, self.dev.field_token_counts, fmask,
                    jnp.asarray(prep["qbuf"]), cols[0], cols[1], cols[2],
                    f_offs, f_vals)
         rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
+
+    def _pack2_ok(self, sort_slots, slot_kinds, slot_signs) -> bool:
+        """The dense kernel's 2-key packed merge is valid when the sort
+        tuple is (text, small-magnitude column | none | seq, seq-desc | none)
+        and doc ids fit the 22-bit id field."""
+        if self.N >= (1 << 22):
+            return False
+        if slot_kinds[0] != kernels.SLOT_TEXT:
+            return False
+        if slot_kinds[2] == kernels.SLOT_SEQ_ID:
+            if slot_signs[2] != 1:
+                return False
+        elif slot_kinds[2] != kernels.SLOT_NONE:
+            return False
+        k1 = slot_kinds[1]
+        if k1 in (kernels.SLOT_NONE, kernels.SLOT_SEQ_ID):
+            return True
+        if k1 != kernels.SLOT_COLUMN:
+            return False
+        s1 = sort_slots[1] if len(sort_slots) > 1 else None
+        if s1 is None or s1.custom_col is not None or s1.column is None:
+            return False
+        return self._col_pack_ok.get(s1.column, False)
 
     # ------------------------------------------------------------------
     def infix_term_ids(self, token: str, limit: int = 64) -> np.ndarray:

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from typesense_tpu.ops.match import (
-    match_components, pack_field_score, pack_aggregated_score,
+    match_components, match_components_p2, pack_field_score,
+    pack_aggregated_score,
 )
 from typesense_tpu.ops.postings import lower_bound
 
@@ -111,21 +112,28 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
                      facet_offs, facet_vals,
                      Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                      prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                     phrase_pairs, gid=None):
+                     phrase_pairs, gid=None, last_flag_mask=1):
     """Shared per-chunk scoring tail: proximity Match + packed text score,
     3-slot sort keys, running top-K merge, facet scatter-add (used by both
     the scatter-plane and probe kernels). gid: GLOBAL doc ids for sort keys
-    and result ids under sharding (d stays the local index for gathers)."""
+    and result ids under sharding (d stays the local index for gathers).
+    last_flag_mask: bit in post_flags marking last-token-of-value (the dense
+    kernel's heavy pass passes post_meta with its bit-25 last flag)."""
     if gid is None:
         gid = d
     query_len = jnp.sum(ta & tv, axis=0).astype(jnp.int32)  # (S,)
     dsafe = jnp.clip(d, 0, field_token_counts.shape[0] - 1)
 
+    # when no sort slot reads the text score, skip ALL proximity work
+    # (positions gathers + window math) — found/facets/sort keys are
+    # unaffected (index.cpp skips Match when sort has no _text_match)
+    need_text = SLOT_TEXT in slot_kinds or bool(phrase_pairs)
+
     best_score = jnp.zeros(S, jnp.int64)
     best_weight = jnp.zeros(S, jnp.int64)
     phrase_ok = jnp.zeros(S, bool) if phrase_pairs else None
     single_token = Q == 1 and not phrase_pairs
-    for f in range(F):
+    for f in range(F) if need_text else ():
         mf = tok_field[:, f, :]                               # (Q, S) token in field
         gp = jnp.clip(sp[:, f, :], 0, pos_offsets.shape[0] - 2)
         base = pos_offsets[gp]                         # (Q, S) int64
@@ -165,7 +173,8 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
 
         # exact match (match_score.h:242-274)
         flags = post_flags[jnp.clip(sp[:, f, :], 0, post_flags.shape[0] - 1)]
-        has_last = jnp.any((flags & 1).astype(bool) & mf, axis=0)  # (S,)
+        has_last = jnp.any((flags & post_flags.dtype.type(last_flag_mask)
+                            > 0) & mf, axis=0)  # (S,)
         total_off = jnp.sum(jnp.where(mf, cnt, 0), axis=0).astype(jnp.int32)
         ftc = field_token_counts[dsafe, f]
         if prioritize_exact:
@@ -451,6 +460,393 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
         return jnp.concatenate(out)
+
+
+def topk_merge2(key0, kpacked, valid, k: int, id_bits: int = 22):
+    """Two-key variant of topk_merge for the packed-key fast path: kpacked
+    already folds (sort key 1, doc id tie-break) into one int64, so the sort
+    runs on half the key material. Returns (k0, kp, ids)."""
+    nk0 = jnp.where(valid, -key0, jnp.int64(2**62))
+    nkp = jnp.where(valid, -kpacked, jnp.int64(2**62))
+    s0, sp = lax.sort((nk0, nkp), num_keys=2)
+    take = min(k, key0.shape[0])
+    pad = k - take
+    s0, sp = s0[:take], sp[:take]
+    if pad > 0:
+        s0 = jnp.pad(s0, (0, pad), constant_values=2**62)
+        sp = jnp.pad(sp, (0, pad), constant_values=2**62)
+    kp = -sp
+    ids = jnp.where(sp == 2**62, -1,
+                    kp & ((1 << id_bits) - 1)).astype(jnp.int32)
+    return -s0, kp, ids
+
+
+PACK2_BIAS = jnp.int64(1) << 39  # |slot-1 keys| must stay below this
+
+
+def pack_dense_buf(sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
+                   cand_starts, cand_ends, cand_costs, token_valid,
+                   field_weights):
+    """Query buffer for the dense-scan kernel: scatter descriptors +
+    candidate row bounds (for the heavy-doc probe pass)."""
+    import numpy as np
+    return np.concatenate([
+        sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
+        sc_rel0.ravel(),
+        np.array([n_sc], dtype=np.int64),
+        cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
+        token_valid.astype(np.int64).ravel(), field_weights.ravel(),
+    ]).astype(np.int64)
+
+
+def _meta_field_scores(val, member_qf, excl, tv, field_token_counts_chunk,
+                       field_weights, tc_all, Q, F, SN, prioritize_exact,
+                       single_query_token):
+    """Per-field packed text scores from the meta plane values — the dense
+    analogue of the CSR positions path in _score_and_merge. val: (Q, F, SN)
+    uint32 plane values; member_qf: (Q, F, SN) membership."""
+    best_score = jnp.zeros(SN, jnp.int64)
+    best_weight = jnp.zeros(SN, jnp.int64)
+    for f in range(F):
+        mf = member_qf[:, f, :] & ~excl[:, :1]                 # (Q, SN)
+        vf = val[:, f, :]
+        pos0 = (vf & jnp.uint32(0xFFF)).astype(jnp.int32)
+        pos1 = ((vf >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        cnt2 = ((vf >> 24) & jnp.uint32(1)).astype(jnp.int32)
+        lastb = ((vf >> 25) & jnp.uint32(1)).astype(bool)
+        uw = jnp.sum(mf, axis=0).astype(jnp.int32)             # (SN,)
+        single = uw <= 1
+        if single_query_token:
+            wp = jnp.ones(SN, jnp.int32)
+            dist = jnp.zeros(SN, jnp.int32)
+        else:
+            wp, dist = match_components_p2(
+                jnp.transpose(pos0), jnp.transpose(pos1),
+                jnp.transpose(mf), jnp.transpose(mf & (cnt2 > 0)))
+            wp = jnp.where(single, 1, wp)
+            dist = jnp.where(single, 0, dist)
+
+        cnt = jnp.where(mf, 1 + cnt2, 0)                       # (Q, SN)
+        total_off = jnp.sum(cnt, axis=0).astype(jnp.int32)
+        has_last = jnp.any(lastb & mf, axis=0)
+        ftc = field_token_counts_chunk[:, f]
+        if prioritize_exact:
+            exact_multi = (has_last & (ftc == uw) &
+                           (((total_off == uw) & (dist == uw - 1)) |
+                            (dist < uw - 1)))
+            exact_single = (has_last & (ftc == 1) & (tc_all == 0) &
+                            (jnp.sum(tv) == 1))
+            exact = jnp.where(single, exact_single,
+                              exact_multi).astype(jnp.int32)
+        else:
+            exact = jnp.zeros(SN, jnp.int32)
+
+        fs = pack_field_score(wp, uw, tc_all, dist, exact,
+                              jnp.zeros(SN, jnp.int32),
+                              jnp.ones(SN, jnp.int32))
+        fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
+        better = fs > best_score
+        best_weight = jnp.where(better, field_weights[f].astype(jnp.int64),
+                                best_weight)
+        best_score = jnp.maximum(best_score, fs)
+    return best_score, best_weight
+
+
+@lru_cache(maxsize=512)
+def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
+                       CAP: int, HS: int, K: int, P: int, iters: int,
+                       slot_kinds: tuple, slot_signs: tuple,
+                       prioritize_exact: bool, prioritize_num_fields: bool,
+                       n_facets: int, facet_caps: tuple, facet_sizes: tuple,
+                       exclude_flags: tuple, N: int, pack2: bool):
+    """Dense-scan keyword kernel — the TPU-native path for high-volume
+    queries (common tokens, large intersections).
+
+    The driver-stream design pays one random gather per (token, field,
+    driver posting) plus full CSR position gathers per matched doc; at 2.2M
+    docs a two-common-token query measured 1.5s. This kernel instead makes
+    the scoring data flow SEQUENTIAL:
+
+      1. SCATTER (unchanged shape): every candidate posting scatter-mins a
+         uint32 (typo_cost<<28 | packed meta) into (Q*F, N) planes. The
+         packed meta (artifacts.pack_post_meta) carries the first two token
+         positions, the occurrence count class, and the last-token flag —
+         everything proximity ranking needs, so scoring never touches the
+         positions CSR for ordinary postings.
+      2. DENSE SCAN: stream the planes over N in SN-sized chunks
+         (sequential HBM reads, no gathers): membership/AND-intersection,
+         typo costs, proximity Match over (SN, Q, 2) positions (64x less
+         window math than the P=16 CSR tensors), filter mask, sort keys from
+         column slices, running top-K merge. Facet/heavy candidates compact
+         into side buffers.
+      3. HEAVY PASS: docs whose meta could not represent a posting exactly
+         (>2 occurrences, long values) re-score from the positions CSR via
+         candidate-row binary search — exactness is preserved, only the
+         (rare) heavy docs pay gather costs.
+      4. FACET PASS: scatter-add over the compacted matched list.
+
+    pack2: when the sort tuple is (text, small-column, seq-id-desc) the
+    second/third keys pack into one int64 and the per-chunk merge sorts two
+    keys instead of four.
+    """
+    exclude = tuple(bool(x) for x in exclude_flags) + \
+        (False,) * (Q - len(exclude_flags))
+    n_dense = max((N + SN - 1) // SN, 1)
+    EMPTY32 = jnp.uint32(0xFFFFFFFF)
+
+    @jax.jit
+    def kernel(post_doc_ids, post_meta, pos_offsets, positions,
+               field_token_counts, filter_mask, qbuf,
+               sort_col0, sort_col1, sort_col2, facet_offs, facet_vals,
+               doc_base=None):
+        o = 0
+        sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_qf = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        o += SCB  # sc_rel0: unused here (meta plane carries no rel offset)
+        n_sc = qbuf[o].astype(jnp.int32); o += 1
+        cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
+        o += Q * F * C
+        cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
+        o += Q * F * C
+        cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32)
+        o += Q * C
+        token_valid = qbuf[o:o + Q].astype(bool); o += Q
+        field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
+
+        excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
+        tv = token_valid[:, None] & ~excl
+        tve = token_valid[:, None] & excl
+
+        # ---- phase 1: scatter (cost | meta) planes ----
+        G = max(1, min((1 << 17) // SS, SCB))
+        ss_lane = jnp.arange(SS, dtype=jnp.int32)
+        cc_flat = jnp.minimum(cand_costs, 14).reshape(-1)      # (Q*C,)
+
+        def scatter_step(i, plane):
+            base = lax.dynamic_slice(sc_starts, (i * G,), (G,))
+            ln = lax.dynamic_slice(sc_lens, (i * G,), (G,))
+            qf = lax.dynamic_slice(sc_qf, (i * G,), (G,))
+            c = lax.dynamic_slice(sc_c, (i * G,), (G,))
+            idx = base[:, None] + ss_lane[None, :]             # (G, SS)
+            valid = ss_lane[None, :] < ln[:, None]
+            safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
+            docs = post_doc_ids[safe]
+            meta = post_meta[safe]
+            q = qf // F
+            cost = cc_flat[jnp.clip(q * C + c, 0, Q * C - 1)]  # (G,)
+            val = (cost.astype(jnp.uint32)[:, None] << 28) | meta
+            flat = jnp.where(valid, qf[:, None] * N + docs,
+                             jnp.int32(Q * F * N))
+            return plane.at[flat.reshape(-1)].min(val.reshape(-1),
+                                                  mode="drop")
+
+        n_steps = (n_sc + G - 1) // G
+        plane = lax.fori_loop(0, n_steps, scatter_step,
+                              jnp.full((Q * F * N,), EMPTY32, jnp.uint32))
+        plane2d = plane.reshape(Q * F, N)
+
+        # ---- phase 2: dense scan over N ----
+        lane = jnp.arange(SN, dtype=jnp.int32)
+
+        def dense_chunk(ci, carry):
+            (r0, r1, r2, rid, fnd, f_acc, comp, mcnt, hbuf, hcnt) = carry
+            start = jnp.clip(ci * SN, 0, max(N - SN, 0))
+            d = start + lane                                   # global ids
+            fresh = (d >= ci * SN) & (d < N)
+            val = lax.dynamic_slice(plane2d, (0, start),
+                                    (Q * F, SN)).reshape(Q, F, SN)
+            member = val != EMPTY32
+            tok_any = jnp.any(member, axis=1)                  # (Q, SN)
+            all_match = (jnp.all(tok_any | ~tv, axis=0)
+                         & jnp.any(tok_any & tv, axis=0)
+                         & ~jnp.any(tok_any & tve, axis=0))
+            fm = lax.dynamic_slice(filter_mask, (start,), (SN,))
+            m = all_match & fresh & fm
+            inc_member = member & ~excl[:, :, None]
+            heavy = jnp.any(inc_member &
+                            ((val >> 26) & jnp.uint32(1)).astype(bool),
+                            axis=(0, 1))
+            m_light = m & ~heavy
+            m_heavy = m & heavy
+
+            # typo cost of the winning (min) candidate per token
+            costs_qf = jnp.where(inc_member,
+                                 (val >> 28).astype(jnp.int32), 255)
+            min_cost_q = jnp.min(costs_qf, axis=1)             # (Q, SN)
+            tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
+
+            if SLOT_TEXT in slot_kinds:
+                ftc_chunk = lax.dynamic_slice(
+                    field_token_counts, (start, 0),
+                    (SN, field_token_counts.shape[1]))
+                best_score, best_weight = _meta_field_scores(
+                    val, inc_member, excl, tv, ftc_chunk, field_weights, tc,
+                    Q, F, SN, prioritize_exact, Q == 1)
+            else:
+                # no sort slot reads the text score — skip proximity math
+                best_score = jnp.zeros(SN, jnp.int64)
+                best_weight = jnp.zeros(SN, jnp.int64)
+
+            if prioritize_num_fields:
+                nmf = jnp.sum(jnp.any(inc_member, axis=0),
+                              axis=0).astype(jnp.int32)
+            else:
+                nmf = jnp.zeros(SN, jnp.int32)
+            query_len = jnp.sum(tok_any & tv, axis=0).astype(jnp.int32)
+            ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
+            text_match = pack_aggregated_score(ql, best_score, best_weight,
+                                               nmf)
+
+            gid = d if doc_base is None else \
+                lax.dynamic_slice(doc_base, (start,), (SN,))
+            c0 = lax.dynamic_slice(sort_col0, (start,), (SN,))
+            c1 = lax.dynamic_slice(sort_col1, (start,), (SN,))
+            c2 = lax.dynamic_slice(sort_col2, (start,), (SN,))
+            k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, lane,
+                            c0, key_ids=gid)
+            k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, lane,
+                            c1, key_ids=gid)
+            if pack2:
+                kp = ((k1 + PACK2_BIAS) << 22) | gid.astype(jnp.int64)
+                t0_, tp_, tid = topk_merge2(k0, kp, m_light, K)
+                mk0 = jnp.concatenate([r0, t0_])
+                mkp = jnp.concatenate([r1, tp_])
+                mid = jnp.concatenate([rid, tid])
+                r0, r1, rid = topk_merge2(mk0, mkp, mid >= 0, K)
+                r2 = jnp.zeros_like(r0)
+            else:
+                k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match,
+                                lane, c2, key_ids=gid)
+                t0_, t1_, t2_, tid = topk_merge(k0, k1, k2, gid, m_light, K)
+                mk0 = jnp.concatenate([r0, t0_])
+                mk1 = jnp.concatenate([r1, t1_])
+                mk2 = jnp.concatenate([r2, t2_])
+                mid = jnp.concatenate([rid, tid])
+                r0, r1, r2, rid = topk_merge(mk0, mk1, mk2, mid, mid >= 0, K)
+
+            fnd = fnd + jnp.sum(m, dtype=jnp.int64)
+
+            hi = m_heavy.astype(jnp.int32)
+            hidx = jnp.where(m_heavy, hcnt + jnp.cumsum(hi) - hi,
+                             jnp.int32(CAP))
+            hbuf = hbuf.at[hidx].set(d, mode="drop")
+            hcnt = hcnt + jnp.sum(hi, dtype=jnp.int32)
+            if n_facets:
+                mi = m.astype(jnp.int32)
+                midx = jnp.where(m, mcnt + jnp.cumsum(mi) - mi,
+                                 jnp.int32(CAP))
+                comp = comp.at[midx].set(d, mode="drop")
+                mcnt = mcnt + jnp.sum(mi, dtype=jnp.int32)
+            return (r0, r1, r2, rid, fnd, f_acc, comp, mcnt, hbuf, hcnt)
+
+        init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32)
+                       for fa in range(n_facets))
+        comp0 = jnp.zeros((CAP if n_facets else 1,), jnp.int32)
+        init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
+                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
+                jnp.int64(0), init_f, comp0, jnp.int32(0),
+                jnp.zeros((CAP,), jnp.int32), jnp.int32(0))
+        (r0, r1, r2, rid, found_count, f_acc, comp, mcnt, hbuf,
+         hcnt) = lax.fori_loop(0, n_dense, dense_chunk, init)
+
+        if pack2:
+            # unpack (k1 | id) into true key values so the heavy pass can
+            # merge on plain 4-key tuples (heavy chunks are tiny)
+            has = rid >= 0
+            k1v = jnp.where(has, (r1 >> 22) - PACK2_BIAS, KEY_MIN)
+            sgn2 = slot_signs[2] if slot_kinds[2] == SLOT_SEQ_ID else 1
+            if slot_kinds[2] == SLOT_SEQ_ID:
+                k2v = jnp.where(has, rid.astype(jnp.int64) * sgn2, KEY_MIN)
+            else:
+                k2v = jnp.where(has, jnp.int64(0), KEY_MIN)
+            r1, r2 = k1v, k2v
+
+        # ---- phase 3: heavy docs re-score from the positions CSR ----
+        cs = cand_starts.reshape(-1, 1)
+        ce = cand_ends.reshape(-1, 1)
+        cvalid = (cand_costs < 255)[:, None, :, None]
+        hlane = jnp.arange(HS, dtype=jnp.int32)
+
+        def heavy_chunk(i, carry):
+            g = i * HS + hlane
+            in_range = g < hcnt
+            d = jnp.where(in_range, hbuf[jnp.clip(g, 0, CAP - 1)], 0)
+            x = d[None, :]
+            pidx = lower_bound(post_doc_ids,
+                               jnp.broadcast_to(cs, (Q * F * C, HS)),
+                               jnp.broadcast_to(ce, (Q * F * C, HS)), x,
+                               iters)
+            safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
+            found = (pidx < ce) & (post_doc_ids[safe] == x)
+            found = found.reshape(Q, F, C, HS) & cvalid
+            pidx = pidx.reshape(Q, F, C, HS)
+            tok_field = jnp.any(found, axis=2)
+            tok_any2 = jnp.any(tok_field, axis=1)
+            tok_field = tok_field & ~excl[:, :, None]
+            fm = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
+            m = in_range & fm  # membership/AND already proven in phase 2
+            cost_qc = jnp.where(found,
+                                cand_costs[:, None, :, None].astype(
+                                    jnp.int32), 255)
+            min_cost_q = jnp.min(cost_qc, axis=(1, 2))
+            tc = jnp.sum(jnp.where(tok_any2 & tv, min_cost_q, 0), axis=0)
+            first_c = jnp.argmax(found, axis=2)
+            sp = jnp.take_along_axis(pidx, first_c[:, :, None, :],
+                                     axis=2)[:, :, 0, :]
+            gidh = None if doc_base is None else \
+                doc_base[jnp.clip(d, 0, doc_base.shape[0] - 1)]
+            r0_, r1_, r2_, rid_, _fnd, _f = _score_and_merge(
+                (carry[0], carry[1], carry[2], carry[3], jnp.int64(0),
+                 tuple()),
+                d, m, tc, tok_field, tok_any2, sp, tv,
+                post_meta, pos_offsets,
+                positions, field_token_counts, field_weights,
+                sort_col0, sort_col1, sort_col2, (), (),
+                Q, F, HS, K, P, slot_kinds, slot_signs, prioritize_exact,
+                prioritize_num_fields, 0, (), (), (), gid=gidh,
+                last_flag_mask=1 << 25)
+            return (r0_, r1_, r2_, rid_)
+
+        n_heavy = (hcnt + HS - 1) // HS
+        r0, r1, r2, rid = lax.fori_loop(0, n_heavy, heavy_chunk,
+                                        (r0, r1, r2, rid))
+
+        # ---- phase 4: facet counts over the compacted matched list ----
+        if n_facets:
+            FS = SN
+            flane = jnp.arange(FS, dtype=jnp.int32)
+
+            def facet_chunk(i, f_acc2):
+                g = i * FS + flane
+                in_range = g < mcnt
+                d = jnp.where(in_range, comp[jnp.clip(g, 0, CAP - 1)], 0)
+                dsafe = jnp.clip(d, 0, N - 1)
+                out = []
+                for fa in range(n_facets):
+                    offs, vals = facet_offs[fa], facet_vals[fa]
+                    cap = facet_caps[fa]
+                    fb = offs[dsafe]
+                    fcnt2 = offs[dsafe + 1] - fb
+                    vidx = fb[:, None] + jnp.arange(cap,
+                                                    dtype=jnp.int64)[None, :]
+                    vv = (jnp.arange(cap)[None, :] < fcnt2[:, None]) & \
+                        in_range[:, None]
+                    vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
+                    fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
+                    out.append(f_acc2[fa].at[fv.reshape(-1)].add(
+                        vv.reshape(-1).astype(jnp.int32), mode="drop"))
+                return tuple(out)
+
+            n_fchunks = (mcnt + FS - 1) // FS
+            f_acc = lax.fori_loop(0, n_fchunks, facet_chunk, f_acc)
+
+        out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
+        out.extend(f.astype(jnp.int64) for f in f_acc)
+        return jnp.concatenate(out)
+
+    return kernel
 
 
 def pack_probe_buf(drows_start, drows_cum, n_chunks, drv,
