@@ -4,6 +4,7 @@ collection_specific_test.cpp phrase cases, collection_grouping_test.cpp)."""
 import pytest
 
 from typesense_tpu.collection import Collection, parse_query_text
+from typesense_tpu.core.errors import BadRequest
 from typesense_tpu.schema.field import Field
 
 
@@ -184,3 +185,52 @@ def test_per_field_prefix():
     res = c.search({"q": "choco", "query_by": "a,b", "prefix": "true,true",
                     "num_typos": "0"})
     assert sorted(ids(res)) == ["0", "1"]
+
+
+def test_drop_tokens_right_to_left_default():
+    c = Collection("dtr", [Field("t", "string")])
+    c.add({"id": "0", "t": "alpha beta"})
+    # "alpha beta zzz" -> no full match; dropping zzz (rightmost) matches
+    r = c.search({"q": "alpha beta zzz", "query_by": "t", "num_typos": "0",
+                  "prefix": "false"})
+    assert r["found"] == 1
+
+
+def test_drop_tokens_left_to_right():
+    c = Collection("dtl", [Field("t", "string")])
+    c.add({"id": "0", "t": "beta gamma"})
+    # dropping from the left removes "zzz" first
+    r = c.search({"q": "zzz beta gamma", "query_by": "t", "num_typos": "0",
+                  "prefix": "false", "drop_tokens_mode": "left_to_right"})
+    assert r["found"] == 1
+
+
+def test_drop_tokens_direction_swap():
+    # right_to_left exhausts without results, then swaps to left drops
+    c = Collection("dts", [Field("t", "string")])
+    c.add({"id": "0", "t": "omega"})
+    r = c.search({"q": "zzz yyy omega", "query_by": "t", "num_typos": "0",
+                  "prefix": "false"})
+    assert r["found"] == 1
+
+
+def test_drop_tokens_both_sides():
+    c = Collection("dtb", [Field("t", "string")])
+    c.add({"id": "0", "t": "left anchor"})
+    c.add({"id": "1", "t": "anchor right"})
+    r = c.search({"q": "left anchor right", "query_by": "t",
+                  "num_typos": "0", "prefix": "false",
+                  "drop_tokens_mode": "both_sides:5"})
+    # both directions explored: variants match doc0 AND doc1
+    assert r["found"] == 2
+
+
+def test_drop_tokens_mode_invalid():
+    c = Collection("dti", [Field("t", "string")])
+    c.add({"id": "0", "t": "x"})
+    with pytest.raises(BadRequest):
+        c.search({"q": "x", "query_by": "t",
+                  "drop_tokens_mode": "sideways"})
+    with pytest.raises(BadRequest):
+        c.search({"q": "x", "query_by": "t",
+                  "drop_tokens_mode": "both_sides:x"})

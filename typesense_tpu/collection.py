@@ -488,6 +488,13 @@ class Collection:
         prioritize_exact = _as_bool(params.get("prioritize_exact_match"), True)
         prioritize_num_fields = _as_bool(params.get("prioritize_num_matching_fields"), True)
         drop_tokens_threshold = int(params.get("drop_tokens_threshold", DROP_TOKENS_THRESHOLD))
+        drop_tokens_mode = str(params.get("drop_tokens_mode", "right_to_left"))
+        _dm_parts = drop_tokens_mode.split(":")
+        if _dm_parts[0] not in ("right_to_left", "left_to_right",
+                                "both_sides") or \
+                (len(_dm_parts) == 2 and not _dm_parts[1].isdigit()) or \
+                len(_dm_parts) > 2:
+            raise BadRequest("Invalid format for drop tokens mode.")
         num_typos = [int(t) for t in _as_list(params.get("num_typos"))] or [2]
         prefixes = [_as_bool(p) for p in _as_list(params.get("prefix"))] or [True]
         max_candidates = int(params.get("max_candidates", 0) or 0)
@@ -647,7 +654,8 @@ class Collection:
                 fm, dispatch_facet_fields, k, num_typos, prefixes,
                 max_candidates, drop_tokens_threshold,
                 prioritize_exact, prioritize_num_fields, typo_thresh,
-                phrase_pairs=phrase_pairs, exclude_flags=exclude_flags)
+                phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
+                drop_tokens_mode=drop_tokens_mode)
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -743,16 +751,50 @@ class Collection:
         return resp
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _drop_tokens_limit(mode: str) -> int:
+        parts = str(mode).split(":")
+        if len(parts) == 2 and parts[1].isdigit():
+            return int(parts[1])
+        return 1000  # reference default drop_tokens_token_limit
+
+    def _drop_tokens_plan(self, toks: list, mode: str) -> list:
+        """Ordered truncated-token variants (index.cpp:3930-3985): drop one
+        token at a time from the starting side; when that side exhausts,
+        swap direction once. both_sides:N starts from the left when the
+        query has <= N tokens, else degrades to right_to_left."""
+        n = min(len(toks), 20)   # reference caps droppable tokens at 20
+        toks = list(toks[:n])
+        if n <= 1:
+            return []
+        base = str(mode).split(":")[0]
+        if base == "both_sides" and n <= self._drop_tokens_limit(mode):
+            first = "left"       # both_sides enters the left-drop branch
+        elif base == "left_to_right":
+            first = "left"
+        else:
+            first = "right"
+
+        def seq(direction):
+            return [toks[:n - d] if direction == "right" else toks[d:]
+                    for d in range(1, n)]
+
+        return seq(first) + seq("left" if first == "right" else "right")
+
     def _keyword_with_drop_tokens(self, engine, q_tokens, search_fields, weights,
                                   sort_slots, filter_mask, facet_fields, k,
                                   num_typos, prefixes, max_candidates,
                                   drop_tokens_threshold, prioritize_exact,
                                   prioritize_num_fields, typo_tokens_threshold,
                                   phrase_pairs: tuple = (),
-                                  exclude_flags: tuple = ()) -> RawResult:
-        """Run keyword search; drop tokens right-to-left while below threshold
-        (index.cpp:3851-3990 drop_tokens loop). Phrase queries and exclusions
-        never drop tokens (reference behavior for phrases)."""
+                                  exclude_flags: tuple = (),
+                                  drop_tokens_mode: str = "right_to_left",
+                                  ) -> RawResult:
+        """Run keyword search; drop tokens while below threshold
+        (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
+        configured side; when a direction exhausts, swap once —
+        `right_to_left` (default), `left_to_right`, `both_sides:N`). Phrase
+        queries and exclusions never drop tokens (reference behavior)."""
         from typesense_tpu.search.candidates import token_candidate_sets
 
         from typesense_tpu.search.candidates import bounded_typo_cost
@@ -760,6 +802,7 @@ class Collection:
         tokens = list(q_tokens)
         excludes = list(exclude_flags) or [False] * len(tokens)
         can_drop = not phrase_pairs and not any(excludes)
+        drop_plan = self._drop_tokens_plan(list(q_tokens), drop_tokens_mode)
         results: list[RawResult] = []
         cand_memo: dict = {}
         max_typos = num_typos[0] if num_typos else 2
@@ -824,12 +867,14 @@ class Collection:
                     raw = dispatch(cands) or raw
             raw = raw if raw is not None else empty_raw
             results.append(raw)
-            if (raw.found >= max(drop_tokens_threshold, 1) or len(tokens) <= 1
-                    or not can_drop
+            both_sides = drop_tokens_mode.startswith("both_sides") and \
+                len(q_tokens) <= self._drop_tokens_limit(drop_tokens_mode)
+            if ((raw.found >= max(drop_tokens_threshold, 1) and not both_sides)
+                    or not can_drop or not drop_plan
                     or time.monotonic() > getattr(self, "_deadline", float("inf"))):
                 break
-            tokens = tokens[:-1]  # drop right-most token (default direction)
-            excludes = excludes[:-1]
+            tokens = drop_plan.pop(0)
+            excludes = [False] * len(tokens)
 
         merged = self._merge_results(results)
         if merged.found == 0 and can_drop and len(q_tokens) >= 1:

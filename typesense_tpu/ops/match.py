@@ -81,39 +81,43 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
     return words_present, distance, max_offset
 
 
-def match_components_p2(pos0, pos1, valid, valid2):
+def match_components_p2(pos_a: list, pos_b: list):
     """Specialized Match for the dense kernel's 2-positions-per-token meta:
     identical semantics to match_components, but closed-form per anchor —
-    no anchor sort, no (B, A, Q, P) tensor. All inputs (B, Q); positions are
-    12-bit meta encodings (< 4096), pos0 <= pos1 per token.
+    no anchor sort, no (B, A, Q, P) tensor, no transposes. Inputs are
+    per-token lists of (B,) int32 vectors (first/second position, already
+    INF where the token/slot is absent; positions are 12-bit meta encodings
+    < 4096, a <= b per token), so the whole computation stays fused
+    elementwise over (B,).
 
     next_t(p) needs no min-scan: with two sorted positions per token it is
     `a if a >= p else (b if b >= p else none)`. The reference's ascending-
     anchor strict-improvement tie-break folds into one int32 max over
     (words, -displacement, -anchor)."""
-    B, Q = pos0.shape
-    a = jnp.where(valid, pos0, INF)                    # (B, Q)
-    b = jnp.where(valid2, pos1, INF)
-
+    Q = len(pos_a)
+    B = pos_a[0].shape[0]
     best = jnp.full((B,), -1, jnp.int32)
-    for t in range(Q):
-        for which in range(2):
-            p = a[:, t] if which == 0 else b[:, t]     # (B,) anchor
-            anchor_ok = p < INF
-            nxt = jnp.where(a >= p[:, None], a,
-                            jnp.where(b >= p[:, None], b, INF))  # (B, Q)
+    for anchor in [*pos_a, *pos_b]:
+        p = anchor                                      # (B,)
+        anchor_ok = p < INF
+        words = jnp.zeros(B, jnp.int32)
+        alive_cnt = jnp.zeros(B, jnp.int32)
+        maxwin = jnp.full(B, -1, jnp.int32)
+        for t in range(Q):
+            nxt = jnp.where(pos_a[t] >= p, pos_a[t],
+                            jnp.where(pos_b[t] >= p, pos_b[t], INF))
             alive = nxt < INF
-            in_win = alive & ((nxt - p[:, None]) <= WINDOW_SIZE)
-            words = jnp.sum(in_win, axis=1).astype(jnp.int32)
-            maxwin = jnp.max(jnp.where(in_win, nxt, -1), axis=1)
-            disp = jnp.clip(maxwin - p, 0, 4095).astype(jnp.int32)
-            usable = anchor_ok & (jnp.sum(alive, axis=1) >= 2)
-            key = jnp.where(
-                usable,
-                (words << 24) | ((4095 - disp) << 12) |
-                (4095 - jnp.minimum(p, 4095)),
-                -1)
-            best = jnp.maximum(best, key)
+            in_win = alive & ((nxt - p) <= WINDOW_SIZE)
+            words = words + in_win
+            alive_cnt = alive_cnt + alive
+            maxwin = jnp.maximum(maxwin, jnp.where(in_win, nxt, -1))
+        disp = jnp.clip(maxwin - p, 0, 4095)
+        usable = anchor_ok & (alive_cnt >= 2)
+        key = jnp.where(usable,
+                        (words << 24) | ((4095 - disp) << 12) |
+                        (4095 - jnp.minimum(p, 4095)),
+                        -1)
+        best = jnp.maximum(best, key)
 
     any_usable = best >= 0
     words_present = jnp.where(any_usable, best >> 24, 1).astype(jnp.int32)

@@ -520,9 +520,12 @@ def _meta_field_scores(val, member_qf, excl, tv, field_token_counts_chunk,
             wp = jnp.ones(SN, jnp.int32)
             dist = jnp.zeros(SN, jnp.int32)
         else:
-            wp, dist = match_components_p2(
-                jnp.transpose(pos0), jnp.transpose(pos1),
-                jnp.transpose(mf), jnp.transpose(mf & (cnt2 > 0)))
+            from typesense_tpu.ops.match import INF as MATCH_INF
+            pos_a = [jnp.where(mf[q], pos0[q], MATCH_INF)
+                     for q in range(Q)]
+            pos_b = [jnp.where(mf[q] & (cnt2[q] > 0), pos1[q], MATCH_INF)
+                     for q in range(Q)]
+            wp, dist = match_components_p2(pos_a, pos_b)
             wp = jnp.where(single, 1, wp)
             dist = jnp.where(single, 0, dist)
 
@@ -593,6 +596,11 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
         (False,) * (Q - len(exclude_flags))
     n_dense = max((N + SN - 1) // SN, 1)
     EMPTY32 = jnp.uint32(0xFFFFFFFF)
+    # heavy re-scoring only matters when positions can change the ranking:
+    # single-token proximity is degenerate (wp=1, dist=0, exact_single uses
+    # only the last-token flag and field length), and without a text slot
+    # positions are never read
+    need_heavy = (SLOT_TEXT in slot_kinds) and Q > 1
 
     @jax.jit
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
@@ -665,11 +673,15 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
             fm = lax.dynamic_slice(filter_mask, (start,), (SN,))
             m = all_match & fresh & fm
             inc_member = member & ~excl[:, :, None]
-            heavy = jnp.any(inc_member &
-                            ((val >> 26) & jnp.uint32(1)).astype(bool),
-                            axis=(0, 1))
-            m_light = m & ~heavy
-            m_heavy = m & heavy
+            if need_heavy:
+                heavy = jnp.any(inc_member &
+                                ((val >> 26) & jnp.uint32(1)).astype(bool),
+                                axis=(0, 1))
+                m_light = m & ~heavy
+                m_heavy = m & heavy
+            else:
+                m_light = m
+                m_heavy = jnp.zeros_like(m)
 
             # typo cost of the winning (min) candidate per token
             costs_qf = jnp.where(inc_member,
@@ -728,11 +740,12 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
 
             fnd = fnd + jnp.sum(m, dtype=jnp.int64)
 
-            hi = m_heavy.astype(jnp.int32)
-            hidx = jnp.where(m_heavy, hcnt + jnp.cumsum(hi) - hi,
-                             jnp.int32(CAP))
-            hbuf = hbuf.at[hidx].set(d, mode="drop")
-            hcnt = hcnt + jnp.sum(hi, dtype=jnp.int32)
+            if need_heavy:
+                hi = m_heavy.astype(jnp.int32)
+                hidx = jnp.where(m_heavy, hcnt + jnp.cumsum(hi) - hi,
+                                 jnp.int32(CAP))
+                hbuf = hbuf.at[hidx].set(d, mode="drop")
+                hcnt = hcnt + jnp.sum(hi, dtype=jnp.int32)
             if n_facets:
                 mi = m.astype(jnp.int32)
                 midx = jnp.where(m, mcnt + jnp.cumsum(mi) - mi,
@@ -809,9 +822,10 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
                 last_flag_mask=1 << 25)
             return (r0_, r1_, r2_, rid_)
 
-        n_heavy = (hcnt + HS - 1) // HS
-        r0, r1, r2, rid = lax.fori_loop(0, n_heavy, heavy_chunk,
-                                        (r0, r1, r2, rid))
+        if need_heavy:
+            n_heavy = (hcnt + HS - 1) // HS
+            r0, r1, r2, rid = lax.fori_loop(0, n_heavy, heavy_chunk,
+                                            (r0, r1, r2, rid))
 
         # ---- phase 4: facet counts over the compacted matched list ----
         if n_facets:
