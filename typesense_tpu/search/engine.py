@@ -312,6 +312,13 @@ class IndexEngine:
         # scatter chunks: EVERY (token, field, cand) row in fixed (SS,)
         # slices (min-scatter makes write order irrelevant)
         SS = 2048
+        # big-row slice width (sequential DMA path), clamped so
+        # dynamic_slice stays inside small segments' posting arrays
+        import math
+        _posts = getattr(self.seg, "post_doc_ids", None)
+        _plen = len(_posts) if _posts is not None else (1 << 31)  # shard views
+        SSB = min(131072, 1 << int(math.log2(max(_plen, 1))))
+        BIG_ROW_MIN = 16384   # rows at least this long use big descriptors
         s_starts: list[int] = []
         s_lens: list[int] = []
         s_qf: list[int] = []
@@ -319,12 +326,26 @@ class IndexEngine:
         s_rel0: list[int] = []   # chunk offset within its row (packs into
         # the plane value's low 25 bits; the kernel reconstructs the absolute
         # posting index as cand_starts[q,f,c] + rel)
+        b_starts: list[int] = []
+        b_lens: list[int] = []
+        b_qf: list[int] = []
+        b_c: list[int] = []
         if mode in ("scatter", "dense") and drv_total > 0:
             for c in range(C):
                 for q in range(Q):
                     for f in range(Fq):
                         s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
                         if e0 <= s0 or cand_costs[q, c] >= 255:
+                            continue
+                        if mode == "dense" and e0 - s0 >= BIG_ROW_MIN:
+                            # long rows stream through dynamic_slice chunks:
+                            # contiguous reads + sorted-unique scatter, far
+                            # cheaper than the index-gather path
+                            for off in range(s0, e0, SSB):
+                                b_starts.append(off)
+                                b_lens.append(min(SSB, e0 - off))
+                                b_qf.append(q * Fq + f)
+                                b_c.append(c)
                             continue
                         for off in range(s0, e0, SS):
                             s_starts.append(off)
@@ -334,6 +355,8 @@ class IndexEngine:
                             s_rel0.append(off - s0)
         n_sc = len(s_starts)
         SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
+        n_big = len(b_starts)
+        SCBB = bucket4(max(n_big, 1), lo=8, hi=1 << 16)
         spad = SCB - n_sc
         sc_starts = np.asarray(s_starts + [0] * spad, dtype=np.int64)
         sc_lens = np.asarray(s_lens + [0] * spad, dtype=np.int64)
@@ -353,12 +376,17 @@ class IndexEngine:
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
         elif mode == "dense":
-            qbuf = kernels.pack_dense_buf(sc_starts, sc_lens, sc_qf, sc_c,
-                                          sc_rel0, n_sc,
-                                          cand_starts.astype(np.int64),
-                                          cand_ends.astype(np.int64),
-                                          cand_costs.astype(np.int64),
-                                          token_valid, weights)
+            bpad = SCBB - n_big
+            qbuf = kernels.pack_dense_buf(
+                sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
+                np.asarray(b_starts + [0] * bpad, dtype=np.int64),
+                np.asarray(b_lens + [0] * bpad, dtype=np.int64),
+                np.asarray(b_qf + [0] * bpad, dtype=np.int64),
+                np.asarray(b_c + [0] * bpad, dtype=np.int64), n_big,
+                cand_starts.astype(np.int64),
+                cand_ends.astype(np.int64),
+                cand_costs.astype(np.int64),
+                token_valid, weights)
         else:
             qbuf = kernels.pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c,
                                           sc_rel0, n_sc,
@@ -368,7 +396,8 @@ class IndexEngine:
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
         return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
-                "CAP": CAP, "SB": SB, "mode": mode,
+                "CAP": CAP, "SB": SB, "mode": mode, "SCBB": SCBB,
+                "SSB": SSB, "n_big": n_big,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
 
@@ -415,7 +444,8 @@ class IndexEngine:
             # is masked out via the `fresh` lane check)
             SN = min(1 << 18, 1 << int(np.floor(np.log2(max(self.N, 1)))))
             kern = kernels.build_dense_kernel(
-                Q, Fq, C, SCB, SS, SN, prep["CAP"], 512, K,
+                Q, Fq, C, SCB, SS, prep["SCBB"], prep["SSB"], SN,
+                prep["CAP"], 4096, K,
                 MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,

@@ -485,15 +485,19 @@ PACK2_BIAS = jnp.int64(1) << 39  # |slot-1 keys| must stay below this
 
 
 def pack_dense_buf(sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
+                   b_starts, b_lens, b_qf, b_c, n_big,
                    cand_starts, cand_ends, cand_costs, token_valid,
                    field_weights):
-    """Query buffer for the dense-scan kernel: scatter descriptors +
-    candidate row bounds (for the heavy-doc probe pass)."""
+    """Query buffer for the dense-scan kernel: small-row scatter
+    descriptors, big-row slice descriptors, and candidate row bounds (for
+    the heavy-doc probe pass)."""
     import numpy as np
     return np.concatenate([
         sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
         sc_rel0.ravel(),
         np.array([n_sc], dtype=np.int64),
+        b_starts.ravel(), b_lens.ravel(), b_qf.ravel(), b_c.ravel(),
+        np.array([n_big], dtype=np.int64),
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
     ]).astype(np.int64)
@@ -556,7 +560,8 @@ def _meta_field_scores(val, member_qf, excl, tv, field_token_counts_chunk,
 
 
 @lru_cache(maxsize=512)
-def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
+def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SCBB: int,
+                       SSB: int, SN: int,
                        CAP: int, HS: int, K: int, P: int, iters: int,
                        slot_kinds: tuple, slot_signs: tuple,
                        prioritize_exact: bool, prioritize_num_fields: bool,
@@ -614,6 +619,11 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
         sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         o += SCB  # sc_rel0: unused here (meta plane carries no rel offset)
         n_sc = qbuf[o].astype(jnp.int32); o += 1
+        b_starts = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_lens = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_qf = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_c = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        n_big = qbuf[o].astype(jnp.int32); o += 1
         cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
         o += Q * F * C
         cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
@@ -653,6 +663,30 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SN: int,
         n_steps = (n_sc + G - 1) // G
         plane = lax.fori_loop(0, n_steps, scatter_step,
                               jnp.full((Q * F * N,), EMPTY32, jnp.uint32))
+
+        # big rows: one SSB-wide contiguous slice per descriptor —
+        # sequential DMA reads and a sorted-unique scatter, ~5x cheaper per
+        # posting than the index-gather path above
+        blane = jnp.arange(SSB, dtype=jnp.int32)
+        P_total = post_doc_ids.shape[0]
+
+        def big_step(i, plane):
+            start = b_starts[i]
+            blen = b_lens[i]
+            actual = jnp.clip(start, 0, max(P_total - SSB, 0))
+            off = start - actual
+            docs = lax.dynamic_slice(post_doc_ids, (actual,), (SSB,))
+            meta = lax.dynamic_slice(post_meta, (actual,), (SSB,))
+            valid = (blane >= off) & (blane < off + blen)
+            q = b_qf[i] // F
+            cost = cc_flat[jnp.clip(q * C + b_c[i], 0, Q * C - 1)]
+            val = (cost.astype(jnp.uint32) << 28) | meta
+            # NOTE: padding lanes break strict index sortedness, so no
+            # indices_are_sorted hint (measured no win from it anyway)
+            flat = jnp.where(valid, b_qf[i] * N + docs, jnp.int32(Q * F * N))
+            return plane.at[flat].min(val, mode="drop")
+
+        plane = lax.fori_loop(0, n_big, big_step, plane)
         plane2d = plane.reshape(Q * F, N)
 
         # ---- phase 2: dense scan over N ----
