@@ -49,9 +49,9 @@ def test_stemming_dictionary_override():
 
 def test_cjk_tokenization():
     toks = Tokenizer("日本語テスト", locale="ja").tokenize()
-    assert len(toks) >= 4  # per-codepoint segmentation
+    assert len(toks) >= 4  # overlapping bigrams over the run
     toks_zh = Tokenizer("中文搜索", locale="zh").tokenize()
-    assert toks_zh == ["中", "文", "搜", "索"]
+    assert toks_zh == ["中文", "文搜", "搜索"]
 
 
 def test_cjk_field_search():
@@ -85,3 +85,43 @@ def test_pre_segmented_query():
                     "pre_segmented_query": "true", "num_typos": "0",
                     "prefix": "false"})
     assert res["found"] == 1
+
+
+def test_cjk_bigram_substring_search():
+    """Bigram segmentation finds substrings of longer CJK phrases exactly —
+    the behavior ICU BreakIterator + dictionary gives the reference (a
+    2-char query inside a 6-char title), without over-matching single chars
+    spread across the document."""
+    c = Collection("zhbig", [Field("title", "string", locale="zh")])
+    c.add({"id": "0", "title": "中文搜索引擎"})
+    c.add({"id": "1", "title": "搜查引发中断"})  # has 搜 and 索-free
+    res = c.search({"q": "搜索", "query_by": "title", "num_typos": "0",
+                    "prefix": "false"})
+    ids = [h["document"]["id"] for h in res["hits"]]
+    assert ids == ["0"]  # bigram 搜索 only exists in doc 0
+
+
+def test_japanese_bigram_phrase():
+    c = Collection("jabig", [Field("t", "string", locale="ja")])
+    c.add({"id": "0", "t": "東京大学の研究"})
+    c.add({"id": "1", "t": "京都大学"})
+    res = c.search({"q": "東京大学", "query_by": "t", "num_typos": "0",
+                    "prefix": "false"})
+    ids = [h["document"]["id"] for h in res["hits"]]
+    assert ids == ["0"]  # doc1 has 大学 but not 東京
+    res2 = c.search({"q": "大学", "query_by": "t", "num_typos": "0",
+                     "prefix": "false"})
+    assert len(res2["hits"]) == 2
+
+
+def test_korean_word_search():
+    c = Collection("kow", [Field("t", "string", locale="ko")])
+    c.add({"id": "0", "t": "안녕하세요 세계"})
+    res = c.search({"q": "세계", "query_by": "t", "num_typos": "0",
+                    "prefix": "false"})
+    assert len(res["hits"]) == 1
+
+
+def test_thai_bigram_run():
+    toks = Tokenizer("สวัสดี", locale="th").tokenize()
+    assert len(toks) >= 2  # bigrams over the undelimited run

@@ -56,6 +56,18 @@ def test_offsets():
     assert out[1][1] == 1  # token index
 
 
-def test_cjk_single_char_tokens():
+def test_cjk_bigram_tokens():
+    # dictionary-free CJK segmentation: overlapping bigrams (CJKAnalyzer
+    # style) — better precision than per-codepoint unigrams
     toks = tokenize("你好世界", locale="zh")
-    assert toks == ["你", "好", "世", "界"]
+    assert toks == ["你好", "好世", "世界"]
+
+
+def test_cjk_single_char_run():
+    assert tokenize("猫", locale="ja") == ["猫"]
+    assert tokenize("猫 犬", locale="ja") == ["猫", "犬"]
+
+
+def test_hangul_whole_word():
+    toks = tokenize("안녕하세요 세계", locale="ko")
+    assert len(toks) == 2  # space-delimited words stay whole

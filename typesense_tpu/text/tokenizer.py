@@ -56,6 +56,10 @@ def _is_cjk(ch: str) -> bool:
     return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
 
 
+def _is_hangul(ch: str) -> bool:
+    return 0xAC00 <= ord(ch) <= 0xD7AF
+
+
 def is_cyrillic_locale(locale: str) -> bool:
     # tokenizer.cpp:379-382
     return locale in ("el", "bg", "ru", "sr", "uk", "be")
@@ -154,10 +158,21 @@ class Tokenizer:
         return results
 
     def _tokenize_locale(self, text: str) -> list[tuple[str, int, int, int]]:
-        """Word-breaking locales. Approximation of the ICU BreakIterator path:
-        CJK codepoints become single-char tokens; runs of other word chars are
-        grouped. Normalization follows the reference per-locale rules where
-        expressible without ICU (tokenizer.cpp:110-216)."""
+        """Word-breaking locales — the ICU BreakIterator equivalent
+        (tokenizer.cpp:110-216) without ICU:
+
+        - Han / Kana / Thai runs segment into OVERLAPPING BIGRAMS (the
+          dictionary-free standard used by Lucene's CJKAnalyzer): a query's
+          bigrams AND-match any text containing the query as a substring,
+          and adjacent bigrams keep proximity ranking meaningful. Length-1
+          runs emit the single char, so single-char words stay findable
+          (longer single-char queries fall back to prefix matching over the
+          bigram table).
+        - Hangul runs stay whole words (Korean is space-delimited; ICU
+          word breaks coincide with the runs), NFKD-normalized like the
+          reference's jamo handling.
+        - Other word chars group into runs; cyrillic locales transliterate.
+        """
         results: list[tuple[str, int, int, int]] = []
         token_counter = 0
         buf: list[str] = []
@@ -173,17 +188,48 @@ class Tokenizer:
                 token_counter += 1
                 buf = []
 
-        for i, ch in enumerate(text):
+        def norm_cjk(ch: str) -> str:
+            if self.locale == "ko" or _is_hangul(ch):
+                return unicodedata.normalize("NFKD", ch)
+            if self.locale == "th":
+                return unicodedata.normalize("NFKC", ch)
+            return ch
+
+        def emit_run(run: str, run_start: int):
+            nonlocal token_counter
+            if not run:
+                return
+            if _is_hangul(run[0]):
+                # whole-word hangul token
+                results.append(("".join(norm_cjk(c) for c in run),
+                                token_counter, run_start,
+                                run_start + len(run) - 1))
+                token_counter += 1
+            elif len(run) == 1:
+                results.append((norm_cjk(run), token_counter, run_start,
+                                run_start))
+                token_counter += 1
+            else:
+                for j in range(len(run) - 1):
+                    big = norm_cjk(run[j]) + norm_cjk(run[j + 1])
+                    results.append((big, token_counter, run_start + j,
+                                    run_start + j + 1))
+                    token_counter += 1
+
+        i = 0
+        n = len(text)
+        while i < n:
+            ch = text[i]
             if _is_cjk(ch):
                 flush(i - 1)
-                norm = ch
-                if self.locale == "ko":
-                    norm = unicodedata.normalize("NFKD", ch)
-                elif self.locale == "th":
-                    norm = unicodedata.normalize("NFKC", ch)
-                results.append((norm, token_counter, i, i))
-                token_counter += 1
-                start = i + 1
+                hangul = _is_hangul(ch)
+                j = i
+                while j < n and _is_cjk(text[j]) and \
+                        _is_hangul(text[j]) == hangul:
+                    j += 1
+                emit_run(text[i:j], i)
+                start = j
+                i = j
                 continue
             if ch.isalnum():
                 if not buf:
@@ -195,9 +241,8 @@ class Tokenizer:
                     buf.append(ch.lower() if self.normalize else ch)
             else:
                 flush(i - 1)
+            i += 1
         flush(len(text) - 1)
-        if is_cyrillic_locale(self.locale) and self.stemmer is not None:
-            pass  # cyrillic stemming happens pre-transliteration in the reference
         return results
 
 
