@@ -37,13 +37,13 @@ def build_corpus(seed, n_docs=400, vocab=30, heavy_fraction=0.1):
 def both_modes(c, params):
     eng = c._ensure_index()
     out = {}
-    for mode in ("probe", "dense"):
+    for mode in ("probe", "dense2"):
         eng._force_mode = mode
         try:
             out[mode] = c.search(dict(params))
         finally:
             eng._force_mode = None
-    return out["probe"], out["dense"]
+    return out["probe"], out["dense2"]
 
 
 def assert_same(rp, rd):
@@ -112,16 +112,16 @@ def test_dense_heavy_only_corpus():
         c.add({"id": str(i), "t": f"a b a b a w{i % 5}", "pts": i})
     eng = c._ensure_index()
     out = {}
-    for mode in ("probe", "dense"):
+    for mode in ("probe", "dense2"):
         eng._force_mode = mode
         out[mode] = c.search({"q": "a b", "query_by": "t", "num_typos": "0",
                               "prefix": "false", "per_page": 60})
         eng._force_mode = None
-    assert out["probe"]["found"] == out["dense"]["found"] == 60
+    assert out["probe"]["found"] == out["dense2"]["found"] == 60
     assert [h["document"]["id"] for h in out["probe"]["hits"]] == \
-        [h["document"]["id"] for h in out["dense"]["hits"]]
+        [h["document"]["id"] for h in out["dense2"]["hits"]]
     assert [h["text_match"] for h in out["probe"]["hits"]] == \
-        [h["text_match"] for h in out["dense"]["hits"]]
+        [h["text_match"] for h in out["dense2"]["hits"]]
 
 
 def test_dense_long_value_overflow_meta():
@@ -135,13 +135,13 @@ def test_dense_long_value_overflow_meta():
     c.add({"id": "2", "t": "needle haystack " + filler, "pts": 3})
     eng = c._ensure_index()
     out = {}
-    for mode in ("probe", "dense"):
+    for mode in ("probe", "dense2"):
         eng._force_mode = mode
         out[mode] = c.search({"q": "needle haystack", "query_by": "t",
                               "num_typos": "0", "prefix": "false"})
         eng._force_mode = None
-    assert out["probe"]["found"] == out["dense"]["found"] == 3
+    assert out["probe"]["found"] == out["dense2"]["found"] == 3
     assert [h["document"]["id"] for h in out["probe"]["hits"]] == \
-        [h["document"]["id"] for h in out["dense"]["hits"]]
+        [h["document"]["id"] for h in out["dense2"]["hits"]]
     assert [h["text_match"] for h in out["probe"]["hits"]] == \
-        [h["text_match"] for h in out["dense"]["hits"]]
+        [h["text_match"] for h in out["dense2"]["hits"]]

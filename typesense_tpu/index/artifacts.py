@@ -44,49 +44,68 @@ def pack_position(elem_idx: int, pos: int) -> int:
 
 # --- packed per-posting scoring meta (dense-scan kernel input) ---
 # The dense keyword kernel scores docs by streaming membership planes, so
-# everything proximity ranking needs must fit ONE uint32 per posting:
-#   bits 0-11  pos0: first position, re-packed (elem:5 << 7 | offset:7)
-#   bits 12-23 pos1: second position (== pos0 when the posting has only one)
-#   bit 24     cnt2: posting has >= 2 positions
-#   bit 25     last: token is the last token of its field value (exact match)
-#   bit 26     heavy: meta can't represent this posting exactly (> 2
+# everything proximity ranking needs must fit ONE int64 per posting:
+#   bits 0-47  pos0..pos3: up to four positions, each re-packed 12 bits as
+#              (elem:5 << 7 | offset:7); slots beyond `cnt` are zero
+#   bits 48-50 cnt: min(number of positions, 7)
+#   bit 51     last: token is the last token of its field value (exact match)
+#   bit 52     heavy: meta can't represent this posting exactly (> 4
 #              positions, elem > 31 or offset > 127) — the kernel re-scores
 #              such docs from the full positions CSR, so ranking stays exact
-#   bit 27     spare
-#   bits 28-31 query-time typo cost (scatter-min picks the cheapest candidate)
+#   bits 53-58 query-time typo cost (scatter-min picks the cheapest candidate)
+#   bit 63     always 0 (int64 scatter-min stays well-ordered)
 # The 5/7-bit position split preserves the window semantics of the full
 # packing: same-element offset deltas are exact and cross-element deltas
 # stay >= 128 > WINDOW_SIZE, so proximity distances are identical.
-META_HEAVY_BIT = np.uint32(1 << 26)
-META_LAST_BIT = np.uint32(1 << 25)
-META_CNT2_BIT = np.uint32(1 << 24)
+META_CNT_SHIFT = 48
+META_LAST_SHIFT = 51
+META_HEAVY_SHIFT = 52
+META_COST_SHIFT = 53
+META_EMPTY = np.int64(1) << 62   # plane init; larger than any packed value
+
+
+def pack_post_meta_device(post_flags, pos_offsets, positions):
+    """Device-side meta64 packing (jit over the CSR arrays; ~34M-posting
+    builds pack in milliseconds on-chip vs tens of seconds on host numpy).
+    Returns a DEVICE int64 array — never copied back to host."""
+    import typesense_tpu.core.jaxcfg  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    P = len(post_flags)
+    if len(positions) == 0:
+        return jax.device_put(np.zeros(max(P, 1), dtype=np.int64))
+    last = max(len(positions) - 1, 0)
+
+    @jax.jit
+    def pack(flags, po, pos):
+        cnt = po[1:] - po[:-1]
+        meta = jnp.zeros(P, jnp.int64)
+        over = jnp.zeros(P, bool)
+        for k in range(4):
+            idx = jnp.clip(po[:-1] + k, 0, last)
+            p = pos[idx].astype(jnp.int64)
+            valid = cnt > k
+            elem = p >> POS_BITS
+            off = p & MAX_POS
+            over = over | (((elem > 31) | (off > 127)) & valid)
+            enc = (jnp.minimum(elem, 31) << 7) | jnp.minimum(off, 127)
+            meta = meta | jnp.where(valid, enc << (12 * k), 0)
+        heavy = (cnt > 4) | over
+        return (meta | (jnp.minimum(cnt, 7) << META_CNT_SHIFT)
+                | ((flags.astype(jnp.int64) & 1) << META_LAST_SHIFT)
+                | (heavy.astype(jnp.int64) << META_HEAVY_SHIFT))
+
+    return pack(post_flags, pos_offsets, positions)
 
 
 def pack_post_meta(post_flags: np.ndarray, pos_offsets: np.ndarray,
                    positions: np.ndarray) -> np.ndarray:
-    P = len(post_flags)
-    if len(positions) == 0:
-        return np.zeros(max(P, 1), dtype=np.uint32)
-    cnt = (pos_offsets[1:] - pos_offsets[:-1]).astype(np.int64)
-    last_pos = max(len(positions) - 1, 0)
-    p0 = positions[np.clip(pos_offsets[:-1], 0, last_pos)].astype(np.int64)
-    p1_idx = np.clip(pos_offsets[:-1] + 1, 0, last_pos)
-    p1 = np.where(cnt >= 2, positions[p1_idx].astype(np.int64), p0)
-
-    def enc(p):
-        elem = p >> POS_BITS
-        off = p & MAX_POS
-        over = (elem > 31) | (off > 127)
-        return ((np.minimum(elem, 31) << 7) | np.minimum(off, 127)), over
-
-    e0, o0 = enc(p0)
-    e1, o1 = enc(p1)
-    heavy = (cnt > 2) | o0 | (o1 & (cnt >= 2))
-    meta = (heavy.astype(np.uint32) << 26) \
-        | ((post_flags.astype(np.uint32) & 1) << 25) \
-        | ((cnt >= 2).astype(np.uint32) << 24) \
-        | (e1.astype(np.uint32) << 12) | e0.astype(np.uint32)
-    return meta
+    """Host-visible meta64 (tests / host tooling)."""
+    import jax
+    return np.asarray(jax.device_get(
+        pack_post_meta_device(post_flags, pos_offsets, positions)),
+        dtype=np.int64)
 
 
 @dataclass
@@ -113,9 +132,9 @@ class SegmentArrays:
     live: np.ndarray                   # (N,) bool
     field_token_counts: np.ndarray     # (N, F) int32 tokens in field value (sum over elems)
 
-    # packed per-posting scoring meta (see pack_post_meta); built lazily by
-    # to_device when a segment predates the dense kernel
-    post_meta: np.ndarray = None       # (P,) uint32
+    # packed per-posting scoring meta (see pack_post_meta); normally None —
+    # to_device packs it directly on device at upload time
+    post_meta: np.ndarray = None       # (P,) int64
 
     # --- columns ---
     num_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)    # (N,) int64|float32
@@ -149,8 +168,13 @@ class DeviceIndex(NamedTuple):
     pos_offsets: Any
     positions: Any
     post_meta: Any
+    head_planes: Any            # (H, N) int64 dense meta planes for the
+                                # highest-volume posting rows (scatter cache)
     live: Any
     field_token_counts: Any
+    facet_single: tuple         # aligned with facet names: (N,) int32 value
+                                # id per doc (size = V sentinel when missing)
+                                # or None when the field is multi-valued
     num_columns: tuple          # aligned with num_column_names
     num_multi_docs: tuple       # aligned with num_multi_names: element -> doc id
     num_multi_vals: tuple       # element values
@@ -161,6 +185,70 @@ class DeviceIndex(NamedTuple):
     geo_columns: tuple
     geopoly_verts: tuple        # aligned with geopoly_field_names
     geopoly_counts: tuple
+
+
+HEAD_ROW_MIN = 65536    # rows at least this long are head-plane candidates
+
+
+def head_plane_budget_bytes() -> int:
+    import os
+    return int(os.environ.get("TS_HEAD_PLANE_MB", "768")) * 1_000_000
+
+
+def select_head_rows(seg: SegmentArrays) -> np.ndarray:
+    """Longest posting rows first, until the plane budget is spent. Under a
+    Zipf vocabulary this caches the rows that dominate per-query scatter
+    volume (the reference never pays this cost — its posting lists are
+    iterated, not densified; on TPU dense planes are what make the scoring
+    scan sequential, so caching the head rows is the analogous read
+    optimization to the reference's posting-block skip lists)."""
+    row_lens = np.diff(seg.post_offsets)
+    budget = head_plane_budget_bytes()
+    n_max = max(budget // (8 * max(seg.num_docs, 1)), 0)
+    if n_max == 0:
+        return np.empty(0, np.int64)
+    cand = np.flatnonzero(row_lens >= min(HEAD_ROW_MIN,
+                                          max(seg.num_docs // 8, 4096)))
+    if len(cand) == 0:
+        return np.empty(0, np.int64)
+    order = cand[np.argsort(-row_lens[cand], kind="stable")]
+    return order[:n_max].astype(np.int64)
+
+
+def build_head_planes(seg: SegmentArrays, post_doc_ids_dev, post_meta_dev):
+    """(H, N) int64 dense meta planes for the selected head rows, built
+    on-device (one scatter-min per row, amortized at index build time)."""
+    import typesense_tpu.core.jaxcfg  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rows = select_head_rows(seg)
+    N = max(seg.num_docs, 1)
+    if len(rows) == 0:
+        return jax.device_put(np.full((1, 1), META_EMPTY, np.int64)), {}
+    po = seg.post_offsets
+    CH = 1 << 20
+
+    @jax.jit
+    def one(start, end, post_doc_ids, post_meta):
+        def step(i, plane):
+            idx = start + i * CH + jnp.arange(CH, dtype=jnp.int64)
+            valid = idx < end
+            safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
+            docs = post_doc_ids[safe]
+            mv = post_meta[safe]
+            flat = jnp.where(valid, docs, jnp.int32(N))
+            return plane.at[flat].min(mv, mode="drop")
+
+        n = (end - start + CH - 1) // CH
+        return lax.fori_loop(0, n, step,
+                             jnp.full((N,), META_EMPTY, jnp.int64))[:N]
+
+    planes = [one(jnp.int64(po[r]), jnp.int64(po[r + 1]),
+                  post_doc_ids_dev, post_meta_dev) for r in rows]
+    head_map = {int(r): h for h, r in enumerate(rows)}
+    return jnp.stack(planes), head_map
 
 
 def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
@@ -186,20 +274,40 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         counts = np.diff(offs)
         return np.repeat(np.arange(len(counts), dtype=np.int32), counts)
 
+    def facet_single(name):
+        """(N,) int32 single value id per doc (V = missing sentinel), or
+        None when any doc holds multiple values (those need the CSR path)."""
+        offs, vals = seg.facet_columns[name]
+        counts = np.diff(offs)
+        if counts.max(initial=0) > 1:
+            return None
+        V = len(seg.facet_values[name])
+        col = np.full(seg.num_docs, V, np.int32)
+        has = counts == 1
+        col[has] = vals[offs[:-1][has]]
+        return put(col)
+
+    post_doc_ids_dev = put(seg.post_doc_ids)
+    post_meta_dev = (put(seg.post_meta) if seg.post_meta is not None else
+                     pack_post_meta_device(seg.post_flags, seg.pos_offsets,
+                                           seg.positions))
+    head_planes, head_map = build_head_planes(seg, post_doc_ids_dev,
+                                              post_meta_dev)
+
     dev = DeviceIndex(
         term_chars=put(seg.term_chars),
         term_lens=put(seg.term_lens),
         term_doc_freq=put(seg.term_doc_freq),
         post_offsets=put(seg.post_offsets),
-        post_doc_ids=put(seg.post_doc_ids),
+        post_doc_ids=post_doc_ids_dev,
         post_flags=put(seg.post_flags),
         pos_offsets=put(seg.pos_offsets),
         positions=put(seg.positions),
-        post_meta=put(seg.post_meta if seg.post_meta is not None else
-                      pack_post_meta(seg.post_flags, seg.pos_offsets,
-                                     seg.positions)),
+        post_meta=post_meta_dev,
+        head_planes=head_planes,
         live=put(seg.live),
         field_token_counts=put(seg.field_token_counts),
+        facet_single=tuple(facet_single(n) for n in facet_names),
         num_columns=tuple(put(seg.num_columns[n]) for n in num_names),
         num_multi_docs=tuple(put(multi_docs(n)) for n in multi_names),
         num_multi_vals=tuple(put(seg.num_multi[n][1]) for n in multi_names),
@@ -214,6 +322,6 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
     names = {
         "num": num_names, "multi": multi_names, "facet": facet_names,
         "str_sort": str_sort_names, "vec": vec_names, "geo": geo_names,
-        "geopoly": geopoly_names,
+        "geopoly": geopoly_names, "head_map": head_map,
     }
     return dev, names

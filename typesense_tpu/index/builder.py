@@ -471,7 +471,6 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
         if len(vals) < MAX_VALUE_INDEX_DISTINCT
     }
 
-    from typesense_tpu.index.artifacts import pack_post_meta
     return SegmentArrays(
         num_docs=num_docs,
         num_terms=T,
@@ -484,7 +483,6 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
         post_flags=post_flags,
         pos_offsets=pos_offsets,
         positions=positions,
-        post_meta=pack_post_meta(post_flags, pos_offsets, positions),
         live=live,
         field_token_counts=ftc,
         num_columns=num_cols,

@@ -81,6 +81,48 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
     return words_present, distance, max_offset
 
 
+def match_components_p4(pos: list):
+    """Match for the dense kernel's 4-positions-per-token meta64: identical
+    semantics to match_components, closed-form per anchor. `pos` is a list of
+    Q lists of four (B,) int32 vectors (positions ascending per token, INF
+    where the slot/token is absent; values are 12-bit meta encodings < 4096).
+
+    next_t(p) folds over the four sorted positions with a reverse select
+    chain; the ascending-anchor strict-improvement tie-break packs into one
+    int32 max over (words, -displacement, -anchor)."""
+    Q = len(pos)
+    B = pos[0][0].shape[0]
+    best = jnp.full((B,), -1, jnp.int32)
+    for qa in range(Q):
+        for ka in range(4):
+            p = pos[qa][ka]
+            anchor_ok = p < INF
+            words = jnp.zeros(B, jnp.int32)
+            alive_cnt = jnp.zeros(B, jnp.int32)
+            maxwin = jnp.full(B, -1, jnp.int32)
+            for t in range(Q):
+                nxt = jnp.full(B, INF, jnp.int32)
+                for k in range(3, -1, -1):
+                    nxt = jnp.where(pos[t][k] >= p, pos[t][k], nxt)
+                alive = nxt < INF
+                in_win = alive & ((nxt - p) <= WINDOW_SIZE)
+                words = words + in_win
+                alive_cnt = alive_cnt + alive
+                maxwin = jnp.maximum(maxwin, jnp.where(in_win, nxt, -1))
+            disp = jnp.clip(maxwin - p, 0, 4095)
+            usable = anchor_ok & (alive_cnt >= 2)
+            key = jnp.where(usable,
+                            (words << 24) | ((4095 - disp) << 12) |
+                            (4095 - jnp.minimum(p, 4095)),
+                            -1)
+            best = jnp.maximum(best, key)
+    any_usable = best >= 0
+    words_present = jnp.where(any_usable, best >> 24, 1).astype(jnp.int32)
+    distance = jnp.where(any_usable, 4095 - ((best >> 12) & 0xFFF),
+                         0).astype(jnp.int32)
+    return words_present, distance
+
+
 def match_components_p2(pos_a: list, pos_b: list):
     """Specialized Match for the dense kernel's 2-positions-per-token meta:
     identical semantics to match_components, but closed-form per anchor —

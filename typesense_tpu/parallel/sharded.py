@@ -267,6 +267,7 @@ class _ShardView:
     def __init__(self, seg, padded_offsets, field_idx, T):
         self._iters = max(
             int(np.ceil(np.log2(max(len(seg.post_doc_ids), 2)))) + 1, 2)
+        self.names = {}  # no head-plane cache on shard views (scatter path)
         self.seg = SimpleNamespace(
             term_to_id=seg.term_to_id,
             term_doc_freq=seg.term_doc_freq,

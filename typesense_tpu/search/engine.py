@@ -169,7 +169,8 @@ class IndexEngine:
             exclude_flags: tuple = (),
             field_num_typos: list[int] | None = None,
             field_prefixes: list[bool] | None = None,
-            force: dict | None = None) -> dict | None:
+            force: dict | None = None,
+            dense_ok: bool = True) -> dict | None:
         """Host-side O(query) planning: candidate row bounds, driver stream,
         chunk descriptors, static shape selection, packed query buffer.
 
@@ -279,32 +280,38 @@ class IndexEngine:
                                           hi=1 << 25)
 
         # strategy by estimated cost (measured axon-TPU throughputs: random
-        # gather/scatter ~60-90M ops/s, sequential streams ~8x cheaper):
+        # gather/scatter ~60-90M ops/s, sequential streams ~8x cheaper,
+        # lax.top_k over the whole corpus ~1 ms):
         #   probe   — drv_total * (Q*F*C) * iters random gathers; wins for
         #             rare drivers.
-        #   dense   — scatter-min every candidate posting into meta planes
-        #             (total_postings random writes) + one sequential scan
-        #             over N; wins for high-volume queries because scoring
-        #             reads are sequential and proximity uses the 2-position
-        #             meta instead of P=16 CSR gathers.
-        #   scatter — the round-2 driver-stream kernel; kept for phrase
-        #             queries (they need exact CSR adjacency) and the
-        #             sharded force path.
+        #   dense2  — whole-corpus fused scan over meta planes: head rows
+        #             read from the build-time plane cache, mid rows
+        #             scattered per query; exact top-K via top_k cascade.
+        #             Fixed ~O(N) cost, wins for high-volume queries.
+        #   scatter — driver-stream kernel; kept for phrase queries (exact
+        #             CSR adjacency), multi-value/high-cardinality facets,
+        #             and the sharded force path.
+        head_map = self.names.get("head_map", {})
         total_postings = int(row_lens.sum())
+        # postings covered by the head-plane cache scatter for free
+        head_post = 0
+        for q in range(Q):
+            for f in range(Fq):
+                for c in range(C):
+                    if row_lens[q, f, c] > 0 and \
+                            int(cand_rows[q, f, c]) in head_map:
+                        head_post += int(row_lens[q, f, c])
         probe_cost = drv_total * (Q * Fq * C) * self._iters
-        dense_cost = total_postings + (self.N * (Q * Fq + 8)) // 8
+        dense_cost = (total_postings - head_post) + self.N // 2
         use_probe = probe_cost < dense_cost
-        plane_bytes = Q * Fq * self.N * 4
-        if plane_bytes > 600_000_000:
+        plane_bytes = Q * Fq * self.N * 8
+        if plane_bytes > 900_000_000:
             use_probe = True  # plane memory guard (many tokens x fields)
-        if int(row_lens.max()) >= (1 << 25):
-            # plane values pack the row-relative offset into 25 bits; a row
-            # longer than that can't scatter — probe instead
-            use_probe = True
         if "use_probe" in force:
             use_probe = force["use_probe"]
         mode = "probe" if use_probe else \
-            ("scatter" if (phrase_pairs or force) else "dense")
+            ("scatter" if (phrase_pairs or force or not dense_ok)
+             else "dense2")
         forced_mode = getattr(self, "_force_mode", None)  # tests/benchmarks
         if forced_mode and not force and not phrase_pairs:
             mode = forced_mode
@@ -319,34 +326,40 @@ class IndexEngine:
         _plen = len(_posts) if _posts is not None else (1 << 31)  # shard views
         SSB = min(131072, 1 << int(math.log2(max(_plen, 1))))
         BIG_ROW_MIN = 16384   # rows at least this long use big descriptors
+        HPF_MAX = 8           # head-plane slots per (token, field)
         s_starts: list[int] = []
         s_lens: list[int] = []
         s_qf: list[int] = []
         s_c: list[int] = []
-        s_rel0: list[int] = []   # chunk offset within its row (packs into
-        # the plane value's low 25 bits; the kernel reconstructs the absolute
-        # posting index as cand_starts[q,f,c] + rel)
+        s_rel0: list[int] = []   # scatter mode: chunk offset within its row
+        # (packs into the plane value's low 25 bits; the kernel reconstructs
+        # the absolute posting index as cand_starts[q,f,c] + rel)
         b_starts: list[int] = []
         b_lens: list[int] = []
         b_qf: list[int] = []
         b_c: list[int] = []
-        if mode in ("scatter", "dense") and drv_total > 0:
+        head_slots: dict[int, list[tuple[int, int]]] = {}  # qf -> [(h, cost)]
+        if mode in ("scatter", "dense2") and drv_total > 0:
             for c in range(C):
                 for q in range(Q):
                     for f in range(Fq):
                         s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
                         if e0 <= s0 or cand_costs[q, c] >= 255:
                             continue
-                        if mode == "dense" and e0 - s0 >= BIG_ROW_MIN:
-                            # long rows stream through dynamic_slice chunks:
-                            # contiguous reads + sorted-unique scatter, far
-                            # cheaper than the index-gather path
-                            for off in range(s0, e0, SSB):
-                                b_starts.append(off)
-                                b_lens.append(min(SSB, e0 - off))
-                                b_qf.append(q * Fq + f)
-                                b_c.append(c)
-                            continue
+                        if mode == "dense2":
+                            h = head_map.get(int(cand_rows[q, f, c]))
+                            slots = head_slots.setdefault(q * Fq + f, [])
+                            if h is not None and len(slots) < HPF_MAX:
+                                slots.append((h, int(cand_costs[q, c])))
+                                continue
+                            if e0 - s0 >= BIG_ROW_MIN:
+                                # long rows stream through contiguous slices
+                                for off in range(s0, e0, SSB):
+                                    b_starts.append(off)
+                                    b_lens.append(min(SSB, e0 - off))
+                                    b_qf.append(q * Fq + f)
+                                    b_c.append(c)
+                                continue
                         for off in range(s0, e0, SS):
                             s_starts.append(off)
                             s_lens.append(min(SS, e0 - off))
@@ -354,9 +367,16 @@ class IndexEngine:
                             s_c.append(c)
                             s_rel0.append(off - s0)
         n_sc = len(s_starts)
-        SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
         n_big = len(b_starts)
-        SCBB = bucket4(max(n_big, 1), lo=8, hi=1 << 16)
+        if mode == "dense2":
+            SCB = bucket4(n_sc, lo=64, hi=1 << 22) if n_sc else 0
+            SCBB = bucket4(n_big, lo=8, hi=1 << 16) if n_big else 0
+            HPF = max((len(v) for v in head_slots.values()), default=0)
+            HPF = 1 << (HPF - 1).bit_length() if HPF > 1 else HPF
+        else:
+            SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
+            SCBB = bucket4(max(n_big, 1), lo=8, hi=1 << 16)
+            HPF = 0
         spad = SCB - n_sc
         sc_starts = np.asarray(s_starts + [0] * spad, dtype=np.int64)
         sc_lens = np.asarray(s_lens + [0] * spad, dtype=np.int64)
@@ -375,14 +395,21 @@ class IndexEngine:
                                           cand_ends.astype(np.int64),
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
-        elif mode == "dense":
+        elif mode == "dense2":
             bpad = SCBB - n_big
-            qbuf = kernels.pack_dense_buf(
-                sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
+            hrow = np.full(Q * Fq * HPF, -1, dtype=np.int64)
+            hcost = np.zeros(Q * Fq * HPF, dtype=np.int64)
+            for qf, slots in head_slots.items():
+                for si, (h, cost) in enumerate(slots):
+                    hrow[qf * HPF + si] = h
+                    hcost[qf * HPF + si] = min(cost, 63)
+            qbuf = kernels.pack_dense2_buf(
+                sc_starts, sc_lens, sc_qf, sc_c, n_sc,
                 np.asarray(b_starts + [0] * bpad, dtype=np.int64),
                 np.asarray(b_lens + [0] * bpad, dtype=np.int64),
                 np.asarray(b_qf + [0] * bpad, dtype=np.int64),
                 np.asarray(b_c + [0] * bpad, dtype=np.int64), n_big,
+                hrow, hcost,
                 cand_starts.astype(np.int64),
                 cand_ends.astype(np.int64),
                 cand_costs.astype(np.int64),
@@ -397,7 +424,7 @@ class IndexEngine:
                                           token_valid, weights)
         return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
                 "CAP": CAP, "SB": SB, "mode": mode, "SCBB": SCBB,
-                "SSB": SSB, "n_big": n_big,
+                "SSB": SSB, "n_big": n_big, "HPF": HPF,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
 
@@ -412,10 +439,19 @@ class IndexEngine:
                        field_num_typos: list[int] | None = None,
                        field_prefixes: list[bool] | None = None) -> RawResult:
         """Single-device keyword search: plan on host, dispatch ONE kernel."""
+        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
+        # dense2 counts facets by fused one-hot over single-value columns;
+        # multi-value or high-cardinality facet fields need the CSR
+        # scatter-add path
+        dense_ok = all(
+            self.dev.facet_single[self._facet_idx[f]] is not None
+            and len(self.seg.facet_values[f]) <= 128
+            for f in facet_fields)
         prep = self.prepare_keyword_dispatch(
             token_candidates, field_names, field_weights, k=k,
             phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
-            field_num_typos=field_num_typos, field_prefixes=field_prefixes)
+            field_num_typos=field_num_typos, field_prefixes=field_prefixes,
+            dense_ok=dense_ok)
         if prep is None:
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64),
                              0, out_of=int(self.seg.live.sum()))
@@ -423,7 +459,6 @@ class IndexEngine:
                                    prep["SS"], prep["SCB"], prep["K"])
 
         slot_kinds, slot_signs, cols = self._prepare_slots(sort_slots)
-        facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
         f_offs = tuple(self.dev.facet_offsets[self._facet_idx[f]] for f in facet_fields)
         f_vals = tuple(self.dev.facet_value_ids[self._facet_idx[f]] for f in facet_fields)
         f_caps = tuple(self._facet_caps[f] for f in facet_fields)
@@ -437,24 +472,21 @@ class IndexEngine:
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
                 tuple(phrase_pairs), tuple(exclude_flags))
-        elif mode == "dense":
+        elif mode == "dense2":
             pack2 = self._pack2_ok(sort_slots, slot_kinds, slot_signs)
-            # dense chunk size: largest power of two <= N (slices must stay
-            # inside the (N,) column arrays; the clipped-start overlap rescan
-            # is masked out via the `fresh` lane check)
-            SN = min(1 << 18, 1 << int(np.floor(np.log2(max(self.N, 1)))))
-            kern = kernels.build_dense_kernel(
-                Q, Fq, C, SCB, SS, prep["SCBB"], prep["SSB"], SN,
-                prep["CAP"], 4096, K,
-                MAX_POS_PER_POSTING, self._iters,
+            f_single = tuple(self.dev.facet_single[self._facet_idx[f]]
+                             for f in facet_fields)
+            kern = kernels.build_dense2_kernel(
+                Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
+                K, 512, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-                prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
+                prioritize_num_fields, len(facet_fields), f_sizes,
                 tuple(exclude_flags), self.N, pack2)
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
-                       self.dev.field_token_counts, fmask,
-                       jnp.asarray(prep["qbuf"]), cols[0], cols[1], cols[2],
-                       f_offs, f_vals)
+                       self.dev.field_token_counts, self.dev.head_planes,
+                       fmask, jnp.asarray(prep["qbuf"]),
+                       cols[0], cols[1], cols[2], f_single)
             rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
                 buf, K, f_sizes)
             return self._collect(rid, r0, r1, r2, found, f_acc,

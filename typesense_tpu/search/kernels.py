@@ -484,146 +484,130 @@ def topk_merge2(key0, kpacked, valid, k: int, id_bits: int = 22):
 PACK2_BIAS = jnp.int64(1) << 39  # |slot-1 keys| must stay below this
 
 
-def pack_dense_buf(sc_starts, sc_lens, sc_qf, sc_c, sc_rel0, n_sc,
-                   b_starts, b_lens, b_qf, b_c, n_big,
-                   cand_starts, cand_ends, cand_costs, token_valid,
-                   field_weights):
-    """Query buffer for the dense-scan kernel: small-row scatter
-    descriptors, big-row slice descriptors, and candidate row bounds (for
-    the heavy-doc probe pass)."""
+def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
+                    b_starts, b_lens, b_qf, b_c, n_big,
+                    hrow, hcost,
+                    cand_starts, cand_ends, cand_costs, token_valid,
+                    field_weights):
+    """Query buffer for the dense2 kernel: small-row scatter descriptors,
+    big-row slice descriptors, head-plane slot assignments, and candidate
+    row bounds (for the heavy-doc exact rescore)."""
     import numpy as np
     return np.concatenate([
         sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
-        sc_rel0.ravel(),
         np.array([n_sc], dtype=np.int64),
         b_starts.ravel(), b_lens.ravel(), b_qf.ravel(), b_c.ravel(),
         np.array([n_big], dtype=np.int64),
+        hrow.ravel(), hcost.ravel(),
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
     ]).astype(np.int64)
 
 
-def _meta_field_scores(val, member_qf, excl, tv, field_token_counts_chunk,
-                       field_weights, tc_all, Q, F, SN, prioritize_exact,
-                       single_query_token):
-    """Per-field packed text scores from the meta plane values — the dense
-    analogue of the CSR positions path in _score_and_merge. val: (Q, F, SN)
-    uint32 plane values; member_qf: (Q, F, SN) membership."""
-    best_score = jnp.zeros(SN, jnp.int64)
-    best_weight = jnp.zeros(SN, jnp.int64)
-    for f in range(F):
-        mf = member_qf[:, f, :] & ~excl[:, :1]                 # (Q, SN)
-        vf = val[:, f, :]
-        pos0 = (vf & jnp.uint32(0xFFF)).astype(jnp.int32)
-        pos1 = ((vf >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
-        cnt2 = ((vf >> 24) & jnp.uint32(1)).astype(jnp.int32)
-        lastb = ((vf >> 25) & jnp.uint32(1)).astype(bool)
-        uw = jnp.sum(mf, axis=0).astype(jnp.int32)             # (SN,)
-        single = uw <= 1
-        if single_query_token:
-            wp = jnp.ones(SN, jnp.int32)
-            dist = jnp.zeros(SN, jnp.int32)
-        else:
-            from typesense_tpu.ops.match import INF as MATCH_INF
-            pos_a = [jnp.where(mf[q], pos0[q], MATCH_INF)
-                     for q in range(Q)]
-            pos_b = [jnp.where(mf[q] & (cnt2[q] > 0), pos1[q], MATCH_INF)
-                     for q in range(Q)]
-            wp, dist = match_components_p2(pos_a, pos_b)
-            wp = jnp.where(single, 1, wp)
-            dist = jnp.where(single, 0, dist)
+# meta64 bit layout (artifacts.pack_post_meta_device)
+META_CNT_SHIFT = 48
+META_LAST_SHIFT = 51
+META_HEAVY_SHIFT = 52
+META_COST_SHIFT = 53
+META_EMPTY = jnp.int64(1) << 62
 
-        cnt = jnp.where(mf, 1 + cnt2, 0)                       # (Q, SN)
-        total_off = jnp.sum(cnt, axis=0).astype(jnp.int32)
-        has_last = jnp.any(lastb & mf, axis=0)
-        ftc = field_token_counts_chunk[:, f]
-        if prioritize_exact:
-            exact_multi = (has_last & (ftc == uw) &
-                           (((total_off == uw) & (dist == uw - 1)) |
-                            (dist < uw - 1)))
-            exact_single = (has_last & (ftc == 1) & (tc_all == 0) &
-                            (jnp.sum(tv) == 1))
-            exact = jnp.where(single, exact_single,
-                              exact_multi).astype(jnp.int32)
-        else:
-            exact = jnp.zeros(SN, jnp.int32)
 
-        fs = pack_field_score(wp, uw, tc_all, dist, exact,
-                              jnp.zeros(SN, jnp.int32),
-                              jnp.ones(SN, jnp.int32))
-        fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
-        better = fs > best_score
-        best_weight = jnp.where(better, field_weights[f].astype(jnp.int64),
-                                best_weight)
-        best_score = jnp.maximum(best_score, fs)
-    return best_score, best_weight
+def _dedup_sorted_ids(k0, k1, k2, ids, K):
+    """Sort candidate tuples descending, drop duplicate ids (duplicates have
+    identical keys so they sort adjacent), return top-K columns + ids."""
+    nk0 = jnp.where(ids >= 0, -k0, jnp.int64(2**62))
+    nk1 = jnp.where(ids >= 0, -k1, jnp.int64(2**62))
+    nk2 = jnp.where(ids >= 0, -k2, jnp.int64(2**62))
+    nid = jnp.where(ids >= 0, -ids.astype(jnp.int64), jnp.int64(2**62))
+    s0, s1, s2, sid = lax.sort((nk0, nk1, nk2, nid), num_keys=4)
+    dup = jnp.concatenate([jnp.zeros(1, bool), sid[1:] == sid[:-1]]) & \
+        (sid != 2**62)
+    s0 = jnp.where(dup, jnp.int64(2**62), s0)
+    s1 = jnp.where(dup, jnp.int64(2**62), s1)
+    s2 = jnp.where(dup, jnp.int64(2**62), s2)
+    sid = jnp.where(dup, jnp.int64(2**62), sid)
+    s0, s1, s2, sid = lax.sort((s0, s1, s2, sid), num_keys=4)
+    take = min(K, s0.shape[0])
+    out_ids = jnp.where(sid[:take] == 2**62, -1,
+                        -sid[:take]).astype(jnp.int32)
+    pad = K - take
+    if pad > 0:
+        out_ids = jnp.pad(out_ids, (0, pad), constant_values=-1)
+        s0 = jnp.pad(s0[:take], (0, pad), constant_values=2**62)
+        s1 = jnp.pad(s1[:take], (0, pad), constant_values=2**62)
+        s2 = jnp.pad(s2[:take], (0, pad), constant_values=2**62)
+    return -s0[:K], -s1[:K], -s2[:K], out_ids
 
 
 @lru_cache(maxsize=512)
-def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SCBB: int,
-                       SSB: int, SN: int,
-                       CAP: int, HS: int, K: int, P: int, iters: int,
-                       slot_kinds: tuple, slot_signs: tuple,
-                       prioritize_exact: bool, prioritize_num_fields: bool,
-                       n_facets: int, facet_caps: tuple, facet_sizes: tuple,
-                       exclude_flags: tuple, N: int, pack2: bool):
-    """Dense-scan keyword kernel — the TPU-native path for high-volume
-    queries (common tokens, large intersections).
+def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
+                        SCBB: int, SSB: int, K: int, HC: int, P: int,
+                        iters: int, slot_kinds: tuple, slot_signs: tuple,
+                        prioritize_exact: bool, prioritize_num_fields: bool,
+                        n_facets: int, facet_sizes: tuple,
+                        exclude_flags: tuple, N: int, pack2: bool):
+    """Dense whole-corpus keyword kernel — the TPU-native path for
+    high-volume queries (common tokens, large intersections).
 
-    The driver-stream design pays one random gather per (token, field,
-    driver posting) plus full CSR position gathers per matched doc; at 2.2M
-    docs a two-common-token query measured 1.5s. This kernel instead makes
-    the scoring data flow SEQUENTIAL:
+    Design (replaces the round-2 chunked dense kernel, whose per-chunk
+    multi-key lax.sort and 5%-of-docs CSR heavy pass measured ~260 ms for a
+    two-common-token query at 2.2M docs):
 
-      1. SCATTER (unchanged shape): every candidate posting scatter-mins a
-         uint32 (typo_cost<<28 | packed meta) into (Q*F, N) planes. The
-         packed meta (artifacts.pack_post_meta) carries the first two token
-         positions, the occurrence count class, and the last-token flag —
-         everything proximity ranking needs, so scoring never touches the
-         positions CSR for ordinary postings.
-      2. DENSE SCAN: stream the planes over N in SN-sized chunks
-         (sequential HBM reads, no gathers): membership/AND-intersection,
-         typo costs, proximity Match over (SN, Q, 2) positions (64x less
-         window math than the P=16 CSR tensors), filter mask, sort keys from
-         column slices, running top-K merge. Facet/heavy candidates compact
-         into side buffers.
-      3. HEAVY PASS: docs whose meta could not represent a posting exactly
-         (>2 occurrences, long values) re-score from the positions CSR via
-         candidate-row binary search — exactness is preserved, only the
-         (rare) heavy docs pay gather costs.
-      4. FACET PASS: scatter-add over the compacted matched list.
+      1. HEAD PLANES: the highest-volume posting rows are pre-densified at
+         index build (artifacts.build_head_planes) — the kernel reads them
+         as sequential (N,) slices instead of scattering millions of
+         postings per query. Only mid-size candidate rows still scatter
+         (small descriptors gather-scatter; big descriptors stream
+         contiguous slices).
+      2. FUSED WHOLE-N SCAN: one un-chunked pass over all N docs computes
+         membership, typo costs, and the packed text score from meta64's
+         four positions per posting (ops/match.match_components_p4) — no
+         positions-CSR gathers, no chunk loop.
+      3. EXACT TOP-K WITHOUT SORT: lax.top_k is ~RTT-free on TPU where a
+         262K-lane 2-key lax.sort costs ~8 ms. The lexicographic
+         (k0, k1, k2, id) order is selected exactly by a cascade of top_k
+         passes — each stage masks to the ties of the previous stage's K-th
+         value — then a tiny candidate sort assembles the final K
+         (duplicates removed by adjacent-id masking). With pack2 (small
+         slot-1 keys, id fits 22 bits) the cascade is two stages.
+      4. HEAVY RESCORE: meta64 covers up to four occurrences per
+         (token, field) posting, so docs needing CSR-exact rescoring are
+         rare (~0.04% at 2.2M). A while_loop walks them in descending-id
+         batches of HC via top_k selection (no compaction scatter),
+         rescoring through the shared _score_and_merge tail.
+      5. FACETS: single-value facet fields count via fused one-hot
+         reduction over the dense value column — no scatter, no matched-id
+         compaction. (Multi-value / high-cardinality facet fields route to
+         the scatter kernel in the engine.)
 
-    pack2: when the sort tuple is (text, small-column, seq-id-desc) the
-    second/third keys pack into one int64 and the per-chunk merge sorts two
-    keys instead of four.
+    Replaces: or_iterator intersection + topster merge
+    (/root/reference/src/index.cpp:5385, or_iterator.h:61-182,
+    include/topster.h).
     """
     exclude = tuple(bool(x) for x in exclude_flags) + \
         (False,) * (Q - len(exclude_flags))
-    n_dense = max((N + SN - 1) // SN, 1)
-    EMPTY32 = jnp.uint32(0xFFFFFFFF)
-    # heavy re-scoring only matters when positions can change the ranking:
-    # single-token proximity is degenerate (wp=1, dist=0, exact_single uses
-    # only the last-token flag and field length), and without a text slot
-    # positions are never read
-    need_heavy = (SLOT_TEXT in slot_kinds) and Q > 1
+    has_scatter = SCB > 0 or SCBB > 0
+    need_text = SLOT_TEXT in slot_kinds
+    need_heavy = need_text and Q > 1
+    HSLOTS = Q * F * HPF
 
     @jax.jit
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
-               field_token_counts, filter_mask, qbuf,
-               sort_col0, sort_col1, sort_col2, facet_offs, facet_vals,
-               doc_base=None):
+               field_token_counts, head_planes, filter_mask, qbuf,
+               sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None):
         o = 0
         sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_qf = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
-        o += SCB  # sc_rel0: unused here (meta plane carries no rel offset)
         n_sc = qbuf[o].astype(jnp.int32); o += 1
         b_starts = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
         b_lens = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
         b_qf = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
         b_c = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
         n_big = qbuf[o].astype(jnp.int32); o += 1
+        hrow = qbuf[o:o + HSLOTS].astype(jnp.int32); o += HSLOTS
+        hcost = qbuf[o:o + HSLOTS]; o += HSLOTS
         cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
         o += Q * F * C
         cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
@@ -636,259 +620,288 @@ def build_dense_kernel(Q: int, F: int, C: int, SCB: int, SS: int, SCBB: int,
         excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
         tv = token_valid[:, None] & ~excl
         tve = token_valid[:, None] & excl
+        cc_flat = jnp.minimum(cand_costs, 63).reshape(-1)      # (Q*C,)
 
-        # ---- phase 1: scatter (cost | meta) planes ----
-        G = max(1, min((1 << 17) // SS, SCB))
-        ss_lane = jnp.arange(SS, dtype=jnp.int32)
-        cc_flat = jnp.minimum(cand_costs, 14).reshape(-1)      # (Q*C,)
+        # ---- phase 1: scatter mid-size rows into meta planes ----
+        if has_scatter:
+            SS = 2048
+            G = max(1, min((1 << 17) // SS, max(SCB, 1)))
+            ss_lane = jnp.arange(SS, dtype=jnp.int32)
 
-        def scatter_step(i, plane):
-            base = lax.dynamic_slice(sc_starts, (i * G,), (G,))
-            ln = lax.dynamic_slice(sc_lens, (i * G,), (G,))
-            qf = lax.dynamic_slice(sc_qf, (i * G,), (G,))
-            c = lax.dynamic_slice(sc_c, (i * G,), (G,))
-            idx = base[:, None] + ss_lane[None, :]             # (G, SS)
-            valid = ss_lane[None, :] < ln[:, None]
-            safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
-            docs = post_doc_ids[safe]
-            meta = post_meta[safe]
-            q = qf // F
-            cost = cc_flat[jnp.clip(q * C + c, 0, Q * C - 1)]  # (G,)
-            val = (cost.astype(jnp.uint32)[:, None] << 28) | meta
-            flat = jnp.where(valid, qf[:, None] * N + docs,
-                             jnp.int32(Q * F * N))
-            return plane.at[flat.reshape(-1)].min(val.reshape(-1),
-                                                  mode="drop")
+            def scatter_step(i, plane):
+                base = lax.dynamic_slice(sc_starts, (i * G,), (G,))
+                ln = lax.dynamic_slice(sc_lens, (i * G,), (G,))
+                qf = lax.dynamic_slice(sc_qf, (i * G,), (G,))
+                c = lax.dynamic_slice(sc_c, (i * G,), (G,))
+                idx = base[:, None] + ss_lane[None, :]         # (G, SS)
+                valid = ss_lane[None, :] < ln[:, None]
+                safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
+                docs = post_doc_ids[safe]
+                meta = post_meta[safe]
+                q = qf // F
+                cost = cc_flat[jnp.clip(q * C + c, 0, Q * C - 1)]
+                val = (cost.astype(jnp.int64)[:, None] << META_COST_SHIFT) \
+                    | meta
+                flat = jnp.where(valid, qf[:, None] * N + docs,
+                                 jnp.int32(Q * F * N))
+                return plane.at[flat.reshape(-1)].min(val.reshape(-1),
+                                                      mode="drop")
 
-        n_steps = (n_sc + G - 1) // G
-        plane = lax.fori_loop(0, n_steps, scatter_step,
-                              jnp.full((Q * F * N,), EMPTY32, jnp.uint32))
+            plane = jnp.full((Q * F * N,), META_EMPTY, jnp.int64)
+            if SCB > 0:
+                n_steps = (n_sc + G - 1) // G
+                plane = lax.fori_loop(0, n_steps, scatter_step, plane)
 
-        # big rows: one SSB-wide contiguous slice per descriptor —
-        # sequential DMA reads and a sorted-unique scatter, ~5x cheaper per
-        # posting than the index-gather path above
-        blane = jnp.arange(SSB, dtype=jnp.int32)
-        P_total = post_doc_ids.shape[0]
+            if SCBB > 0:
+                blane = jnp.arange(SSB, dtype=jnp.int32)
+                P_total = post_doc_ids.shape[0]
 
-        def big_step(i, plane):
-            start = b_starts[i]
-            blen = b_lens[i]
-            actual = jnp.clip(start, 0, max(P_total - SSB, 0))
-            off = start - actual
-            docs = lax.dynamic_slice(post_doc_ids, (actual,), (SSB,))
-            meta = lax.dynamic_slice(post_meta, (actual,), (SSB,))
-            valid = (blane >= off) & (blane < off + blen)
-            q = b_qf[i] // F
-            cost = cc_flat[jnp.clip(q * C + b_c[i], 0, Q * C - 1)]
-            val = (cost.astype(jnp.uint32) << 28) | meta
-            # NOTE: padding lanes break strict index sortedness, so no
-            # indices_are_sorted hint (measured no win from it anyway)
-            flat = jnp.where(valid, b_qf[i] * N + docs, jnp.int32(Q * F * N))
-            return plane.at[flat].min(val, mode="drop")
+                def big_step(i, plane):
+                    start = b_starts[i]
+                    blen = b_lens[i]
+                    actual = jnp.clip(start, 0, max(P_total - SSB, 0))
+                    off = start - actual
+                    docs = lax.dynamic_slice(post_doc_ids, (actual,), (SSB,))
+                    meta = lax.dynamic_slice(post_meta, (actual,), (SSB,))
+                    valid = (blane >= off) & (blane < off + blen)
+                    q = b_qf[i] // F
+                    cost = cc_flat[jnp.clip(q * C + b_c[i], 0, Q * C - 1)]
+                    val = (cost.astype(jnp.int64) << META_COST_SHIFT) | meta
+                    flat = jnp.where(valid, b_qf[i] * N + docs,
+                                     jnp.int32(Q * F * N))
+                    return plane.at[flat].min(val, mode="drop")
 
-        plane = lax.fori_loop(0, n_big, big_step, plane)
-        plane2d = plane.reshape(Q * F, N)
+                plane = lax.fori_loop(0, n_big, big_step, plane)
+            plane2d = plane.reshape(Q * F, N)
 
-        # ---- phase 2: dense scan over N ----
-        lane = jnp.arange(SN, dtype=jnp.int32)
+        # ---- phase 2: fused whole-N scan ----
+        # per-(q,f) meta values: scattered plane min head-plane rows
+        vals = []
+        H_rows = head_planes.shape[0]
+        for qf in range(Q * F):
+            v = plane2d[qf] if has_scatter else \
+                jnp.full((N,), META_EMPTY, jnp.int64)
+            for s in range(HPF):
+                slot = qf * HPF + s
+                row = hrow[slot]
+                hv = lax.dynamic_slice(
+                    head_planes,
+                    (jnp.clip(row, 0, H_rows - 1), jnp.int32(0)),
+                    (1, head_planes.shape[1]))[0][:N]
+                hv = jnp.where((row >= 0) & (hv != META_EMPTY),
+                               hv | (hcost[slot] << META_COST_SHIFT),
+                               META_EMPTY)
+                v = jnp.minimum(v, hv)
+            vals.append(v)
+        val = jnp.stack(vals).reshape(Q, F, N)
 
-        def dense_chunk(ci, carry):
-            (r0, r1, r2, rid, fnd, f_acc, comp, mcnt, hbuf, hcnt) = carry
-            start = jnp.clip(ci * SN, 0, max(N - SN, 0))
-            d = start + lane                                   # global ids
-            fresh = (d >= ci * SN) & (d < N)
-            val = lax.dynamic_slice(plane2d, (0, start),
-                                    (Q * F, SN)).reshape(Q, F, SN)
-            member = val != EMPTY32
-            tok_any = jnp.any(member, axis=1)                  # (Q, SN)
-            all_match = (jnp.all(tok_any | ~tv, axis=0)
-                         & jnp.any(tok_any & tv, axis=0)
-                         & ~jnp.any(tok_any & tve, axis=0))
-            fm = lax.dynamic_slice(filter_mask, (start,), (SN,))
-            m = all_match & fresh & fm
-            inc_member = member & ~excl[:, :, None]
-            if need_heavy:
-                heavy = jnp.any(inc_member &
-                                ((val >> 26) & jnp.uint32(1)).astype(bool),
-                                axis=(0, 1))
-                m_light = m & ~heavy
-                m_heavy = m & heavy
-            else:
-                m_light = m
-                m_heavy = jnp.zeros_like(m)
+        member = val != META_EMPTY
+        inc_member = member & ~excl[:, :, None]
+        tok_any = jnp.any(member, axis=1)                      # (Q, N)
+        all_match = (jnp.all(tok_any | ~tv, axis=0)
+                     & jnp.any(tok_any & tv, axis=0)
+                     & ~jnp.any(tok_any & tve, axis=0))
+        m = all_match & filter_mask
+        if need_heavy:
+            heavy = jnp.any(
+                inc_member & ((val >> META_HEAVY_SHIFT) & 1).astype(bool),
+                axis=(0, 1))
+            m_light = m & ~heavy
+        else:
+            m_light = m
 
-            # typo cost of the winning (min) candidate per token
-            costs_qf = jnp.where(inc_member,
-                                 (val >> 28).astype(jnp.int32), 255)
-            min_cost_q = jnp.min(costs_qf, axis=1)             # (Q, SN)
-            tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
+        costs_qf = jnp.where(
+            inc_member, ((val >> META_COST_SHIFT) & 63).astype(jnp.int32),
+            255)
+        min_cost_q = jnp.min(costs_qf, axis=1)                 # (Q, N)
+        tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
+        query_len = jnp.sum(tok_any & tv, axis=0).astype(jnp.int32)
 
-            if SLOT_TEXT in slot_kinds:
-                ftc_chunk = lax.dynamic_slice(
-                    field_token_counts, (start, 0),
-                    (SN, field_token_counts.shape[1]))
-                best_score, best_weight = _meta_field_scores(
-                    val, inc_member, excl, tv, ftc_chunk, field_weights, tc,
-                    Q, F, SN, prioritize_exact, Q == 1)
-            else:
-                # no sort slot reads the text score — skip proximity math
-                best_score = jnp.zeros(SN, jnp.int64)
-                best_weight = jnp.zeros(SN, jnp.int64)
-
+        if need_text:
+            from typesense_tpu.ops.match import (INF as MATCH_INF,
+                                                 match_components_p4)
+            best_score = jnp.zeros(N, jnp.int64)
+            best_weight = jnp.zeros(N, jnp.int64)
+            for f in range(F):
+                mf = inc_member[:, f]                          # (Q, N)
+                cntf = ((val[:, f] >> META_CNT_SHIFT) & 7).astype(jnp.int32)
+                uw = jnp.sum(mf, axis=0).astype(jnp.int32)
+                single = uw <= 1
+                if Q == 1:
+                    wp = jnp.ones(N, jnp.int32)
+                    dist = jnp.zeros(N, jnp.int32)
+                else:
+                    pos = [[jnp.where(
+                        mf[q] & (cntf[q] > k),
+                        ((val[q, f] >> (12 * k)) & 4095).astype(jnp.int32),
+                        MATCH_INF) for k in range(4)] for q in range(Q)]
+                    wp, dist = match_components_p4(pos)
+                    wp = jnp.where(single, 1, wp)
+                    dist = jnp.where(single, 0, dist)
+                total_off = jnp.sum(jnp.where(mf, jnp.minimum(cntf, 4), 0),
+                                    axis=0).astype(jnp.int32)
+                has_last = jnp.any(
+                    mf & ((val[:, f] >> META_LAST_SHIFT) & 1).astype(bool),
+                    axis=0)
+                ftc_f = field_token_counts[:, f]
+                if prioritize_exact:
+                    exact_multi = (has_last & (ftc_f == uw) &
+                                   (((total_off == uw) & (dist == uw - 1)) |
+                                    (dist < uw - 1)))
+                    exact_single = (has_last & (ftc_f == 1) & (tc == 0) &
+                                    (jnp.sum(tv) == 1))
+                    exact = jnp.where(single, exact_single,
+                                      exact_multi).astype(jnp.int32)
+                else:
+                    exact = jnp.zeros(N, jnp.int32)
+                fs = pack_field_score(wp, uw, tc, dist, exact,
+                                      jnp.zeros(N, jnp.int32),
+                                      jnp.ones(N, jnp.int32))
+                fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
+                better = fs > best_score
+                best_weight = jnp.where(better,
+                                        field_weights[f].astype(jnp.int64),
+                                        best_weight)
+                best_score = jnp.maximum(best_score, fs)
             if prioritize_num_fields:
                 nmf = jnp.sum(jnp.any(inc_member, axis=0),
                               axis=0).astype(jnp.int32)
             else:
-                nmf = jnp.zeros(SN, jnp.int32)
-            query_len = jnp.sum(tok_any & tv, axis=0).astype(jnp.int32)
+                nmf = jnp.zeros(N, jnp.int32)
             ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
             text_match = pack_aggregated_score(ql, best_score, best_weight,
                                                nmf)
+        else:
+            text_match = jnp.zeros(N, jnp.int64)
 
-            gid = d if doc_base is None else \
-                lax.dynamic_slice(doc_base, (start,), (SN,))
-            c0 = lax.dynamic_slice(sort_col0, (start,), (SN,))
-            c1 = lax.dynamic_slice(sort_col1, (start,), (SN,))
-            c2 = lax.dynamic_slice(sort_col2, (start,), (SN,))
-            k0 = _slot_keys(slot_kinds[0], slot_signs[0], text_match, lane,
-                            c0, key_ids=gid)
-            k1 = _slot_keys(slot_kinds[1], slot_signs[1], text_match, lane,
-                            c1, key_ids=gid)
-            if pack2:
-                kp = ((k1 + PACK2_BIAS) << 22) | gid.astype(jnp.int64)
-                t0_, tp_, tid = topk_merge2(k0, kp, m_light, K)
-                mk0 = jnp.concatenate([r0, t0_])
-                mkp = jnp.concatenate([r1, tp_])
-                mid = jnp.concatenate([rid, tid])
-                r0, r1, rid = topk_merge2(mk0, mkp, mid >= 0, K)
-                r2 = jnp.zeros_like(r0)
-            else:
-                k2 = _slot_keys(slot_kinds[2], slot_signs[2], text_match,
-                                lane, c2, key_ids=gid)
-                t0_, t1_, t2_, tid = topk_merge(k0, k1, k2, gid, m_light, K)
-                mk0 = jnp.concatenate([r0, t0_])
-                mk1 = jnp.concatenate([r1, t1_])
-                mk2 = jnp.concatenate([r2, t2_])
-                mid = jnp.concatenate([rid, tid])
-                r0, r1, r2, rid = topk_merge(mk0, mk1, mk2, mid, mid >= 0, K)
+        gid = jnp.arange(N, dtype=jnp.int32) if doc_base is None else \
+            doc_base[:N]
 
-            fnd = fnd + jnp.sum(m, dtype=jnp.int64)
+        def whole_key(kind, sign, col):
+            if kind == SLOT_TEXT:
+                return text_match
+            if kind == SLOT_COLUMN:
+                return jnp.clip(col[:N], -(2**61), 2**61) * sign
+            if kind == SLOT_SEQ_ID:
+                return gid.astype(jnp.int64) * sign
+            return jnp.zeros(N, jnp.int64)
 
-            if need_heavy:
-                hi = m_heavy.astype(jnp.int32)
-                hidx = jnp.where(m_heavy, hcnt + jnp.cumsum(hi) - hi,
-                                 jnp.int32(CAP))
-                hbuf = hbuf.at[hidx].set(d, mode="drop")
-                hcnt = hcnt + jnp.sum(hi, dtype=jnp.int32)
-            if n_facets:
-                mi = m.astype(jnp.int32)
-                midx = jnp.where(m, mcnt + jnp.cumsum(mi) - mi,
-                                 jnp.int32(CAP))
-                comp = comp.at[midx].set(d, mode="drop")
-                mcnt = mcnt + jnp.sum(mi, dtype=jnp.int32)
-            return (r0, r1, r2, rid, fnd, f_acc, comp, mcnt, hbuf, hcnt)
+        k0 = whole_key(slot_kinds[0], slot_signs[0], sort_col0)
+        k1 = whole_key(slot_kinds[1], slot_signs[1], sort_col1)
+        k2 = whole_key(slot_kinds[2], slot_signs[2], sort_col2)
 
-        init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32)
-                       for fa in range(n_facets))
-        comp0 = jnp.zeros((CAP if n_facets else 1,), jnp.int32)
-        init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
-                jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
-                jnp.int64(0), init_f, comp0, jnp.int32(0),
-                jnp.zeros((CAP,), jnp.int32), jnp.int32(0))
-        (r0, r1, r2, rid, found_count, f_acc, comp, mcnt, hbuf,
-         hcnt) = lax.fori_loop(0, n_dense, dense_chunk, init)
-
+        # ---- phase 3: exact top-K select via top_k cascade ----
+        KT = min(K, N)       # tiny corpora: top_k k must not exceed N
+        k0m = jnp.where(m_light, k0, KEY_MIN)
+        v0, i0 = lax.top_k(k0m, KT)
+        thr0 = v0[KT - 1]
+        idkey = gid.astype(jnp.int64)
         if pack2:
-            # unpack (k1 | id) into true key values so the heavy pass can
-            # merge on plain 4-key tuples (heavy chunks are tiny)
-            has = rid >= 0
-            k1v = jnp.where(has, (r1 >> 22) - PACK2_BIAS, KEY_MIN)
-            sgn2 = slot_signs[2] if slot_kinds[2] == SLOT_SEQ_ID else 1
-            if slot_kinds[2] == SLOT_SEQ_ID:
-                k2v = jnp.where(has, rid.astype(jnp.int64) * sgn2, KEY_MIN)
-            else:
-                k2v = jnp.where(has, jnp.int64(0), KEY_MIN)
-            r1, r2 = k1v, k2v
+            kp = ((k1 + PACK2_BIAS) << 22) | idkey
+            kpm = jnp.where(m_light & (k0m == thr0), kp, KEY_MIN)
+            v1, i1 = lax.top_k(kpm, KT)
+            cand = jnp.concatenate([
+                jnp.where(v0 > KEY_MIN, i0, -1).astype(jnp.int32),
+                jnp.where(v1 > KEY_MIN, i1, -1).astype(jnp.int32)])
+        else:
+            tie0 = m_light & (k0m == thr0)
+            k1m = jnp.where(tie0, k1, KEY_MIN)
+            v1, i1 = lax.top_k(k1m, KT)
+            thr1 = v1[KT - 1]
+            tie1 = tie0 & (k1 == thr1)
+            k2m = jnp.where(tie1, k2, KEY_MIN)
+            v2, i2 = lax.top_k(k2m, KT)
+            thr2 = v2[KT - 1]
+            tie2 = tie1 & (k2 == thr2)
+            idm = jnp.where(tie2, idkey, KEY_MIN)
+            v3, i3 = lax.top_k(idm, KT)
+            cand = jnp.concatenate([
+                jnp.where(v0 > KEY_MIN, i0, -1).astype(jnp.int32),
+                jnp.where(v1 > KEY_MIN, i1, -1).astype(jnp.int32),
+                jnp.where(v2 > KEY_MIN, i2, -1).astype(jnp.int32),
+                jnp.where(v3 > KEY_MIN, i3, -1).astype(jnp.int32)])
 
-        # ---- phase 3: heavy docs re-score from the positions CSR ----
-        cs = cand_starts.reshape(-1, 1)
-        ce = cand_ends.reshape(-1, 1)
-        cvalid = (cand_costs < 255)[:, None, :, None]
-        hlane = jnp.arange(HS, dtype=jnp.int32)
+        csafe = jnp.clip(cand, 0, N - 1)
+        cvalidm = (cand >= 0) & m_light[csafe]
+        cid = jnp.where(cvalidm, gid[csafe], -1)
+        ck0 = jnp.where(cvalidm, k0[csafe], KEY_MIN)
+        ck1 = jnp.where(cvalidm, k1[csafe], KEY_MIN)
+        ck2 = jnp.where(cvalidm, k2[csafe], KEY_MIN)
 
-        def heavy_chunk(i, carry):
-            g = i * HS + hlane
-            in_range = g < hcnt
-            d = jnp.where(in_range, hbuf[jnp.clip(g, 0, CAP - 1)], 0)
-            x = d[None, :]
-            pidx = lower_bound(post_doc_ids,
-                               jnp.broadcast_to(cs, (Q * F * C, HS)),
-                               jnp.broadcast_to(ce, (Q * F * C, HS)), x,
-                               iters)
-            safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
-            found = (pidx < ce) & (post_doc_ids[safe] == x)
-            found = found.reshape(Q, F, C, HS) & cvalid
-            pidx = pidx.reshape(Q, F, C, HS)
-            tok_field = jnp.any(found, axis=2)
-            tok_any2 = jnp.any(tok_field, axis=1)
-            tok_field = tok_field & ~excl[:, :, None]
-            fm = filter_mask[jnp.clip(d, 0, filter_mask.shape[0] - 1)]
-            m = in_range & fm  # membership/AND already proven in phase 2
-            cost_qc = jnp.where(found,
-                                cand_costs[:, None, :, None].astype(
-                                    jnp.int32), 255)
-            min_cost_q = jnp.min(cost_qc, axis=(1, 2))
-            tc = jnp.sum(jnp.where(tok_any2 & tv, min_cost_q, 0), axis=0)
-            first_c = jnp.argmax(found, axis=2)
-            sp = jnp.take_along_axis(pidx, first_c[:, :, None, :],
-                                     axis=2)[:, :, 0, :]
-            gidh = None if doc_base is None else \
-                doc_base[jnp.clip(d, 0, doc_base.shape[0] - 1)]
-            r0_, r1_, r2_, rid_, _fnd, _f = _score_and_merge(
-                (carry[0], carry[1], carry[2], carry[3], jnp.int64(0),
-                 tuple()),
-                d, m, tc, tok_field, tok_any2, sp, tv,
-                post_meta, pos_offsets,
-                positions, field_token_counts, field_weights,
-                sort_col0, sort_col1, sort_col2, (), (),
-                Q, F, HS, K, P, slot_kinds, slot_signs, prioritize_exact,
-                prioritize_num_fields, 0, (), (), (), gid=gidh,
-                last_flag_mask=1 << 25)
-            return (r0_, r1_, r2_, rid_)
+        found_count = jnp.sum(m, dtype=jnp.int64)
 
+        # ---- phase 4: heavy-doc exact rescore (rare with meta64) ----
         if need_heavy:
-            n_heavy = (hcnt + HS - 1) // HS
-            r0, r1, r2, rid = lax.fori_loop(0, n_heavy, heavy_chunk,
-                                            (r0, r1, r2, rid))
+            cs = cand_starts.reshape(-1, 1)
+            ce = cand_ends.reshape(-1, 1)
+            cvalid = (cand_costs < 255)[:, None, :, None]
+            HCT = min(HC, N)
+            hlane = jnp.arange(HCT, dtype=jnp.int32)
+            lid = jnp.arange(N, dtype=jnp.int32)  # LOCAL index for gathers
+            heavy_m = m & heavy
 
-        # ---- phase 4: facet counts over the compacted matched list ----
-        if n_facets:
-            FS = SN
-            flane = jnp.arange(FS, dtype=jnp.int32)
+            def rescore_round(carry):
+                h0, h1, h2, hid, cursor = carry
+                active = heavy_m & (lid < cursor)
+                selv, seli = lax.top_k(jnp.where(active, lid, -1), HCT)
+                ok = selv >= 0
+                d = jnp.where(ok, selv, 0)
+                x = d[None, :]
+                pidx = lower_bound(post_doc_ids,
+                                   jnp.broadcast_to(cs, (Q * F * C, HCT)),
+                                   jnp.broadcast_to(ce, (Q * F * C, HCT)), x,
+                                   iters)
+                safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
+                fnd = (pidx < ce) & (post_doc_ids[safe] == x)
+                fnd = fnd.reshape(Q, F, C, HCT) & cvalid
+                pidx = pidx.reshape(Q, F, C, HCT)
+                tok_field = jnp.any(fnd, axis=2)
+                tok_any2 = jnp.any(tok_field, axis=1)
+                tok_field = tok_field & ~excl[:, :, None]
+                cost_qc = jnp.where(
+                    fnd, cand_costs[:, None, :, None].astype(jnp.int32), 255)
+                mc = jnp.min(cost_qc, axis=(1, 2))
+                tch = jnp.sum(jnp.where(tok_any2 & tv, mc, 0), axis=0)
+                first_c = jnp.argmax(fnd, axis=2)
+                sp = jnp.take_along_axis(pidx, first_c[:, :, None, :],
+                                         axis=2)[:, :, 0, :]
+                gidh = None if doc_base is None else \
+                    doc_base[jnp.clip(d, 0, doc_base.shape[0] - 1)]
+                h0, h1, h2, hid, _f, _a = _score_and_merge(
+                    (h0, h1, h2, hid, jnp.int64(0), tuple()),
+                    d, ok, tch, tok_field, tok_any2, sp, tv,
+                    post_meta, pos_offsets, positions, field_token_counts,
+                    field_weights, sort_col0, sort_col1, sort_col2, (), (),
+                    Q, F, HCT, K, P, slot_kinds, slot_signs,
+                    prioritize_exact,
+                    prioritize_num_fields, 0, (), (), (), gid=gidh,
+                    last_flag_mask=1 << META_LAST_SHIFT)
+                new_cursor = jnp.min(jnp.where(ok, selv, jnp.int32(2**31 - 1)))
+                return (h0, h1, h2, hid, new_cursor)
 
-            def facet_chunk(i, f_acc2):
-                g = i * FS + flane
-                in_range = g < mcnt
-                d = jnp.where(in_range, comp[jnp.clip(g, 0, CAP - 1)], 0)
-                dsafe = jnp.clip(d, 0, N - 1)
-                out = []
-                for fa in range(n_facets):
-                    offs, vals = facet_offs[fa], facet_vals[fa]
-                    cap = facet_caps[fa]
-                    fb = offs[dsafe]
-                    fcnt2 = offs[dsafe + 1] - fb
-                    vidx = fb[:, None] + jnp.arange(cap,
-                                                    dtype=jnp.int64)[None, :]
-                    vv = (jnp.arange(cap)[None, :] < fcnt2[:, None]) & \
-                        in_range[:, None]
-                    vsafe = jnp.clip(vidx, 0, vals.shape[0] - 1)
-                    fv = jnp.where(vv, vals[vsafe], facet_sizes[fa])
-                    out.append(f_acc2[fa].at[fv.reshape(-1)].add(
-                        vv.reshape(-1).astype(jnp.int32), mode="drop"))
-                return tuple(out)
+            def rescore_cond(carry):
+                return jnp.any(heavy_m & (lid < carry[4]))
 
-            n_fchunks = (mcnt + FS - 1) // FS
-            f_acc = lax.fori_loop(0, n_fchunks, facet_chunk, f_acc)
+            init_h = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
+                      jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
+                      jnp.int32(N))
+            h0, h1, h2, hid, _ = lax.while_loop(rescore_cond, rescore_round,
+                                                init_h)
+            cid = jnp.concatenate([cid, hid])
+            ck0 = jnp.concatenate([ck0, h0])
+            ck1 = jnp.concatenate([ck1, h1])
+            ck2 = jnp.concatenate([ck2, h2])
+
+        r0, r1, r2, rid = _dedup_sorted_ids(ck0, ck1, ck2, cid, K)
+
+        # ---- phase 5: facet counts (single-value fused one-hot) ----
+        f_acc = []
+        for fa in range(n_facets):
+            col = facet_cols[fa]                               # (N,) int32
+            vrange = jnp.arange(facet_sizes[fa], dtype=jnp.int32)
+            cnt = jnp.sum((col[None, :] == vrange[:, None]) & m[None, :],
+                          axis=1, dtype=jnp.int32)
+            f_acc.append(cnt)
 
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
