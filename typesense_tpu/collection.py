@@ -566,7 +566,7 @@ class Collection:
                     filter_mask=fm, distance_threshold=vq.distance_threshold)
                 pairs.extend(zip((int(x) for x in e_ids),
                                  (float(x) for x in e_d)))
-                out_of += int(eng.seg.live.sum())
+                out_of += eng._live_count
             pairs.sort(key=lambda t: t[1])
             pairs = pairs[:vk]
             ids = np.asarray([i for i, _ in pairs], dtype=np.int32)
@@ -809,7 +809,7 @@ class Collection:
         threshold = max(typo_tokens_threshold, 1)
         empty_raw = RawResult(np.empty(0, np.int32),
                               np.empty((0, 3), np.int64), 0,
-                              out_of=int(engine.seg.live.sum()))
+                              out_of=engine._live_count)
         while True:
             exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
                           for i in range(len(tokens))]

@@ -43,46 +43,44 @@ def pack_position(elem_idx: int, pos: int) -> int:
 
 
 # --- packed per-posting scoring meta (dense-scan kernel input) ---
-# The dense keyword kernel scores docs by streaming membership planes, so
-# everything proximity ranking needs must fit ONE int64 per posting:
-#   bits 0-47  pos0..pos3: up to four positions, each re-packed 12 bits as
-#              (elem:5 << 7 | offset:7); slots beyond `cnt` are zero
-#   bits 48-50 cnt: min(number of positions, 7)
-#   bit 51     last: token is the last token of its field value (exact match)
-#   bit 52     heavy: meta can't represent this posting exactly (> 4
-#              positions, elem > 31 or offset > 127) — the kernel re-scores
-#              such docs from the full positions CSR, so ranking stays exact
-#   bits 53-58 query-time typo cost (scatter-min picks the cheapest candidate)
-#   bit 63     always 0 (int64 scatter-min stays well-ordered)
-# The 5/7-bit position split preserves the window semantics of the full
-# packing: same-element offset deltas are exact and cross-element deltas
-# stay >= 128 > WINDOW_SIZE, so proximity distances are identical.
-META_CNT_SHIFT = 48
-META_LAST_SHIFT = 51
-META_HEAVY_SHIFT = 52
-META_COST_SHIFT = 53
-META_EMPTY = np.int64(1) << 62   # plane init; larger than any packed value
+# TWO int32 words per posting so the dense scan's membership/cost pass
+# streams HALF the bytes (and single-token or no-text-sort queries never
+# read word B at all):
+#   word A (the COMPARE word — plane min-combining orders by it):
+#     bits 25-30 query-time typo cost (0 in stored/head form)
+#     bit  24    heavy: > 3 positions or elem/offset overflow — such docs
+#                re-score from the positions CSR, ranking stays exact
+#     bit  23    last: token is the last token of its field value
+#     bits 21-22 cnt-1: positions count 1..3 (heavy above)
+#     bits 0-11  pos0 (re-packed 12 bits: elem:5 << 7 | offset:7)
+#   word B: bits 0-11 pos1, bits 12-23 pos2
+# The 5/7-bit position split preserves window semantics: same-element
+# offset deltas are exact, cross-element deltas stay >= 128 > WINDOW_SIZE.
+MA_CNT_SHIFT = 21
+MA_LAST_SHIFT = 23
+MA_HEAVY_SHIFT = 24
+MA_COST_SHIFT = 25
+MA_EMPTY = np.int32(2**31 - 1)   # plane init; above any packed A word
 
 
-def pack_post_meta_device(post_flags, pos_offsets, positions):
-    """Device-side meta64 packing (jit over the CSR arrays; ~34M-posting
-    builds pack in milliseconds on-chip vs tens of seconds on host numpy).
-    Returns a DEVICE int64 array — never copied back to host."""
+def pack_post_meta_ab_device(post_flags, pos_offsets, positions):
+    """Device-side (A, B) meta packing for head-plane construction."""
     import typesense_tpu.core.jaxcfg  # noqa: F401
     import jax
     import jax.numpy as jnp
 
     P = len(post_flags)
     if len(positions) == 0:
-        return jax.device_put(np.zeros(max(P, 1), dtype=np.int64))
+        z = jax.device_put(np.zeros(max(P, 1), dtype=np.int32))
+        return z, z
     last = max(len(positions) - 1, 0)
 
     @jax.jit
     def pack(flags, po, pos):
         cnt = po[1:] - po[:-1]
-        meta = jnp.zeros(P, jnp.int64)
+        encs = []
         over = jnp.zeros(P, bool)
-        for k in range(4):
+        for k in range(3):
             idx = jnp.clip(po[:-1] + k, 0, last)
             p = pos[idx].astype(jnp.int64)
             valid = cnt > k
@@ -90,22 +88,65 @@ def pack_post_meta_device(post_flags, pos_offsets, positions):
             off = p & MAX_POS
             over = over | (((elem > 31) | (off > 127)) & valid)
             enc = (jnp.minimum(elem, 31) << 7) | jnp.minimum(off, 127)
-            meta = meta | jnp.where(valid, enc << (12 * k), 0)
-        heavy = (cnt > 4) | over
-        return (meta | (jnp.minimum(cnt, 7) << META_CNT_SHIFT)
-                | ((flags.astype(jnp.int64) & 1) << META_LAST_SHIFT)
-                | (heavy.astype(jnp.int64) << META_HEAVY_SHIFT))
+            encs.append(jnp.where(valid, enc, 0))
+        heavy = (cnt > 3) | over
+        a = (encs[0]
+             | ((jnp.clip(cnt, 1, 3) - 1) << MA_CNT_SHIFT)
+             | ((flags.astype(jnp.int64) & 1) << MA_LAST_SHIFT)
+             | (heavy.astype(jnp.int64) << MA_HEAVY_SHIFT))
+        b = encs[1] | (encs[2] << 12)
+        return a.astype(jnp.int32), b.astype(jnp.int32)
 
     return pack(post_flags, pos_offsets, positions)
 
 
-def pack_post_meta(post_flags: np.ndarray, pos_offsets: np.ndarray,
-                   positions: np.ndarray) -> np.ndarray:
-    """Host-visible meta64 (tests / host tooling)."""
+# --- 32-bit per-posting meta for the QUERY-TIME scatter path ---
+# TPU scatter-min on int64 measures ~9x slower than 32-bit, so per-query
+# scatters of mid-size rows use this 2-position uint32 packing (the dense
+# scan converts winning cells to the meta64 form); the build-time head
+# planes carry full meta64.
+#   bits 0-11  pos0   bits 12-23 pos1   bit 24 cnt>=2   bit 25 last
+#   bit 26     heavy (> 2 positions or field/offset overflow)
+#   bits 28-31 query-time typo cost
+M32_CNT2_SHIFT = 24
+M32_LAST_SHIFT = 25
+M32_HEAVY_SHIFT = 26
+M32_COST_SHIFT = 28
+
+
+def pack_post_meta32_device(post_flags, pos_offsets, positions):
+    import typesense_tpu.core.jaxcfg  # noqa: F401
     import jax
-    return np.asarray(jax.device_get(
-        pack_post_meta_device(post_flags, pos_offsets, positions)),
-        dtype=np.int64)
+    import jax.numpy as jnp
+
+    P = len(post_flags)
+    if len(positions) == 0:
+        return jax.device_put(np.zeros(max(P, 1), dtype=np.uint32))
+    last = max(len(positions) - 1, 0)
+
+    @jax.jit
+    def pack(flags, po, pos):
+        cnt = po[1:] - po[:-1]
+        p0 = pos[jnp.clip(po[:-1], 0, last)].astype(jnp.int64)
+        p1i = jnp.clip(po[:-1] + 1, 0, last)
+        p1 = jnp.where(cnt >= 2, pos[p1i].astype(jnp.int64), p0)
+
+        def enc(p):
+            elem = p >> POS_BITS
+            off = p & MAX_POS
+            over = (elem > 31) | (off > 127)
+            return ((jnp.minimum(elem, 31) << 7) | jnp.minimum(off, 127)), \
+                over
+
+        e0, o0 = enc(p0)
+        e1, o1 = enc(p1)
+        heavy = (cnt > 2) | o0 | (o1 & (cnt >= 2))
+        return ((heavy.astype(jnp.int64) << M32_HEAVY_SHIFT)
+                | ((flags.astype(jnp.int64) & 1) << M32_LAST_SHIFT)
+                | ((cnt >= 2).astype(jnp.int64) << M32_CNT2_SHIFT)
+                | (e1 << 12) | e0).astype(jnp.uint32)
+
+    return pack(post_flags, pos_offsets, positions)
 
 
 @dataclass
@@ -168,8 +209,9 @@ class DeviceIndex(NamedTuple):
     pos_offsets: Any
     positions: Any
     post_meta: Any
-    head_planes: Any            # (H, N) int64 dense meta planes for the
+    head_a: Any                 # (H, N) int32 A-word planes for the
                                 # highest-volume posting rows (scatter cache)
+    head_b: Any                 # (H, N) int32 B-word planes
     live: Any
     field_token_counts: Any
     facet_single: tuple         # aligned with facet names: (N,) int32 value
@@ -215,9 +257,10 @@ def select_head_rows(seg: SegmentArrays) -> np.ndarray:
     return order[:n_max].astype(np.int64)
 
 
-def build_head_planes(seg: SegmentArrays, post_doc_ids_dev, post_meta_dev):
-    """(H, N) int64 dense meta planes for the selected head rows, built
-    on-device (one scatter-min per row, amortized at index build time)."""
+def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
+    """Two (H, N) int32 dense meta planes (words A and B) for the selected
+    head rows, built on-device. Doc ids are unique within one posting row,
+    so the A/B pair scatters without any atomic-pair concern."""
     import typesense_tpu.core.jaxcfg  # noqa: F401
     import jax
     import jax.numpy as jnp
@@ -226,29 +269,39 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev, post_meta_dev):
     rows = select_head_rows(seg)
     N = max(seg.num_docs, 1)
     if len(rows) == 0:
-        return jax.device_put(np.full((1, 1), META_EMPTY, np.int64)), {}
+        e = jax.device_put(np.full((1, 1), MA_EMPTY, np.int32))
+        return e, e, {}
+    meta_a, meta_b = pack_post_meta_ab_device(
+        seg.post_flags, seg.pos_offsets, seg.positions)
     po = seg.post_offsets
     CH = 1 << 20
 
     @jax.jit
-    def one(start, end, post_doc_ids, post_meta):
-        def step(i, plane):
+    def one(start, end, post_doc_ids, ma, mb):
+        def step(i, planes):
+            pa, pb = planes
             idx = start + i * CH + jnp.arange(CH, dtype=jnp.int64)
             valid = idx < end
             safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
             docs = post_doc_ids[safe]
-            mv = post_meta[safe]
             flat = jnp.where(valid, docs, jnp.int32(N))
-            return plane.at[flat].min(mv, mode="drop")
+            pa = pa.at[flat].set(ma[safe], mode="drop")
+            pb = pb.at[flat].set(mb[safe], mode="drop")
+            return pa, pb
 
         n = (end - start + CH - 1) // CH
         return lax.fori_loop(0, n, step,
-                             jnp.full((N,), META_EMPTY, jnp.int64))[:N]
+                             (jnp.full((N,), MA_EMPTY, jnp.int32),
+                              jnp.zeros((N,), jnp.int32)))
 
-    planes = [one(jnp.int64(po[r]), jnp.int64(po[r + 1]),
-                  post_doc_ids_dev, post_meta_dev) for r in rows]
+    pa_list, pb_list = [], []
+    for r in rows:
+        pa, pb = one(jnp.int64(po[r]), jnp.int64(po[r + 1]),
+                     post_doc_ids_dev, meta_a, meta_b)
+        pa_list.append(pa)
+        pb_list.append(pb)
     head_map = {int(r): h for h, r in enumerate(rows)}
-    return jnp.stack(planes), head_map
+    return jnp.stack(pa_list), jnp.stack(pb_list), head_map
 
 
 def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
@@ -288,11 +341,11 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         return put(col)
 
     post_doc_ids_dev = put(seg.post_doc_ids)
-    post_meta_dev = (put(seg.post_meta) if seg.post_meta is not None else
-                     pack_post_meta_device(seg.post_flags, seg.pos_offsets,
-                                           seg.positions))
-    head_planes, head_map = build_head_planes(seg, post_doc_ids_dev,
-                                              post_meta_dev)
+    head_a, head_b, head_map = build_head_planes(seg, post_doc_ids_dev)
+    # the per-query scatter path (and heavy rescore's last-flag) uses the
+    # 32-bit 2-position packing, which scatters ~9x faster than int64
+    post_meta_dev = pack_post_meta32_device(seg.post_flags, seg.pos_offsets,
+                                            seg.positions)
 
     dev = DeviceIndex(
         term_chars=put(seg.term_chars),
@@ -304,7 +357,8 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         pos_offsets=put(seg.pos_offsets),
         positions=put(seg.positions),
         post_meta=post_meta_dev,
-        head_planes=head_planes,
+        head_a=head_a,
+        head_b=head_b,
         live=put(seg.live),
         field_token_counts=put(seg.field_token_counts),
         facet_single=tuple(facet_single(n) for n in facet_names),

@@ -82,19 +82,21 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
 
 
 def match_components_p4(pos: list):
-    """Match for the dense kernel's 4-positions-per-token meta64: identical
-    semantics to match_components, closed-form per anchor. `pos` is a list of
-    Q lists of four (B,) int32 vectors (positions ascending per token, INF
-    where the slot/token is absent; values are 12-bit meta encodings < 4096).
+    """Match for the dense kernel's few-positions-per-token meta planes:
+    identical semantics to match_components, closed-form per anchor. `pos`
+    is a list of Q lists of (B,) int32 position vectors (ascending per
+    token, INF where the slot/token is absent; values are 12-bit meta
+    encodings < 4096).
 
-    next_t(p) folds over the four sorted positions with a reverse select
-    chain; the ascending-anchor strict-improvement tie-break packs into one
-    int32 max over (words, -displacement, -anchor)."""
+    next_t(p) folds over the sorted positions with a reverse select chain;
+    the ascending-anchor strict-improvement tie-break packs into one int32
+    max over (words, -displacement, -anchor)."""
     Q = len(pos)
+    P = len(pos[0])
     B = pos[0][0].shape[0]
     best = jnp.full((B,), -1, jnp.int32)
     for qa in range(Q):
-        for ka in range(4):
+        for ka in range(P):
             p = pos[qa][ka]
             anchor_ok = p < INF
             words = jnp.zeros(B, jnp.int32)
@@ -102,7 +104,7 @@ def match_components_p4(pos: list):
             maxwin = jnp.full(B, -1, jnp.int32)
             for t in range(Q):
                 nxt = jnp.full(B, INF, jnp.int32)
-                for k in range(3, -1, -1):
+                for k in range(P - 1, -1, -1):
                     nxt = jnp.where(pos[t][k] >= p, pos[t][k], nxt)
                 alive = nxt < INF
                 in_win = alive & ((nxt - p) <= WINDOW_SIZE)

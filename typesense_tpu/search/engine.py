@@ -119,6 +119,7 @@ class IndexEngine:
 
         self._zero_col = jax.device_put(jnp.zeros(max(self.N, 1), jnp.int64))
         self._live = jax.device_put(jnp.asarray(segment.live))
+        self._live_count = int(segment.live.sum())
         self._iters = max(int(np.ceil(np.log2(max(len(segment.post_doc_ids), 2)))) + 1, 2)
 
         # facet device metadata
@@ -140,6 +141,7 @@ class IndexEngine:
             if 0 <= s < self.N:
                 self.seg.live[s] = False
         self._live = jax.device_put(jnp.asarray(self.seg.live))
+        self._live_count = int(self.seg.live.sum())
         self._vec_masks = {}
 
     # ------------------------------------------------------------------
@@ -454,7 +456,7 @@ class IndexEngine:
             dense_ok=dense_ok)
         if prep is None:
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64),
-                             0, out_of=int(self.seg.live.sum()))
+                             0, out_of=self._live_count)
         Q, Fq, C, S, SS, SCB, K = (prep["Q"], prep["Fq"], prep["C"], prep["S"],
                                    prep["SS"], prep["SCB"], prep["K"])
 
@@ -484,7 +486,8 @@ class IndexEngine:
                 tuple(exclude_flags), self.N, pack2)
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
-                       self.dev.field_token_counts, self.dev.head_planes,
+                       self.dev.field_token_counts, self.dev.head_a,
+                       self.dev.head_b,
                        fmask, jnp.asarray(prep["qbuf"]),
                        cols[0], cols[1], cols[2], f_single)
             rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
@@ -739,4 +742,4 @@ class IndexEngine:
         for i, fname in enumerate(facet_fields):
             facets[fname] = (self.seg.facet_values[fname], f_acc[i])
         return RawResult(doc_ids=rid, scores=scores, found=int(found),
-                         facet_counts=facets, out_of=int(self.seg.live.sum()))
+                         facet_counts=facets, out_of=self._live_count)

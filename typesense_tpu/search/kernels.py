@@ -504,12 +504,12 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
     ]).astype(np.int64)
 
 
-# meta64 bit layout (artifacts.pack_post_meta_device)
-META_CNT_SHIFT = 48
-META_LAST_SHIFT = 51
-META_HEAVY_SHIFT = 52
-META_COST_SHIFT = 53
-META_EMPTY = jnp.int64(1) << 62
+# A-word bit layout (artifacts.pack_post_meta_ab_device)
+MA_CNT_SHIFT = 21
+MA_LAST_SHIFT = 23
+MA_HEAVY_SHIFT = 24
+MA_COST_SHIFT = 25
+MA_EMPTY = jnp.int32(2**31 - 1)
 
 
 def _dedup_sorted_ids(k0, k1, k2, ids, K):
@@ -593,7 +593,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
 
     @jax.jit
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
-               field_token_counts, head_planes, filter_mask, qbuf,
+               field_token_counts, head_a, head_b, filter_mask, qbuf,
                sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None):
         o = 0
         sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
@@ -620,12 +620,19 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
         tv = token_valid[:, None] & ~excl
         tve = token_valid[:, None] & excl
-        cc_flat = jnp.minimum(cand_costs, 63).reshape(-1)      # (Q*C,)
+        # scatter path carries the 4-bit meta32 cost field; head planes get
+        # the 6-bit meta64 field
+        cc_flat = jnp.minimum(cand_costs, 14).reshape(-1)      # (Q*C,)
 
-        # ---- phase 1: scatter mid-size rows into meta planes ----
+        # ---- phase 1: scatter mid-size rows into meta32 planes ----
+        # uint32 scatter-min: TPU int64 scatter measures ~9x slower, so the
+        # per-query path scatters the 2-position meta32 packing and the scan
+        # converts winning cells to meta64 form (docs with >2 occurrences of
+        # a scattered token go through the heavy rescore, exactly as before)
+        EMPTY32 = jnp.uint32(0xFFFFFFFF)
         if has_scatter:
             SS = 2048
-            G = max(1, min((1 << 17) // SS, max(SCB, 1)))
+            G = max(1, min((1 << 15) // SS, max(SCB, 1)))
             ss_lane = jnp.arange(SS, dtype=jnp.int32)
 
             def scatter_step(i, plane):
@@ -640,14 +647,13 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 meta = post_meta[safe]
                 q = qf // F
                 cost = cc_flat[jnp.clip(q * C + c, 0, Q * C - 1)]
-                val = (cost.astype(jnp.int64)[:, None] << META_COST_SHIFT) \
-                    | meta
+                val = (cost.astype(jnp.uint32)[:, None] << 28) | meta
                 flat = jnp.where(valid, qf[:, None] * N + docs,
                                  jnp.int32(Q * F * N))
                 return plane.at[flat.reshape(-1)].min(val.reshape(-1),
                                                       mode="drop")
 
-            plane = jnp.full((Q * F * N,), META_EMPTY, jnp.int64)
+            plane = jnp.full((Q * F * N,), EMPTY32, jnp.uint32)
             if SCB > 0:
                 n_steps = (n_sc + G - 1) // G
                 plane = lax.fori_loop(0, n_steps, scatter_step, plane)
@@ -666,7 +672,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                     valid = (blane >= off) & (blane < off + blen)
                     q = b_qf[i] // F
                     cost = cc_flat[jnp.clip(q * C + b_c[i], 0, Q * C - 1)]
-                    val = (cost.astype(jnp.int64) << META_COST_SHIFT) | meta
+                    val = (cost.astype(jnp.uint32) << 28) | meta
                     flat = jnp.where(valid, b_qf[i] * N + docs,
                                      jnp.int32(Q * F * N))
                     return plane.at[flat].min(val, mode="drop")
@@ -674,28 +680,55 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 plane = lax.fori_loop(0, n_big, big_step, plane)
             plane2d = plane.reshape(Q * F, N)
 
-        # ---- phase 2: fused whole-N scan ----
-        # per-(q,f) meta values: scattered plane min head-plane rows
-        vals = []
-        H_rows = head_planes.shape[0]
+        # ---- phase 2: fused whole-N scan over A/B word planes ----
+        # A carries cost/heavy/last/cnt/pos0 (everything membership and
+        # ranking prefilters need); B carries pos1/pos2 and is only read
+        # when proximity actually matters (multi-token text-scored query)
+        need_pos = need_text and Q > 1
+        va_list, vb_list = [], []
+        H_rows = head_a.shape[0]
+        HW = head_a.shape[1]
         for qf in range(Q * F):
-            v = plane2d[qf] if has_scatter else \
-                jnp.full((N,), META_EMPTY, jnp.int64)
+            if has_scatter:
+                m32 = plane2d[qf]
+                sc_ok = m32 != EMPTY32
+                a32 = ((m32 & jnp.uint32(0xFFF)).astype(jnp.int32)
+                       | (((m32 >> 24) & 1).astype(jnp.int32)
+                          << MA_CNT_SHIFT)
+                       | (((m32 >> 25) & 1).astype(jnp.int32)
+                          << MA_LAST_SHIFT)
+                       | (((m32 >> 26) & 1).astype(jnp.int32)
+                          << MA_HEAVY_SHIFT)
+                       | ((m32 >> 28).astype(jnp.int32) << MA_COST_SHIFT))
+                va = jnp.where(sc_ok, a32, MA_EMPTY)
+                vb = jnp.where(sc_ok,
+                               ((m32 >> 12) & jnp.uint32(0xFFF)).astype(
+                                   jnp.int32), 0) if need_pos else None
+            else:
+                va = jnp.full((N,), MA_EMPTY, jnp.int32)
+                vb = jnp.zeros((N,), jnp.int32) if need_pos else None
             for s in range(HPF):
                 slot = qf * HPF + s
                 row = hrow[slot]
-                hv = lax.dynamic_slice(
-                    head_planes,
-                    (jnp.clip(row, 0, H_rows - 1), jnp.int32(0)),
-                    (1, head_planes.shape[1]))[0][:N]
-                hv = jnp.where((row >= 0) & (hv != META_EMPTY),
-                               hv | (hcost[slot] << META_COST_SHIFT),
-                               META_EMPTY)
-                v = jnp.minimum(v, hv)
-            vals.append(v)
-        val = jnp.stack(vals).reshape(Q, F, N)
+                rsafe = jnp.clip(row, 0, H_rows - 1)
+                ha = lax.dynamic_slice(head_a, (rsafe, jnp.int32(0)),
+                                       (1, HW))[0][:N]
+                ha = jnp.where(
+                    (row >= 0) & (ha != MA_EMPTY),
+                    ha | (hcost[slot].astype(jnp.int32) << MA_COST_SHIFT),
+                    MA_EMPTY)
+                take = ha < va
+                if need_pos:
+                    hb = lax.dynamic_slice(head_b, (rsafe, jnp.int32(0)),
+                                           (1, HW))[0][:N]
+                    vb = jnp.where(take, hb, vb)
+                va = jnp.minimum(va, ha)
+            va_list.append(va)
+            vb_list.append(vb)
+        va = jnp.stack(va_list).reshape(Q, F, N)
+        vb = jnp.stack(vb_list).reshape(Q, F, N) if need_pos else None
 
-        member = val != META_EMPTY
+        member = va != MA_EMPTY
         inc_member = member & ~excl[:, :, None]
         tok_any = jnp.any(member, axis=1)                      # (Q, N)
         all_match = (jnp.all(tok_any | ~tv, axis=0)
@@ -704,15 +737,14 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         m = all_match & filter_mask
         if need_heavy:
             heavy = jnp.any(
-                inc_member & ((val >> META_HEAVY_SHIFT) & 1).astype(bool),
+                inc_member & ((va >> MA_HEAVY_SHIFT) & 1).astype(bool),
                 axis=(0, 1))
             m_light = m & ~heavy
         else:
             m_light = m
 
         costs_qf = jnp.where(
-            inc_member, ((val >> META_COST_SHIFT) & 63).astype(jnp.int32),
-            255)
+            inc_member, (va >> MA_COST_SHIFT) & 63, 255)
         min_cost_q = jnp.min(costs_qf, axis=1)                 # (Q, N)
         tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
         query_len = jnp.sum(tok_any & tv, axis=0).astype(jnp.int32)
@@ -724,24 +756,26 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             best_weight = jnp.zeros(N, jnp.int64)
             for f in range(F):
                 mf = inc_member[:, f]                          # (Q, N)
-                cntf = ((val[:, f] >> META_CNT_SHIFT) & 7).astype(jnp.int32)
+                cntf = ((va[:, f] >> MA_CNT_SHIFT) & 3) + 1
                 uw = jnp.sum(mf, axis=0).astype(jnp.int32)
                 single = uw <= 1
                 if Q == 1:
                     wp = jnp.ones(N, jnp.int32)
                     dist = jnp.zeros(N, jnp.int32)
                 else:
-                    pos = [[jnp.where(
-                        mf[q] & (cntf[q] > k),
-                        ((val[q, f] >> (12 * k)) & 4095).astype(jnp.int32),
-                        MATCH_INF) for k in range(4)] for q in range(Q)]
+                    pos = [[jnp.where(mf[q], va[q, f] & 0xFFF, MATCH_INF),
+                            jnp.where(mf[q] & (cntf[q] > 1),
+                                      vb[q, f] & 0xFFF, MATCH_INF),
+                            jnp.where(mf[q] & (cntf[q] > 2),
+                                      (vb[q, f] >> 12) & 0xFFF, MATCH_INF)]
+                           for q in range(Q)]
                     wp, dist = match_components_p4(pos)
                     wp = jnp.where(single, 1, wp)
                     dist = jnp.where(single, 0, dist)
-                total_off = jnp.sum(jnp.where(mf, jnp.minimum(cntf, 4), 0),
+                total_off = jnp.sum(jnp.where(mf, cntf, 0),
                                     axis=0).astype(jnp.int32)
                 has_last = jnp.any(
-                    mf & ((val[:, f] >> META_LAST_SHIFT) & 1).astype(bool),
+                    mf & ((va[:, f] >> MA_LAST_SHIFT) & 1).astype(bool),
                     axis=0)
                 ftc_f = field_token_counts[:, f]
                 if prioritize_exact:
@@ -790,36 +824,66 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         k1 = whole_key(slot_kinds[1], slot_signs[1], sort_col1)
         k2 = whole_key(slot_kinds[2], slot_signs[2], sort_col2)
 
-        # ---- phase 3: exact top-K select via top_k cascade ----
+        # ---- phase 3: exact top-K select via int32 top_k cascade ----
+        # int64 lax.top_k costs ~6.4ms at 2.2M lanes on v5e where int32
+        # top_k is bandwidth-free, so each int64 stage key is selected via
+        # TWO int32 top_k passes (high word, then low word among high-word
+        # ties). The 2*KT pool provably contains the stage's true top-KT
+        # docs; the exact stage threshold (the KT-th distinct key) comes
+        # from a tiny deduped sort of the pool, and the next stage masks to
+        # exact ties of that threshold. The final assembly re-sorts
+        # candidates by their exact int64 tuples, so pools being supersets
+        # is always safe.
         KT = min(K, N)       # tiny corpora: top_k k must not exceed N
-        k0m = jnp.where(m_light, k0, KEY_MIN)
-        v0, i0 = lax.top_k(k0m, KT)
-        thr0 = v0[KT - 1]
-        idkey = gid.astype(jnp.int64)
+        HMIN32 = jnp.int32(-(2**31))
+
+        def kth_distinct(keys, idxs):
+            """KT-th largest key among distinct-index pool entries
+            (KEY_MIN when fewer)."""
+            nk = jnp.where(idxs >= 0, -keys, jnp.int64(2**62))
+            ni = jnp.where(idxs >= 0, idxs.astype(jnp.int64),
+                           jnp.int64(2**62))
+            sk, si = lax.sort((nk, ni), num_keys=2)
+            dup = jnp.concatenate(
+                [jnp.zeros(1, bool), (si[1:] == si[:-1]) & (si[1:] != 2**62)])
+            sk = lax.sort(jnp.where(dup, jnp.int64(2**62), sk))
+            return -sk[KT - 1]
+
+        def stage(key, mask):
+            """2*KT candidate pool + exact KT-th threshold of `key` under
+            `mask`, using only int32 top_k."""
+            hi = (key >> 32).astype(jnp.int32)
+            him = jnp.where(mask, hi, HMIN32)
+            vh, ih = lax.top_k(him, KT)
+            thrh = vh[KT - 1]
+            lo = ((key & 0xFFFFFFFF).astype(jnp.uint32)
+                  ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+            lom = jnp.where(mask & (hi == thrh), lo, HMIN32)
+            vl, il = lax.top_k(lom, KT)
+            cand = jnp.concatenate([ih, il]).astype(jnp.int32)
+            cm = mask[jnp.clip(cand, 0, N - 1)]
+            ck = jnp.where(cm, key[jnp.clip(cand, 0, N - 1)], KEY_MIN)
+            return cand, kth_distinct(ck, jnp.where(cm, cand, -1))
+
+        cand_all = []
+        cand0, t0 = stage(k0, m_light)
+        cand_all.append(cand0)
+        tie0 = m_light & (k0 == t0)
         if pack2:
-            kp = ((k1 + PACK2_BIAS) << 22) | idkey
-            kpm = jnp.where(m_light & (k0m == thr0), kp, KEY_MIN)
-            v1, i1 = lax.top_k(kpm, KT)
-            cand = jnp.concatenate([
-                jnp.where(v0 > KEY_MIN, i0, -1).astype(jnp.int32),
-                jnp.where(v1 > KEY_MIN, i1, -1).astype(jnp.int32)])
+            kp = ((k1 + PACK2_BIAS) << 22) | gid.astype(jnp.int64)
+            cand1, _ = stage(kp, tie0)
+            cand_all.append(cand1)
         else:
-            tie0 = m_light & (k0m == thr0)
-            k1m = jnp.where(tie0, k1, KEY_MIN)
-            v1, i1 = lax.top_k(k1m, KT)
-            thr1 = v1[KT - 1]
-            tie1 = tie0 & (k1 == thr1)
-            k2m = jnp.where(tie1, k2, KEY_MIN)
-            v2, i2 = lax.top_k(k2m, KT)
-            thr2 = v2[KT - 1]
-            tie2 = tie1 & (k2 == thr2)
-            idm = jnp.where(tie2, idkey, KEY_MIN)
-            v3, i3 = lax.top_k(idm, KT)
-            cand = jnp.concatenate([
-                jnp.where(v0 > KEY_MIN, i0, -1).astype(jnp.int32),
-                jnp.where(v1 > KEY_MIN, i1, -1).astype(jnp.int32),
-                jnp.where(v2 > KEY_MIN, i2, -1).astype(jnp.int32),
-                jnp.where(v3 > KEY_MIN, i3, -1).astype(jnp.int32)])
+            cand1, t1 = stage(k1, tie0)
+            cand_all.append(cand1)
+            tie1 = tie0 & (k1 == t1)
+            cand2, t2 = stage(k2, tie1)
+            cand_all.append(cand2)
+            tie2 = tie1 & (k2 == t2)
+            # id tie-break: ids are unique and fit int32 — one direct top_k
+            _, i3 = lax.top_k(jnp.where(tie2, gid, jnp.int32(-1)), KT)
+            cand_all.append(i3.astype(jnp.int32))
+        cand = jnp.concatenate(cand_all)
 
         csafe = jnp.clip(cand, 0, N - 1)
         cvalidm = (cand >= 0) & m_light[csafe]
@@ -875,7 +939,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                     Q, F, HCT, K, P, slot_kinds, slot_signs,
                     prioritize_exact,
                     prioritize_num_fields, 0, (), (), (), gid=gidh,
-                    last_flag_mask=1 << META_LAST_SHIFT)
+                    last_flag_mask=1 << 25)  # post_meta is meta32
                 new_cursor = jnp.min(jnp.where(ok, selv, jnp.int32(2**31 - 1)))
                 return (h0, h1, h2, hid, new_cursor)
 
