@@ -503,7 +503,14 @@ class Collection:
             # 10,000 (device candidate bucket clamps at 64 per token)
             max_candidates = 10000
 
-        k = max(250, fetch)
+        # top-K depth: the reference sizes its topster max(250, fetch)
+        # because one search serves every page up to 250 (index.cpp:3506);
+        # our engine re-dispatches per request with the page's own fetch, so
+        # shallow pages use a small K (top_k cascade cost scales with K) and
+        # deep pages grow it automatically. Diversity re-ranks a 3x pool.
+        k = max(fetch, 16)
+        if params.get("diversity"):
+            k = max(k, fetch * 3, 48)
 
         # --- group_by (parsed early: grouping changes the dispatch) ---
         group_fields = _as_list(params.get("group_by"))

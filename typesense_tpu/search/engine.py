@@ -270,7 +270,9 @@ class IndexEngine:
         else:
             # the match pass is cheap per lane (plane gathers + cumsum),
             # so size its chunk for <= ~4 sequential trips
-            need = max(drv_total // 4, 1)
+            # single chunk for small drivers (sequential chunk rounds pay
+            # fixed per-op costs); beyond 4096 lanes amortization is done
+            need = max(drv_total // 4, 1) if drv_total > 4096 else drv_total
             S = 256
             while S < need and S < 65536:
                 S *= 4
