@@ -80,12 +80,23 @@ def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     params = _apply_preset(server, dict(req.query))
 
-    # voice query (vq_model.h:39-51 Whisper transcription): requires local
-    # whisper weights, which this deployment does not bundle — gated error
-    # matching the reference's missing-model behavior
+    # voice query (vq_model.h:39-51; collection.cpp:2137-2148): transcribe
+    # base64 WAV through the collection's whisper model, the transcript
+    # becomes `q` and is echoed in request_params
+    transcribed = None
     if params.get("voice_query"):
-        raise BadRequest("Voice query model is not available. Configure a "
-                         "`voice_query_model` with local weights first.")
+        vq_cfg = getattr(coll, "voice_query_model", None) or {}
+        if not vq_cfg.get("model_name"):
+            raise BadRequest("Voice query is not enabled. Please set "
+                             "`voice_query_model` for this collection.")
+        vqm = getattr(server, "vq_models", None)
+        if vqm is None:
+            from typesense_tpu.models.voice import VQModelManager
+            vqm = server.vq_models = VQModelManager(
+                getattr(getattr(server, "config", None), "models_dir", ""))
+        transcribed = vqm.get(vq_cfg["model_name"]).transcribe(
+            params.pop("voice_query"))
+        params["q"] = transcribed
 
     # response cache (core_api.cpp:573-601 LRU with use_cache + cache_ttl)
     cache = getattr(server, "res_cache", None)
@@ -100,6 +111,10 @@ def get_search(server, req):
             return hit[1]
 
     res = coll.search(params)
+    if transcribed is not None:
+        # reference echoes the transcript (collection.cpp transcribed_query)
+        res.setdefault("request_params", {})["voice_query"] = {
+            "transcribed_query": transcribed}
 
     if key is not None:
         import time as _t

@@ -88,7 +88,8 @@ class Collection:
                  enable_nested_fields: bool = False,
                  symbols_to_index: list[str] | None = None,
                  token_separators: list[str] | None = None,
-                 metadata: dict | None = None):
+                 metadata: dict | None = None,
+                 voice_query_model: dict | None = None):
         self.name = name
         self.fields = fields
         self.field_map = {f.name: f for f in fields}
@@ -100,6 +101,9 @@ class Collection:
         self.symbols_to_index = symbols_to_index or []
         self.token_separators = token_separators or []
         self.metadata = metadata or {}
+        # voice_query_model: {"model_name": "ts/whisper-tiny"} enables
+        # `voice_query` base64-wav transcription (collection.h:730)
+        self.voice_query_model = voice_query_model or {}
 
         if default_sorting_field:
             f = self.field_map.get(default_sorting_field)
@@ -1671,4 +1675,6 @@ class Collection:
             "enable_nested_fields": self.enable_nested_fields,
             "symbols_to_index": self.symbols_to_index,
             "token_separators": self.token_separators,
+            **({"voice_query_model": self.voice_query_model}
+               if self.voice_query_model else {}),
         }

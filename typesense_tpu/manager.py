@@ -74,6 +74,7 @@ class CollectionManager:
             symbols_to_index=meta.get("symbols_to_index", []),
             token_separators=meta.get("token_separators", []),
             metadata=meta.get("metadata", {}),
+            voice_query_model=meta.get("voice_query_model"),
         )
         coll.manager = self
         return coll
@@ -97,6 +98,7 @@ class CollectionManager:
                 "symbols_to_index": schema.get("symbols_to_index", []),
                 "token_separators": schema.get("token_separators", []),
                 "metadata": schema.get("metadata", {}),
+                "voice_query_model": schema.get("voice_query_model"),
                 "created_at": int(time.time()),
                 "id": self._next_collection_id,
             }

@@ -90,7 +90,116 @@ def convert_hf(model_dir_or_name: str, out_path: str,
     return out_path
 
 
+def convert_whisper_state_dict(sd: dict, vocab: list[str],
+                               cfg: dict) -> dict:
+    """torch state_dict (transformers WhisperForConditionalGeneration
+    layout) -> models/voice.py .npz layout."""
+    def t(key):
+        return np.asarray(sd[key].detach().cpu().numpy(), np.float32)
+
+    def has(key):
+        return key in sd
+
+    pre = "model." if has("model.encoder.conv1.weight") else ""
+    out = {}
+    # conv weights: torch Conv1d is (out, in, k) -> (k, in, out)
+    out["enc.conv1.w"] = t(pre + "encoder.conv1.weight").transpose(2, 1, 0)
+    out["enc.conv1.b"] = t(pre + "encoder.conv1.bias")
+    out["enc.conv2.w"] = t(pre + "encoder.conv2.weight").transpose(2, 1, 0)
+    out["enc.conv2.b"] = t(pre + "encoder.conv2.bias")
+    out["enc.pos"] = t(pre + "encoder.embed_positions.weight")
+
+    def attn(dst, src):
+        out[f"{dst}.q.w"] = t(f"{src}.q_proj.weight").T
+        out[f"{dst}.q.b"] = t(f"{src}.q_proj.bias")
+        out[f"{dst}.k.w"] = t(f"{src}.k_proj.weight").T
+        out[f"{dst}.v.w"] = t(f"{src}.v_proj.weight").T
+        out[f"{dst}.v.b"] = t(f"{src}.v_proj.bias")
+        out[f"{dst}.o.w"] = t(f"{src}.out_proj.weight").T
+        out[f"{dst}.o.b"] = t(f"{src}.out_proj.bias")
+
+    i = 0
+    while has(pre + f"encoder.layers.{i}.self_attn.q_proj.weight"):
+        p = pre + f"encoder.layers.{i}"
+        attn(f"enc.{i}.attn", f"{p}.self_attn")
+        out[f"enc.{i}.ln1.g"] = t(f"{p}.self_attn_layer_norm.weight")
+        out[f"enc.{i}.ln1.b"] = t(f"{p}.self_attn_layer_norm.bias")
+        out[f"enc.{i}.mlp.fc1.w"] = t(f"{p}.fc1.weight").T
+        out[f"enc.{i}.mlp.fc1.b"] = t(f"{p}.fc1.bias")
+        out[f"enc.{i}.mlp.fc2.w"] = t(f"{p}.fc2.weight").T
+        out[f"enc.{i}.mlp.fc2.b"] = t(f"{p}.fc2.bias")
+        out[f"enc.{i}.ln2.g"] = t(f"{p}.final_layer_norm.weight")
+        out[f"enc.{i}.ln2.b"] = t(f"{p}.final_layer_norm.bias")
+        i += 1
+    n_enc = i
+    out["enc.ln_post.g"] = t(pre + "encoder.layer_norm.weight")
+    out["enc.ln_post.b"] = t(pre + "encoder.layer_norm.bias")
+
+    out["dec.tok_emb"] = t(pre + "decoder.embed_tokens.weight")
+    out["dec.pos"] = t(pre + "decoder.embed_positions.weight")
+    i = 0
+    while has(pre + f"decoder.layers.{i}.self_attn.q_proj.weight"):
+        p = pre + f"decoder.layers.{i}"
+        attn(f"dec.{i}.attn", f"{p}.self_attn")
+        out[f"dec.{i}.ln1.g"] = t(f"{p}.self_attn_layer_norm.weight")
+        out[f"dec.{i}.ln1.b"] = t(f"{p}.self_attn_layer_norm.bias")
+        attn(f"dec.{i}.xattn", f"{p}.encoder_attn")
+        out[f"dec.{i}.xln.g"] = t(f"{p}.encoder_attn_layer_norm.weight")
+        out[f"dec.{i}.xln.b"] = t(f"{p}.encoder_attn_layer_norm.bias")
+        out[f"dec.{i}.mlp.fc1.w"] = t(f"{p}.fc1.weight").T
+        out[f"dec.{i}.mlp.fc1.b"] = t(f"{p}.fc1.bias")
+        out[f"dec.{i}.mlp.fc2.w"] = t(f"{p}.fc2.weight").T
+        out[f"dec.{i}.mlp.fc2.b"] = t(f"{p}.fc2.bias")
+        out[f"dec.{i}.ln2.g"] = t(f"{p}.final_layer_norm.weight")
+        out[f"dec.{i}.ln2.b"] = t(f"{p}.final_layer_norm.bias")
+        i += 1
+    n_dec = i
+    out["dec.ln.g"] = t(pre + "decoder.layer_norm.weight")
+    out["dec.ln.b"] = t(pre + "decoder.layer_norm.bias")
+
+    d_a = out["enc.conv1.b"].shape[0]
+    d_t = out["dec.tok_emb"].shape[1]
+    out["cfg"] = np.asarray([
+        out["enc.conv1.w"].shape[1], out["enc.pos"].shape[0], d_a,
+        cfg["n_audio_head"], n_enc, out["dec.pos"].shape[0], d_t,
+        cfg["n_text_head"], n_dec, out["dec.tok_emb"].shape[0],
+        cfg["sot"], cfg["eot"], cfg.get("no_ts", -1),
+        cfg.get("lang_en", -1), cfg.get("task_transcribe", -1),
+    ], np.int64)
+    out["vocab"] = np.asarray(vocab)
+    return out
+
+
+def convert_whisper(model_dir_or_name: str, out_path: str) -> str:
+    """Local HF Whisper checkpoint -> models/voice.py .npz."""
+    from transformers import WhisperForConditionalGeneration, WhisperTokenizer
+    model = WhisperForConditionalGeneration.from_pretrained(model_dir_or_name)
+    tok = WhisperTokenizer.from_pretrained(model_dir_or_name)
+    vocab_map = tok.get_vocab()
+    vocab = [""] * (max(vocab_map.values()) + 1)
+    for s, i in vocab_map.items():
+        vocab[i] = s
+    c = model.config
+    multilingual = "<|en|>" in vocab_map
+    cfg = {
+        "n_audio_head": c.encoder_attention_heads,
+        "n_text_head": c.decoder_attention_heads,
+        "sot": vocab_map.get("<|startoftranscript|>"),
+        "eot": vocab_map.get("<|endoftext|>"),
+        "no_ts": vocab_map.get("<|notimestamps|>", -1),
+        "lang_en": vocab_map.get("<|en|>", -1) if multilingual else -1,
+        "task_transcribe": vocab_map.get("<|transcribe|>", -1)
+        if multilingual else -1,
+    }
+    arrays = convert_whisper_state_dict(model.state_dict(), vocab, cfg)
+    np.savez_compressed(out_path, **arrays)
+    return out_path
+
+
 def main():
+    if len(sys.argv) == 4 and sys.argv[1] == "--whisper":
+        print(f"wrote {convert_whisper(sys.argv[2], sys.argv[3])}")
+        return
     if len(sys.argv) != 3:
         print(__doc__)
         raise SystemExit(2)
