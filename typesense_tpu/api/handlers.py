@@ -457,11 +457,18 @@ def get_metrics(server, req):
 
 
 def post_snapshot(server, req):
+    """Checkpoint BOTH stores (docs+collections, and meta: keys/analytics/
+    limits) into <snapshot_path>/db and /meta so the snapshot restores a
+    complete node (raft_server.cpp:616-631 checkpoints every store)."""
+    import os
     path = req.query.get("snapshot_path", "")
     if not path:
         raise BadRequest("Parameter `snapshot_path` is required.")
     if server.manager.store is not None:
-        server.manager.store.create_check_point(path)
+        server.manager.store.create_check_point(os.path.join(path, "db"))
+    meta = getattr(server, "meta_store", None)
+    if meta is not None:
+        meta.create_check_point(os.path.join(path, "meta"))
     return 201, {"success": True}
 
 

@@ -38,6 +38,8 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
                         num_threads=min(cfg.thread_pool_size, 64))
     server.metrics = AppMetrics()
     server.skip_writes = cfg.skip_writes
+    server.meta_store = meta_store
+    server.config = cfg
     from typesense_tpu.analytics import AnalyticsManager
     from typesense_tpu.ratelimit import RateLimitManager
     server.analytics = AnalyticsManager(meta_store, manager)
