@@ -1,0 +1,122 @@
+"""Schema-change scenario family — reference
+collection_schema_change_test.cpp: add/drop/retype fields on a live
+collection, reindex semantics, persistence of the altered schema, errors."""
+
+import pytest
+
+from tests.test_http_api import call, make_server
+from typesense_tpu.core.store import Store
+
+
+@pytest.fixture()
+def env(tmp_path):
+    store = Store(str(tmp_path / "db"))
+    s = make_server(store)
+    call(s, "POST", "/collections", body={
+        "name": "items",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "price", "type": "int32"}]})
+    for i, (t, p, c) in enumerate([("red shoes", 10, "a"),
+                                   ("blue shoes", 20, "b"),
+                                   ("green hat", 30, "a")]):
+        call(s, "POST", "/collections/items/documents",
+             body={"id": str(i), "title": t, "price": p, "color": c})
+    return s, store, tmp_path
+
+
+def search(s, q, **kw):
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": q, "query_by": "title", **kw})
+    return code, res
+
+
+def test_add_field_makes_existing_docs_searchable(env):
+    s, _, _ = env
+    # color was stored with the docs but not indexed; adding the field
+    # reindexes existing documents (alter ADD, schema_change_test)
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "type": "string", "facet": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "a", "query_by": "color",
+                            "facet_by": "color"})
+    assert code == 200 and res["found"] == 2
+    fc = {c["value"]: c["count"] for c in res["facet_counts"][0]["counts"]}
+    assert fc == {"a": 2}
+
+
+def test_drop_field_stops_search(env):
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "title", "drop": True}]})
+    assert code == 200
+    code, res = search(s, "shoes")
+    assert code == 404 and "title" in res["message"]
+
+
+def test_drop_unknown_field_errors(env):
+    s, _, _ = env
+    code, res = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "nope", "drop": True}]})
+    assert code == 400
+
+
+def test_retype_field_facet_toggle(env):
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "price", "type": "int32", "facet": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "*", "facet_by": "price"})
+    assert code == 200
+    counts = res["facet_counts"][0]["counts"]
+    assert sum(c["count"] for c in counts) == 3
+
+
+def test_alter_persists_across_restart(env):
+    s, store, tmp_path = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "type": "string", "facet": True}]})
+    assert code == 200
+    # new manager over the same store = process restart
+    s2 = make_server(store)
+    code, res = call(s2, "GET", "/collections/items")
+    assert code == 200
+    names = {f["name"] for f in res["fields"]}
+    assert "color" in names
+    code, res = call(s2, "GET", "/collections/items/documents/search",
+                     query={"q": "b", "query_by": "color"})
+    assert code == 200 and res["found"] == 1
+
+
+def test_new_docs_use_altered_schema(env):
+    s, _, _ = env
+    call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "type": "string"}]})
+    call(s, "POST", "/collections/items/documents",
+         body={"id": "9", "title": "purple scarf", "price": 5,
+               "color": "purple"})
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "purple", "query_by": "color"})
+    assert code == 200 and res["found"] == 1
+
+
+def test_sort_on_newly_added_numeric(env):
+    s, _, _ = env
+    call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "rank", "type": "int32", "optional": True}]})
+    for i, r in [("0", 3), ("1", 1), ("2", 2)]:
+        call(s, "PATCH", f"/collections/items/documents/{i}",
+             body={"rank": r})
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "*", "sort_by": "rank:asc"})
+    assert code == 200
+    ranks = [h["document"]["rank"] for h in res["hits"]]
+    assert ranks == sorted(ranks)
+
+
+def test_alter_requires_fields_key(env):
+    s, _, _ = env
+    code, res = call(s, "PATCH", "/collections/items",
+                     body={"name": "renamed"})
+    assert code == 400

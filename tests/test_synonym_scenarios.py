@@ -1,0 +1,125 @@
+"""Synonym scenario family — reference collection_synonyms_test.cpp:
+multi-way and one-way groups, multi-token synonyms, interaction with
+prefix/typo/highlight, set scoping, CRUD over HTTP."""
+
+import json
+
+import pytest
+
+from tests.test_http_api import call, make_server
+from typesense_tpu.core.store import Store
+
+
+@pytest.fixture()
+def srv(tmp_path):
+    s = make_server(Store(str(tmp_path / "db")))
+    call(s, "POST", "/collections", body={
+        "name": "products",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "points", "type": "int32"}],
+        "default_sorting_field": "points",
+        "metadata": {"synonym_sets": ["base"]}})
+    docs = [
+        {"id": "0", "title": "smart phone with great camera", "points": 30},
+        {"id": "1", "title": "samsung cellphone charger", "points": 20},
+        {"id": "2", "title": "apple ipad tablet", "points": 10},
+        {"id": "3", "title": "ocean blue shirt", "points": 5},
+        {"id": "4", "title": "sea green pants", "points": 4},
+    ]
+    for d in docs:
+        call(s, "POST", "/collections/products/documents", body=d)
+    call(s, "PUT", "/synonym_sets/base", body={"items": [
+        {"id": "ph", "synonyms": ["smart phone", "cellphone", "mobile"]},
+        {"id": "blue", "root": "blue", "synonyms": ["ocean", "azure"]},
+    ]})
+    return s
+
+
+def search(s, q, **kw):
+    query = {"q": q, "query_by": "title", "prefix": "false",
+             "num_typos": "0", **kw}
+    code, res = call(s, "GET", "/collections/products/documents/search",
+                     query=query)
+    assert code == 200, res
+    return res
+
+
+def test_multiway_synonym_expands_both_directions(srv):
+    # "cellphone" matches the doc that only says "smart phone" and vice versa
+    res = search(srv, "cellphone")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert ids == {"0", "1"}
+    res = search(srv, "smart phone")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert ids == {"0", "1"}
+
+
+def test_multiway_synonym_third_variant(srv):
+    res = search(srv, "mobile")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert ids == {"0", "1"}
+
+
+def test_oneway_root_expands_to_synonyms(srv):
+    # root "blue" expands to ocean/azure
+    res = search(srv, "blue")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert ids == {"3"}        # "ocean blue shirt" via direct + expansion
+
+
+def test_oneway_synonym_does_not_reverse(srv):
+    # one-way: searching "ocean" must NOT expand to "blue"
+    res = search(srv, "azure")
+    assert res["found"] == 0
+
+
+def test_synonym_inside_longer_query(srv):
+    res = search(srv, "cellphone camera")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert "0" in ids
+
+
+def test_enable_synonyms_false_disables(srv):
+    res = search(srv, "mobile", enable_synonyms="false")
+    assert res["found"] == 0
+
+
+def test_synonym_sets_param_overrides_collection(srv, tmp_path):
+    call(srv, "PUT", "/synonym_sets/alt", body={"items": [
+        {"id": "x", "synonyms": ["tablet", "slate"]}]})
+    res = search(srv, "slate", synonym_sets="alt")
+    assert {h["document"]["id"] for h in res["hits"]} == {"2"}
+    # base set alone doesn't know "slate"
+    res = search(srv, "slate")
+    assert res["found"] == 0
+
+
+def test_synonym_crud_over_http(srv):
+    code, res = call(srv, "GET", "/synonym_sets/base")
+    assert code == 200
+    assert {i["id"] for i in res["items"]} == {"ph", "blue"}
+    code, res = call(srv, "GET", "/synonym_sets")
+    assert code == 200 and len(res) >= 1
+    code, _ = call(srv, "DELETE", "/synonym_sets/base")
+    assert code == 200
+    code, _ = call(srv, "GET", "/synonym_sets/base")
+    assert code == 404
+
+
+def test_synonym_match_ranks_with_typo_penalty_off(srv):
+    # direct hits and synonym hits both rank; direct exact match first
+    res = search(srv, "smart phone camera")
+    assert res["hits"][0]["document"]["id"] == "0"
+
+
+def test_synonym_invalid_body_rejected(srv):
+    code, res = call(srv, "PUT", "/synonym_sets/bad",
+                     body={"items": [{"id": "a"}]})
+    assert code == 400
+
+
+def test_synonym_with_prefix_query(srv):
+    # last-token prefix still applies to expanded alternates
+    res = search(srv, "cellph", prefix="true")
+    ids = {h["document"]["id"] for h in res["hits"]}
+    assert "1" in ids

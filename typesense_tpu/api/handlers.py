@@ -40,6 +40,9 @@ def patch_update_collection(server, req):
     from typesense_tpu.schema.field import Field
     for fj in body["fields"]:
         if fj.get("drop"):
+            if fj["name"] not in coll.field_map:
+                raise BadRequest(f"Field `{fj['name']}` is not part of "
+                                 f"collection schema.")
             coll.fields = [f for f in coll.fields if f.name != fj["name"]]
             coll.field_map.pop(fj["name"], None)
         else:
@@ -47,6 +50,7 @@ def patch_update_collection(server, req):
             coll.fields = [x for x in coll.fields if x.name != f.name] + [f]
             coll.field_map[f.name] = f
     coll._dirty = True
+    server.manager.persist_collection_meta(coll)
     return body
 
 

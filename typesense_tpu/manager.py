@@ -112,6 +112,26 @@ class CollectionManager:
                 })
             return coll
 
+    def persist_collection_meta(self, coll: Collection):
+        """Re-write a collection's $CM meta after a schema alter so the
+        change survives restart (collection_manager.cpp update_collection)."""
+        if self.store is None:
+            return
+        meta = {
+            "name": coll.name,
+            "fields": [f.to_json() for f in coll.fields],
+            "default_sorting_field": coll.default_sorting_field,
+            "enable_nested_fields": coll.enable_nested_fields,
+            "symbols_to_index": coll.symbols_to_index,
+            "token_separators": coll.token_separators,
+            "metadata": coll.metadata,
+            "voice_query_model": coll.voice_query_model or None,
+            "created_at": coll.created_at,
+            "id": coll.collection_id,
+        }
+        self.store.insert(f"{COLLECTION_META_PREFIX}_{coll.name}",
+                          json.dumps(meta))
+
     def get_collection(self, name: str) -> Collection:
         with self._lock:
             resolved = self.aliases.get(name, name)
