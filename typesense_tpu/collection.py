@@ -548,6 +548,15 @@ class Collection:
                     raise BadRequest(f"Document referenced in vector query does not have "
                                      f"a vector field named `{vq.field_name}`.")
                 vq.values = vals
+            vf = self.field_map.get(vq.field_name)
+            if vf is None:
+                raise BadRequest(f"Field `{vq.field_name}` does not have a "
+                                 f"vector query index.")
+            # embed fields resolve num_dim lazily at first index build
+            if vf.num_dim and vq.values and len(vq.values) != vf.num_dim:
+                raise BadRequest(
+                    f"Query field `{vq.field_name}` must have "
+                    f"{vf.num_dim} dimensions.")
 
         if embed_fields and q != "*":
             # hybrid / semantic search: embed q with the field's model
