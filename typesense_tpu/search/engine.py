@@ -270,12 +270,10 @@ class IndexEngine:
         else:
             # the match pass is cheap per lane (plane gathers + cumsum),
             # so size its chunk for <= ~4 sequential trips
-            # single chunk for small drivers (sequential chunk rounds pay
-            # fixed per-op costs); beyond 4096 lanes amortization is done
-            need = max(drv_total // 4, 1) if drv_total > 4096 else drv_total
-            S = 256
-            while S < need and S < 65536:
-                S *= 4
+            # two tiers only (compile diversity costs ~40s/shape through
+            # the tunnel): small drivers in ONE 1024-lane chunk, larger in
+            # 16384-lane chunks (the cost model sends big drivers to dense2)
+            S = 1024 if drv_total <= 4096 else 16384
         n_chunks = (drv_total + S - 1) // S
         # scoring pass runs over ONLY the matched docs in (SB,) chunks; the
         # compacted buffer CAP must hold every possible survivor
@@ -373,8 +371,11 @@ class IndexEngine:
         n_sc = len(s_starts)
         n_big = len(b_starts)
         if mode == "dense2":
-            SCB = bucket4(n_sc, lo=64, hi=1 << 22) if n_sc else 0
-            SCBB = bucket4(n_big, lo=8, hi=1 << 16) if n_big else 0
+            # descriptor pads are FREE at run time (trip counts are dynamic:
+            # ceil(n_sc/G) and n_big), so use ONE wide tier per buffer —
+            # each extra (SCB, SCBB) combination is another ~40s compile
+            SCB = bucket4(n_sc, lo=1024, hi=1 << 22) if n_sc else 0
+            SCBB = bucket4(n_big, lo=64, hi=1 << 16) if n_big else 0
             HPF = max((len(v) for v in head_slots.values()), default=0)
             HPF = 1 << (HPF - 1).bit_length() if HPF > 1 else HPF
         else:
