@@ -12,8 +12,8 @@ concurrent streams (the reference baseline is concurrent: 104 QPS / 11 ms
 avg on 2.2M recipes with 4 vCPUs — BASELINE.md). vs_baseline compares
 against the published 11 ms average.
 
-Env knobs: BENCH_DOCS (default 300000), BENCH_QUERIES (default 300),
-BENCH_CONCURRENCY (default 8).
+Env knobs: BENCH_DOCS (default 2200000 — the reference baseline corpus
+scale), BENCH_QUERIES (default 300), BENCH_CONCURRENCY (default 16).
 """
 
 from __future__ import annotations
@@ -70,7 +70,7 @@ def synth_corpus(n: int, seed: int = 7):
 
 
 def main():
-    n_docs = int(os.environ.get("BENCH_DOCS", 300000))
+    n_docs = int(os.environ.get("BENCH_DOCS", 2200000))
     n_queries = int(os.environ.get("BENCH_QUERIES", 300))
     conc = int(os.environ.get("BENCH_CONCURRENCY", 16))
 
@@ -261,15 +261,57 @@ def run_extra_configs(coll, queries, rng, conc):
         hc.next_seq_id += 1
     hc._dirty = True
     hq = [(q, "v:([" + ",".join(f"{x:.5f}" for x in qv[i % len(qv)]) +
-           "], k: 10, alpha: 0.3)") for i, q in enumerate(sub[:32])]
+           "], k: 10, alpha: 0.3)") for i, q in enumerate(sub[:64])]
     for q, v in hq:
         hc.search({"q": q, "query_by": "title", "vector_query": v,
                    "prefix": "false", "num_typos": "0", "per_page": 10})
+
+    def hworker(pairs):
+        for q, v in pairs:
+            hc.search({"q": q, "query_by": "title", "vector_query": v,
+                       "prefix": "false", "num_typos": "0", "per_page": 10})
+    from concurrent.futures import ThreadPoolExecutor
+    hchunks = [hq[i::8] for i in range(8)]
     t0 = time.time()
-    for q, v in hq:
-        hc.search({"q": q, "query_by": "title", "vector_query": v,
-                   "prefix": "false", "num_typos": "0", "per_page": 10})
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(hworker, hchunks))
     out["hybrid_qps"] = round(len(hq) / (time.time() - t0), 1)
+
+    # reference-comparable small corpus: 300K HN-comments-scale sub-run
+    if os.environ.get("BENCH_SMALL", "1") != "0" and len(coll.docs) > 400000:
+        small_docs, _ = synth_corpus(300000, seed=8)
+        sc = Collection("recipes300k", [
+            Field("title", "string"),
+            Field("ingredients", "string[]"),
+            Field("cuisine", "string", facet=True),
+            Field("popularity", "int32"),
+        ], default_sorting_field="popularity")
+        for d in small_docs:
+            sc.docs[sc.next_seq_id] = d
+            sc.id_to_seq[str(sc.next_seq_id)] = sc.next_seq_id
+            sc.next_seq_id += 1
+        sc._dirty = True
+        sc._ensure_index()
+        sq = []
+        srng = random.Random(43)
+        for _ in range(200):
+            words = srng.choice(small_docs)["title"].split()
+            sq.append(" ".join(srng.sample(words,
+                                           min(2, len(words)))))
+        base = {"query_by": "title,ingredients", "prefix": "false",
+                "num_typos": "0", "per_page": 10}
+        for q in sq:
+            sc.search({**base, "q": q})
+
+        def sworker(qs):
+            for q in qs:
+                sc.search({**base, "q": q})
+        schunks = [sq[i::conc] for i in range(conc)]
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            list(ex.map(sworker, schunks))
+        out["keyword_qps_300k"] = round(len(sq) / (time.time() - t0), 1)
+
     print(f"# extras={out}", file=sys.stderr)
     return out
 

@@ -623,7 +623,9 @@ class IndexEngine:
 
     @staticmethod
     def vector_search_collect(handles, k: int):
-        idxs, dists = handles
+        # ONE batched device_get — two sequential np.asarray readbacks pay
+        # the tunnel RTT twice (~28 ms each)
+        idxs, dists = jax.device_get(handles)
         idxs = np.asarray(idxs[0])
         dists = np.asarray(dists[0])
         valid = np.isfinite(dists)
