@@ -145,3 +145,108 @@ def test_dense_long_value_overflow_meta():
         [h["document"]["id"] for h in out["dense2"]["hits"]]
     assert [h["text_match"] for h in out["probe"]["hits"]] == \
         [h["text_match"] for h in out["dense2"]["hits"]]
+
+
+def test_dense_head_plane_path():
+    # a token frequent enough to be head-plane cached (row len above
+    # min(65536, max(N//8, 4096))) must rank identically through the
+    # prebuilt plane as through CSR probes
+    c = Collection("headc", [Field("t", "string"),
+                             Field("pts", "int32", sort=True)],
+                   default_sorting_field="pts")
+    rng = np.random.default_rng(3)
+    N = 12000
+    for i in range(N):
+        toks = ["common"] if i % 2 == 0 else []
+        toks += [f"w{int(x)}" for x in rng.integers(0, 40, 3)]
+        rng.shuffle(toks)
+        c.add({"id": str(i), "t": " ".join(toks),
+               "pts": int(rng.integers(0, 100))})
+    eng = c._ensure_index()
+    assert len(eng.names.get("head_map", {})) >= 1, "head planes not built"
+    out = {}
+    for mode in ("probe", "dense2"):
+        eng._force_mode = mode
+        out[mode] = c.search({"q": "common w1", "query_by": "t",
+                              "num_typos": "0", "prefix": "false",
+                              "per_page": 30})
+        eng._force_mode = None
+    assert out["probe"]["found"] == out["dense2"]["found"] > 0
+    assert [h["document"]["id"] for h in out["probe"]["hits"]] == \
+        [h["document"]["id"] for h in out["dense2"]["hits"]]
+    assert [h["text_match"] for h in out["probe"]["hits"]] == \
+        [h["text_match"] for h in out["dense2"]["hits"]]
+
+
+def test_dense_mass_tie_id_order():
+    # hundreds of docs with IDENTICAL text score and IDENTICAL sort column:
+    # the cascade must resolve the final tie by doc id descending, exactly
+    # like the probe path's topk_merge (topster.h:146-149)
+    c = Collection("ties", [Field("t", "string"),
+                            Field("pts", "int32", sort=True)],
+                   default_sorting_field="pts")
+    for i in range(500):
+        c.add({"id": str(i), "t": "alpha beta", "pts": 42})
+    eng = c._ensure_index()
+    out = {}
+    for mode in ("probe", "dense2"):
+        eng._force_mode = mode
+        out[mode] = c.search({"q": "alpha beta", "query_by": "t",
+                              "num_typos": "0", "prefix": "false",
+                              "per_page": 25, "page": 2})
+        eng._force_mode = None
+    ids_p = [h["document"]["id"] for h in out["probe"]["hits"]]
+    ids_d = [h["document"]["id"] for h in out["dense2"]["hits"]]
+    assert ids_p == ids_d
+    assert ids_d == [str(i) for i in range(474, 449, -1)]  # id desc, page 2
+
+
+def test_dense_big_magnitude_sort_column():
+    # ms-epoch timestamps exceed the 39-bit pack2 budget -> the general
+    # 4-stage cascade runs; ordering must still match probe exactly
+    c = Collection("bigcol", [Field("t", "string"),
+                              Field("ts", "int64", sort=True)])
+    rng = np.random.default_rng(4)
+    base = 1_700_000_000_000
+    for i in range(300):
+        c.add({"id": str(i), "t": "evt " + f"w{i % 7}",
+               "ts": base + int(rng.integers(0, 10**9))})
+    eng = c._ensure_index()
+    assert not eng._col_pack_ok.get("ts", True)
+    out = {}
+    for mode in ("probe", "dense2"):
+        eng._force_mode = mode
+        out[mode] = c.search({"q": "evt", "query_by": "t",
+                              "num_typos": "0", "prefix": "false",
+                              "sort_by": "ts:desc", "per_page": 40})
+        eng._force_mode = None
+    assert [h["document"]["id"] for h in out["probe"]["hits"]] == \
+        [h["document"]["id"] for h in out["dense2"]["hits"]]
+    got = [h["document"]["ts"] for h in out["dense2"]["hits"]]
+    assert got == sorted(got, reverse=True)
+
+
+def test_dense_five_occurrence_proximity_exact():
+    # >3 occurrences of a token: the A/B meta holds only the first three
+    # positions, but the true best window uses the FIFTH -> the heavy
+    # rescore must recover the exact proximity score
+    c = Collection("prox5", [Field("t", "string"),
+                             Field("pts", "int32", sort=True)],
+                   default_sorting_field="pts")
+    # doc 0: best window is x(8) y(9) -> dist 1, but first three x are 0,2,4
+    c.add({"id": "0", "t": "x f1 x f2 x f3 f4 f5 x y", "pts": 1})
+    # doc 1: x once at distance 4 from y
+    c.add({"id": "1", "t": "x f1 f2 f3 y", "pts": 1})
+    eng = c._ensure_index()
+    out = {}
+    for mode in ("probe", "dense2"):
+        eng._force_mode = mode
+        out[mode] = c.search({"q": "x y", "query_by": "t", "num_typos": "0",
+                              "prefix": "false"})
+        eng._force_mode = None
+    assert [h["document"]["id"] for h in out["probe"]["hits"]] == \
+        [h["document"]["id"] for h in out["dense2"]["hits"]]
+    assert [h["text_match"] for h in out["probe"]["hits"]] == \
+        [h["text_match"] for h in out["dense2"]["hits"]]
+    # doc 0's adjacent window must beat doc 1's distance-4 window
+    assert out["dense2"]["hits"][0]["document"]["id"] == "0"
