@@ -120,7 +120,11 @@ class IndexEngine:
         self._zero_col = jax.device_put(jnp.zeros(max(self.N, 1), jnp.int64))
         self._live = jax.device_put(jnp.asarray(segment.live))
         self._live_count = int(segment.live.sum())
-        self._iters = max(int(np.ceil(np.log2(max(len(segment.post_doc_ids), 2)))) + 1, 2)
+        # binary-search depth: rows are searched within [row_start, row_end),
+        # so convergence needs log2(LONGEST ROW), not log2(total postings) —
+        # ~20% fewer gathers in the probe/heavy passes at 2.2M docs
+        max_row = int(np.diff(segment.post_offsets).max(initial=1))
+        self._iters = max(int(np.ceil(np.log2(max(max_row, 2)))) + 1, 2)
 
         # facet device metadata
         self._facet_caps = {}
