@@ -1271,6 +1271,10 @@ class Collection:
                 if not f.sort:
                     raise BadRequest(f"Field `{name}` is not a sortable type or `sort` has not "
                                      f"been enabled in the schema.")
+                if args and "func" in args:
+                    slots.append(self._decay_sort_slot(engine, name, args,
+                                                       sign))
+                    continue
                 if args and "missing_values" in args:
                     policy = args.split(":", 1)[1].strip().lower()
                     if policy not in ("first", "last"):
@@ -1322,6 +1326,49 @@ class Collection:
                                      precision_m, sign) if engine is not None else None
         return SortSpec(kernels.SLOT_COLUMN, sign, custom_col=col,
                         geo_field=name, geo_target=(coords[0], coords[1]))
+
+    def _decay_sort_slot(self, engine, name: str, args: str,
+                         sign: int) -> SortSpec:
+        """Decay-function sort `field(func: gauss|exp|linear|diff,
+        origin: X, scale: S[, offset: O][, decay: D]):order`
+        (collection.cpp:1515-1550 parsing; Index::compute_decay_function_
+        score, index.cpp:8925-8957) — computed as one fused device kernel
+        over the sort column."""
+        from typesense_tpu.search.filters import _split_top_level
+        params = {}
+        for p in _split_top_level(args, ","):
+            if ":" not in p:
+                raise BadRequest(f"Bad syntax for sorting field `{name}`")
+            k, v = p.split(":", 1)
+            params[k.strip().lower()] = v.strip()
+        func = params.get("func", "")
+        if func not in ("gauss", "exp", "linear", "diff"):
+            raise BadRequest(f"Bad syntax. Not a valid decay function key "
+                             f"`{func}`.")
+        try:
+            origin = int(params["origin"])
+        except (KeyError, ValueError):
+            raise BadRequest("sort_by: origin param should be integer.")
+        offset = int(params.get("offset", 0))
+        scale = 1
+        if func != "diff":
+            try:
+                scale = int(params["scale"])
+            except (KeyError, ValueError):
+                raise BadRequest("sort_by: scale param should be non-zero "
+                                 "integer.")
+            if scale == 0:
+                raise BadRequest("sort_by: scale param should be non-zero "
+                                 "integer.")
+        decay = float(params.get("decay", 0.5))
+        if not 0.0 <= decay <= 1.0:
+            raise BadRequest("sort_by: decay param should be float in range "
+                             "[0.0, 1.0].")
+        col = None
+        if engine is not None:
+            col = engine.decay_sort_column(name, func, origin, scale, offset,
+                                           decay, sign)
+        return SortSpec(kernels.SLOT_COLUMN, sign, custom_col=col)
 
     def _eval_sort_slot(self, engine, args: str, sign: int) -> SortSpec:
         """`_eval(filter)` -> 1/0; `_eval([(f1):3, (f2):1])` -> weighted sum

@@ -694,6 +694,48 @@ class IndexEngine:
         self._sort_cols[key] = dev
         return dev
 
+    def decay_sort_column(self, name: str, func: str, origin: int,
+                          scale: int, offset: int, decay: float,
+                          sign: int = 1):
+        """Decay-function sort keys (Index::compute_decay_function_score,
+        index.cpp:8925-8957): distance from origin (minus offset, clamped at
+        0) through gauss/exp/linear/diff, as order-preserving int64 keys.
+        Missing docs always sort last for the given order sign."""
+        col = self.seg.num_columns.get(name)
+        if col is None:
+            raise BadRequest(f"Could not find a field named `{name}` in the "
+                             f"schema for sorting.")
+        key = (name, func, origin, scale, offset, decay, sign)
+        cached = self._sort_cols.get(key)
+        if cached is not None:
+            return cached
+        if col.dtype == np.float32:
+            missing = np.isnan(col)
+            vals = np.where(missing, 0.0, col).astype(np.float64)
+        else:
+            missing = col == np.iinfo(np.int64).min
+            vals = np.where(missing, 0, col).astype(np.float64)
+        d = np.maximum(np.abs(float(origin) - vals) - float(offset), 0.0)
+        if func == "gauss":
+            # reference computes exp(d^2 / (2*var)) with var < 0 (log decay)
+            variance = (float(scale) ** 2) / (2.0 * np.log(max(decay, 1e-9)))
+            res = np.exp(np.square(d) / (2.0 * variance))
+        elif func == "exp":
+            variance = np.log(max(decay, 1e-9)) / float(scale)
+            res = np.exp(variance * d)
+        elif func == "linear":
+            variance = float(scale) / (1.0 - decay) if decay < 1.0 else 1e18
+            res = np.maximum(0.0, (variance - d) / variance)
+        else:  # diff
+            res = d
+        keys = float32_sortable_int64(res.astype(np.float32))
+        # kernel multiplies by sign; pre-multiplying the sentinel keeps
+        # missing docs last under BOTH orders (same trick as geo sort)
+        keys = np.where(missing, np.int64(-(2**61)) * sign, keys)
+        dev = jax.device_put(jnp.asarray(keys, jnp.int64))
+        self._sort_cols[key] = dev
+        return dev
+
     def rand_column(self, seed: int):
         """_rand(seed) sort: a seeded pseudo-random key per doc id.
 
