@@ -500,6 +500,13 @@ class Collection:
                 len(_dm_parts) > 2:
             raise BadRequest("Invalid format for drop tokens mode.")
         num_typos = [int(t) for t in _as_list(params.get("num_typos"))] or [2]
+        typo_opts = (
+            int(params.get("min_len_1typo", 4)),
+            int(params.get("min_len_2typo", 7)),
+            _as_bool(params.get("enable_typos_for_numerical_tokens"), True),
+            _as_bool(params.get("enable_typos_for_alpha_numerical_tokens"),
+                     True),
+        )
         prefixes = [_as_bool(p) for p in _as_list(params.get("prefix"))] or [True]
         max_candidates = int(params.get("max_candidates", 0) or 0)
         if _as_bool(params.get("exhaustive_search")) and not max_candidates:
@@ -612,6 +619,18 @@ class Collection:
         # --- curation rules (override_t semantics) ---
         pinned_ids: list[str] = []
         hidden_ids: set[str] = set()
+        # explicit per-request pins/hides (collection.cpp:877-878
+        # pinned_hits `id:pos,...` / hidden_hits `id,...`)
+        for part in _as_list(params.get("pinned_hits")):
+            if ":" not in part:
+                raise BadRequest("Parameter `pinned_hits` is malformed.")
+            did, pos = part.rsplit(":", 1)
+            try:
+                pinned_ids.append((int(pos), did.strip()))
+            except ValueError:
+                raise BadRequest("Parameter `pinned_hits` is malformed.")
+        for did in _as_list(params.get("hidden_hits")):
+            hidden_ids.add(did.strip())
         if self.manager is not None and _as_bool(params.get("enable_overrides"), True):
             cur_sets = _as_list(params.get("curation_sets")) or \
                 _as_list(self.metadata.get("curation_sets"))
@@ -675,7 +694,7 @@ class Collection:
                 max_candidates, drop_tokens_threshold,
                 prioritize_exact, prioritize_num_fields, typo_thresh,
                 phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
-                drop_tokens_mode=drop_tokens_mode)
+                drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts)
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -688,7 +707,8 @@ class Collection:
                             eng, alt, search_fields, weights, slots,
                             fm, dispatch_facet_fields, k, num_typos, prefixes,
                             max_candidates, 1, prioritize_exact,
-                            prioritize_num_fields, typo_thresh))
+                            prioritize_num_fields, typo_thresh,
+                            typo_opts=typo_opts))
                     raw_e = self._merge_results(merged)
             # infix search (do_infix_search, index.cpp:6144): substring
             # term matches, `always` or `fallback` (only when 0 results)
@@ -731,9 +751,22 @@ class Collection:
             vec_dist_map.update(vdm_e)
         raw = raws[0] if len(raws) == 1 else self._merge_segments(raws)
 
-        # apply curation pins/hides
+        # apply curation pins/hides; filter_curated_hits=true also applies
+        # filter_by to pinned docs (collection.h filter_curated_hits)
         if pinned_ids or hidden_ids:
-            raw = self._apply_curation(raw, pinned_ids, hidden_ids)
+            eff_pinned = pinned_ids
+            if pinned_ids and filter_by and \
+                    _as_bool(params.get("filter_curated_hits")):
+                fm0 = self._filter_mask_for(engines[0], filter_by)
+                n0 = engines[0].N
+                seqs = [self.id_to_seq.get(d, -1) for d in pinned_ids]
+                import jax.numpy as jnp
+                ok = np.asarray(fm0[jnp.asarray(
+                    [min(max(s, 0), n0 - 1) for s in seqs], jnp.int32)])
+                # docs outside segment 0 (delta writes) pass conservatively
+                eff_pinned = [d for d, s, o in zip(pinned_ids, seqs, ok)
+                              if s >= 0 and (s >= n0 or bool(o))]
+            raw = self._apply_curation(raw, eff_pinned, hidden_ids)
 
         # diversity (MMR) reranking (diversity.h:14-39, applied in
         # populate_result_kvs): lambda trades relevance vs. pairwise
@@ -809,6 +842,7 @@ class Collection:
                                   phrase_pairs: tuple = (),
                                   exclude_flags: tuple = (),
                                   drop_tokens_mode: str = "right_to_left",
+                                  typo_opts: tuple = (4, 7, True, True),
                                   ) -> RawResult:
         """Run keyword search; drop tokens while below threshold
         (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
@@ -857,13 +891,16 @@ class Collection:
             # Each stage's candidate set is a superset of the previous one,
             # so the latest dispatch supersedes earlier ones.
             budgets = [0 if exact_only[i]
-                       else bounded_typo_cost(max_typos, len(tokens[i]))
+                       else bounded_typo_cost(
+                           max_typos, len(tokens[i]), typo_opts[0],
+                           typo_opts[1], tokens[i], typo_opts[2],
+                           typo_opts[3])
                        for i in range(len(tokens))]
             mask = [False] * len(tokens)
             cands = token_candidate_sets(
                 engine, tokens, search_fields, num_typos, prefixes,
                 max_candidates, typo_tokens_threshold, exact_only=exact_only,
-                memo=cand_memo, typo_tokens=mask)
+                memo=cand_memo, typo_tokens=mask, typo_opts=typo_opts)
             raw = dispatch(cands)
             if raw is None or raw.found < threshold:
                 mask2 = [budgets[i] > 0 and len(cands[i][0]) == 0
@@ -873,7 +910,7 @@ class Collection:
                         engine, tokens, search_fields, num_typos, prefixes,
                         max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
-                        typo_tokens=mask2)
+                        typo_tokens=mask2, typo_opts=typo_opts)
                     raw = dispatch(cands) or raw
                     mask = mask2
             if raw is None or raw.found < threshold:
@@ -883,7 +920,7 @@ class Collection:
                         engine, tokens, search_fields, num_typos, prefixes,
                         max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
-                        typo_tokens=mask3)
+                        typo_tokens=mask3, typo_opts=typo_opts)
                     raw = dispatch(cands) or raw
             raw = raw if raw is not None else empty_raw
             results.append(raw)

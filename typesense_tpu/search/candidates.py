@@ -23,11 +23,21 @@ TYPO_POSTINGS_BUDGET = 100_000  # max postings a typo expansion may add per toke
 EXHAUSTIVE_MAX_CANDIDATES = 10000
 
 
-def bounded_typo_cost(max_cost: int, token_len: int) -> int:
-    """Index::get_bounded_typo_cost — short tokens get fewer typos."""
-    if token_len < 3:
+def bounded_typo_cost(max_cost: int, token_len: int,
+                      min_len_1typo: int = 4, min_len_2typo: int = 7,
+                      token: str = "",
+                      enable_typos_for_numerical_tokens: bool = True,
+                      enable_typos_for_alpha_numerical_tokens: bool = True,
+                      ) -> int:
+    """Index::get_bounded_typo_cost (index.cpp): short tokens get fewer
+    typos; numeric / non-alphanumeric tokens can opt out of typos."""
+    if not enable_typos_for_alpha_numerical_tokens and             any(not ch.isalnum() for ch in token):
         return 0
-    if token_len < 7:
+    if not enable_typos_for_numerical_tokens and token.isdigit() and token:
+        return 0
+    if token_len < min_len_1typo:
+        return 0
+    if token_len < min_len_2typo:
         return min(max_cost, 1)
     return min(max_cost, 2)
 
@@ -66,6 +76,7 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                          exact_only: list[bool] | None = None,
                          memo: dict | None = None,
                          typo_tokens: list[bool] | None = None,
+                         typo_opts: tuple = (4, 7, True, True),
                          ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per query token -> (term_ids, typo_costs). The last token is treated
     as a prefix when `prefix` is enabled (instant-search semantics).
@@ -114,7 +125,9 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                     costs.append(int(pc))
                     kinds.append(1)
 
-        cost_budget = bounded_typo_cost(max_typos, len(tok))
+        cost_budget = bounded_typo_cost(max_typos, len(tok), typo_opts[0],
+                                        typo_opts[1], tok, typo_opts[2],
+                                        typo_opts[3])
         if cost_budget > 0 and typo_ok:
             fuzzy_req.append((ti, tok, cost_budget, is_last and prefix_on))
         partial.append((ids, costs, kinds))
