@@ -500,6 +500,12 @@ class Collection:
                 len(_dm_parts) > 2:
             raise BadRequest("Invalid format for drop tokens mode.")
         num_typos = [int(t) for t in _as_list(params.get("num_typos"))] or [2]
+        mt_name = str(params.get("text_match_type", "max_score"))
+        if mt_name not in ("max_score", "max_weight", "sum_score"):
+            raise BadRequest("text_match_type must be max_score, max_weight "
+                             "or sum_score.")
+        match_type = {"max_score": 0, "max_weight": 1,
+                      "sum_score": 2}[mt_name]
         typo_opts = (
             int(params.get("min_len_1typo", 4)),
             int(params.get("min_len_2typo", 7)),
@@ -694,7 +700,8 @@ class Collection:
                 max_candidates, drop_tokens_threshold,
                 prioritize_exact, prioritize_num_fields, typo_thresh,
                 phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
-                drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts)
+                drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts,
+                match_type=match_type)
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -843,6 +850,7 @@ class Collection:
                                   exclude_flags: tuple = (),
                                   drop_tokens_mode: str = "right_to_left",
                                   typo_opts: tuple = (4, 7, True, True),
+                                  match_type: int = 0,
                                   ) -> RawResult:
         """Run keyword search; drop tokens while below threshold
         (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
@@ -882,7 +890,7 @@ class Collection:
                     phrase_pairs=phrase_pairs,
                     exclude_flags=tuple(excludes[:len(tokens)]),
                     field_num_typos=num_typos,
-                    field_prefixes=prefixes)
+                    field_prefixes=prefixes, match_type=match_type)
 
             # staged typo expansion, mirroring the reference's ascending
             # cost-combination loop (index.cpp:4860-4870) gated by

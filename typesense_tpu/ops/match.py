@@ -184,10 +184,19 @@ def pack_field_score(words_present, unique_words, total_cost, distance,
 
 
 def pack_aggregated_score(query_len, best_field_score, best_field_weight,
-                          num_matching_fields):
-    """index.cpp:5355-5371 MAX_SCORE layout:
-    [sign | tokens_matched(4) | max_field_score(48) | max_field_weight(8) | num_fields(3)]."""
+                          num_matching_fields, match_type: int = 0):
+    """index.cpp:5344-5380 aggregated layouts.
+    MAX_SCORE  [sign | tokens(4) | max_field_score(48) | weight(8) | nmf(3)]
+    MAX_WEIGHT [sign | tokens(4) | weight(8) | max_field_score(48) | nmf(3)]
+    SUM_SCORE  [sign | tokens(4) | sum_weighted_score(56) | nmf(3)]"""
     ql = jnp.clip(query_len, 0, 15).astype(jnp.int64)
-    w = jnp.clip(best_field_weight, 0, 127).astype(jnp.int64)
     nmf = jnp.clip(num_matching_fields, 0, 7).astype(jnp.int64)
+    if match_type == 1:    # max_weight
+        w = jnp.clip(best_field_weight, 0, 127).astype(jnp.int64)
+        return (ql << 59) | (w << 51) | \
+            (best_field_score.astype(jnp.int64) << 3) | nmf
+    if match_type == 2:    # sum_score (best_field_score = weighted sum)
+        s = jnp.clip(best_field_score.astype(jnp.int64), 0, (1 << 56) - 1)
+        return (ql << 59) | (s << 3) | nmf
+    w = jnp.clip(best_field_weight, 0, 127).astype(jnp.int64)
     return (ql << 59) | (best_field_score.astype(jnp.int64) << 11) | (w << 3) | nmf

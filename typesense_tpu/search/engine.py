@@ -446,7 +446,8 @@ class IndexEngine:
                        phrase_pairs: tuple = (),
                        exclude_flags: tuple = (),
                        field_num_typos: list[int] | None = None,
-                       field_prefixes: list[bool] | None = None) -> RawResult:
+                       field_prefixes: list[bool] | None = None,
+                       match_type: int = 0) -> RawResult:
         """Single-device keyword search: plan on host, dispatch ONE kernel."""
         facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
         # dense2 counts facets by fused one-hot over single-value columns;
@@ -480,7 +481,7 @@ class IndexEngine:
                 Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags))
+                tuple(phrase_pairs), tuple(exclude_flags), match_type)
         elif mode == "dense2":
             pack2 = self._pack2_ok(sort_slots, slot_kinds, slot_signs)
             f_single = tuple(self.dev.facet_single[self._facet_idx[f]]
@@ -490,7 +491,7 @@ class IndexEngine:
                 K, 512, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_sizes,
-                tuple(exclude_flags), self.N, pack2)
+                tuple(exclude_flags), self.N, pack2, match_type)
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
                        self.dev.field_token_counts, self.dev.head_a,
@@ -507,7 +508,7 @@ class IndexEngine:
                 K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags))
+                tuple(phrase_pairs), tuple(exclude_flags), match_type)
 
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
                    self.dev.positions, self.dev.field_token_counts, fmask,

@@ -31,8 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from typesense_tpu.ops.match import (
-    match_components, match_components_p2, pack_field_score,
-    pack_aggregated_score,
+    match_components, pack_field_score, pack_aggregated_score,
 )
 from typesense_tpu.ops.postings import lower_bound
 
@@ -112,7 +111,8 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
                      facet_offs, facet_vals,
                      Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                      prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                     phrase_pairs, gid=None, last_flag_mask=1):
+                     phrase_pairs, gid=None, last_flag_mask=1,
+                     match_type: int = 0):
     """Shared per-chunk scoring tail: proximity Match + packed text score,
     3-slot sort keys, running top-K merge, facet scatter-add (used by both
     the scatter-plane and probe kernels). gid: GLOBAL doc ids for sort keys
@@ -189,16 +189,25 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
         fs = pack_field_score(wp, uw, tc, dist, exact,
                               jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32))
         fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
-        better = fs > best_score
-        best_weight = jnp.where(better, field_weights[f].astype(jnp.int64), best_weight)
-        best_score = jnp.maximum(best_score, fs)
+        w64 = field_weights[f].astype(jnp.int64)
+        if match_type == 1:      # max_weight: first matching higher-weight field wins
+            better = (fs > 0) & (w64 > best_weight)
+            best_score = jnp.where(better, fs, best_score)
+            best_weight = jnp.where(better, w64, best_weight)
+        elif match_type == 2:    # sum_score: weighted sum across fields
+            best_score = best_score + w64 * fs
+        else:
+            better = fs > best_score
+            best_weight = jnp.where(better, w64, best_weight)
+            best_score = jnp.maximum(best_score, fs)
 
     if prioritize_num_fields:
         nmf = jnp.sum(jnp.any(tok_field, axis=0), axis=0).astype(jnp.int32)
     else:
         nmf = jnp.zeros(S, jnp.int32)
     ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
-    text_match = pack_aggregated_score(ql, best_score, best_weight, nmf)
+    text_match = pack_aggregated_score(ql, best_score, best_weight, nmf,
+                                       match_type)
 
     if phrase_pairs:
         m = m & phrase_ok
@@ -243,7 +252,8 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
                          slot_signs: tuple, prioritize_exact: bool,
                          prioritize_num_fields: bool, n_facets: int,
                          facet_caps: tuple, facet_sizes: tuple,
-                         phrase_pairs: tuple = (), exclude_flags: tuple = ()):
+                         phrase_pairs: tuple = (), exclude_flags: tuple = (),
+                         match_type: int = 0):
     """Compile-cached keyword search kernel factory — scatter + dynamic scan.
 
     Two phases inside ONE XLA program, both with DYNAMIC trip counts so a
@@ -286,7 +296,8 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
             facet_sizes, phrase_pairs, exclude_flags,
             post_doc_ids, post_flags, pos_offsets, positions,
             field_token_counts, filter_mask, qbuf,
-            sort_col0, sort_col1, sort_col2, facet_offs, facet_vals)
+            sort_col0, sort_col1, sort_col2, facet_offs, facet_vals,
+            match_type=match_type)
 
     return kernel
 
@@ -300,7 +311,8 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
                         qbuf,                           # packed per-query scalars
                         sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
                         facet_offs, facet_vals,         # tuples of facet CSR arrays
-                        doc_base=None):  # (N,) local->GLOBAL doc id (sharded)
+                        doc_base=None,   # (N,) local->GLOBAL doc id (sharded)
+                        match_type: int = 0):
     """Traceable scatter+scan program shared by the single-chip jit wrapper
     (build_keyword_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per shard and merges the packed
@@ -448,7 +460,7 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
                 facet_offs, facet_vals,
                 Q, F, SB, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                phrase_pairs, gid=gid)
+                phrase_pairs, gid=gid, match_type=match_type)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
@@ -545,7 +557,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                         iters: int, slot_kinds: tuple, slot_signs: tuple,
                         prioritize_exact: bool, prioritize_num_fields: bool,
                         n_facets: int, facet_sizes: tuple,
-                        exclude_flags: tuple, N: int, pack2: bool):
+                        exclude_flags: tuple, N: int, pack2: bool,
+                        match_type: int = 0):
     """Dense whole-corpus keyword kernel — the TPU-native path for
     high-volume queries (common tokens, large intersections).
 
@@ -792,11 +805,17 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                                       jnp.zeros(N, jnp.int32),
                                       jnp.ones(N, jnp.int32))
                 fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
-                better = fs > best_score
-                best_weight = jnp.where(better,
-                                        field_weights[f].astype(jnp.int64),
-                                        best_weight)
-                best_score = jnp.maximum(best_score, fs)
+                w64 = field_weights[f].astype(jnp.int64)
+                if match_type == 1:
+                    better = (fs > 0) & (w64 > best_weight)
+                    best_score = jnp.where(better, fs, best_score)
+                    best_weight = jnp.where(better, w64, best_weight)
+                elif match_type == 2:
+                    best_score = best_score + w64 * fs
+                else:
+                    better = fs > best_score
+                    best_weight = jnp.where(better, w64, best_weight)
+                    best_score = jnp.maximum(best_score, fs)
             if prioritize_num_fields:
                 nmf = jnp.sum(jnp.any(inc_member, axis=0),
                               axis=0).astype(jnp.int32)
@@ -804,7 +823,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 nmf = jnp.zeros(N, jnp.int32)
             ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
             text_match = pack_aggregated_score(ql, best_score, best_weight,
-                                               nmf)
+                                               nmf, match_type)
         else:
             text_match = jnp.zeros(N, jnp.int64)
 
@@ -939,7 +958,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                     Q, F, HCT, K, P, slot_kinds, slot_signs,
                     prioritize_exact,
                     prioritize_num_fields, 0, (), (), (), gid=gidh,
-                    last_flag_mask=1 << 25)  # post_meta is meta32
+                    last_flag_mask=1 << 25,  # post_meta is meta32
+                    match_type=match_type)
                 new_cursor = jnp.min(jnp.where(ok, selv, jnp.int32(2**31 - 1)))
                 return (h0, h1, h2, hid, new_cursor)
 
@@ -993,7 +1013,8 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
                        slot_signs: tuple, prioritize_exact: bool,
                        prioritize_num_fields: bool, n_facets: int,
                        facet_caps: tuple, facet_sizes: tuple,
-                       phrase_pairs: tuple = (), exclude_flags: tuple = ()):
+                       phrase_pairs: tuple = (), exclude_flags: tuple = (),
+                       match_type: int = 0):
     """Probe-path kernel for SMALL drivers: per-driver-element binary-search
     membership (the or_iterator-style intersect, or_iterator.h:61-182). For a
     rare driver token the probe count (drv_len * QFC * log P random gathers)
@@ -1082,7 +1103,7 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
                 facet_offs, facet_vals,
                 Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                phrase_pairs)
+                phrase_pairs, match_type=match_type)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
