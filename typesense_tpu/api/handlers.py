@@ -248,6 +248,127 @@ def del_remove_documents(server, req):
     return {"num_deleted": len(doomed)}
 
 
+def patch_update_documents(server, req):
+    """Update by filter (core_api.cpp patch_update_documents): apply the
+    body's fields to every doc matching filter_by; {"num_updated": N}."""
+    coll = server.manager.get_collection(req.params["collection"])
+    filter_by = req.query.get("filter_by", "")
+    if not filter_by:
+        raise BadRequest("Parameter `filter_by` must be provided.")
+    patch = req.json()
+    if not isinstance(patch, dict) or not patch:
+        raise BadRequest("The document body must be a non-empty object.")
+    ids: list[str] = []
+    page = 1
+    while True:
+        res = coll.search({"q": "*", "filter_by": filter_by,
+                           "per_page": 250, "page": page})
+        ids.extend(h["document"]["id"] for h in res["hits"])
+        if len(ids) >= res["found"] or not res["hits"]:
+            break
+        page += 1
+    for did in ids:
+        body = dict(patch)
+        body["id"] = did
+        coll.add(body, operation="update")
+    return {"num_updated": len(ids)}
+
+
+def _item_set_manager(server, req):
+    kind = "synonym" if "/synonym_sets/" in req.path else "curation"
+    mgr = server.manager.synonyms if kind == "synonym" else \
+        server.manager.curations
+    return mgr, kind
+
+
+def get_set_items(server, req):
+    mgr, _ = _item_set_manager(server, req)
+    return mgr.get(req.params["name"])["items"]
+
+
+def get_set_item(server, req):
+    mgr, kind = _item_set_manager(server, req)
+    for it in mgr.get(req.params["name"])["items"]:
+        if it.get("id") == req.params["id"]:
+            return it
+    raise NotFound(f"Could not find a {kind} item with id "
+                   f"`{req.params['id']}`.")
+
+
+def put_set_item(server, req):
+    """Upsert ONE item inside a synonym/curation set
+    (typesense_server.cpp item-level routes)."""
+    mgr, _ = _item_set_manager(server, req)
+    body = req.json()
+    body["id"] = req.params["id"]
+    try:
+        existing = mgr.get(req.params["name"])["items"]
+    except NotFound:
+        existing = []
+    items = [it for it in existing if it.get("id") != body["id"]] + [body]
+    mgr.upsert(req.params["name"], {"items": items})
+    return body
+
+
+def del_set_item(server, req):
+    mgr, kind = _item_set_manager(server, req)
+    items = mgr.get(req.params["name"])["items"]
+    kept = [it for it in items if it.get("id") != req.params["id"]]
+    if len(kept) == len(items):
+        raise NotFound(f"Could not find a {kind} item with id "
+                       f"`{req.params['id']}`.")
+    mgr.upsert(req.params["name"], {"items": kept})
+    return {"id": req.params["id"]}
+
+
+def get_schema_changes(server, req):
+    """In-flight alter operations (core_api.cpp get_schema_changes); our
+    alters apply synchronously, so the list is always empty."""
+    return []
+
+
+def post_db_compact(server, req):
+    """Compact the doc store (POST /operations/db/compact)."""
+    if server.manager.store is not None:
+        server.manager.store.compact(wait=True)
+    meta = getattr(server, "meta_store", None)
+    if meta is not None:
+        meta.compact(wait=True)
+    return 201, {"success": True}
+
+
+def post_reset_peers(server, req):
+    """Force-refresh cluster membership from the nodes file
+    (raft_server reset_peers; --reset-peers-on-error)."""
+    repl = getattr(server, "replication", None)
+    if repl is not None:
+        repl.refresh_leader()
+    return 201, {"success": True}
+
+
+def get_health_with_rusage(server, req):
+    from typesense_tpu.utils.sysmetrics import system_metrics
+    h = get_health(server, req)
+    if isinstance(h, tuple):
+        code, body = h
+        return code, {**body, "system": system_metrics()}
+    return {**h, "system": system_metrics()}
+
+
+def post_aggregate_events(server, req):
+    """Bulk analytics event ingest (POST /analytics/aggregate_events)."""
+    analytics = getattr(server, "analytics", None)
+    if analytics is None:
+        raise BadRequest("Analytics is not enabled.")
+    body = req.json()
+    events = body if isinstance(body, list) else body.get("events", [])
+    n = 0
+    for ev in events:
+        analytics.add_event(ev)
+        n += 1
+    return 201, {"success": True, "num_imported": n}
+
+
 def post_multi_search(server, req):
     """core_api.cpp:855 post_multi_search: batched searches in one call."""
     body = req.json()

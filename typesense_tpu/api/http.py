@@ -97,6 +97,7 @@ class HttpServer:
         r("DELETE", "/collections/:collection/documents", h.del_remove_documents, "documents:delete")
         r("GET", "/collections/:collection/documents/:id", h.get_fetch_document, "documents:get")
         r("PATCH", "/collections/:collection/documents/:id", h.patch_update_document, "documents:update")
+        r("PATCH", "/collections/:collection/documents", h.patch_update_documents, "documents:update")
         r("DELETE", "/collections/:collection/documents/:id", h.del_remove_document, "documents:delete")
         # multi search
         r("POST", "/multi_search", h.post_multi_search, "documents:search")
@@ -125,20 +126,35 @@ class HttpServer:
         r("GET", "/synonym_sets/:name", h.get_synonym_set, "synonyms:get")
         r("PUT", "/synonym_sets/:name", h.put_upsert_synonym_set, "synonyms:upsert")
         r("DELETE", "/synonym_sets/:name", h.del_synonym_set, "synonyms:delete")
+        r("GET", "/synonym_sets/:name/items", h.get_set_items, "synonyms:get")
+        r("GET", "/synonym_sets/:name/items/:id", h.get_set_item, "synonyms:get")
+        r("PUT", "/synonym_sets/:name/items/:id", h.put_set_item, "synonyms:upsert")
+        r("DELETE", "/synonym_sets/:name/items/:id", h.del_set_item, "synonyms:delete")
         # curation sets
         r("GET", "/curation_sets", h.get_curation_sets, "curation:list")
         r("GET", "/curation_sets/:name", h.get_curation_set, "curation:get")
         r("PUT", "/curation_sets/:name", h.put_upsert_curation_set, "curation:upsert")
         r("DELETE", "/curation_sets/:name", h.del_curation_set, "curation:delete")
+        r("GET", "/curation_sets/:name/items", h.get_set_items, "curation:get")
+        r("GET", "/curation_sets/:name/items/:id", h.get_set_item, "curation:get")
+        r("PUT", "/curation_sets/:name/items/:id", h.put_set_item, "curation:upsert")
+        r("DELETE", "/curation_sets/:name/items/:id", h.del_set_item, "curation:delete")
         # meta / ops
         r("GET", "/health", h.get_health, "public")
         r("GET", "/debug", h.get_debug, "debug:list")
         r("GET", "/stats.json", h.get_stats, "stats:get")
         r("GET", "/metrics.json", h.get_metrics, "metrics:get")
         r("GET", "/status", h.get_status, "public")
+        r("GET", "/health_with_rusage", h.get_health_with_rusage, "public")
+        r("POST", "/health", h.get_health, "public")
+        r("GET", "/stats", h.get_stats, "stats:get")
+        r("GET", "/metrics", h.get_metrics, "metrics:get")
         r("POST", "/operations/snapshot", h.post_snapshot, "operations:snapshot")
         r("POST", "/operations/vote", h.post_vote, "operations:vote")
         r("POST", "/operations/cache/clear", h.post_cache_clear, "operations:cache_clear")
+        r("POST", "/operations/db/compact", h.post_db_compact, "operations:compact")
+        r("POST", "/operations/reset_peers", h.post_reset_peers, "operations:reset_peers")
+        r("GET", "/operations/schema_changes", h.get_schema_changes, "operations:get")
         r("POST", "/config", h.post_config, "config:update")
         r("GET", "/config", h.get_config, "config:get")
         r("POST", "/proxy", h.post_proxy, "proxy:create")
@@ -179,6 +195,7 @@ class HttpServer:
         r("PUT", "/analytics/rules/:name", h.put_upsert_analytics_rules, "analytics:upsert")
         r("DELETE", "/analytics/rules/:name", h.del_analytics_rules, "analytics:delete")
         r("POST", "/analytics/events", h.post_create_event, "analytics:events")
+        r("POST", "/analytics/aggregate_events", h.post_aggregate_events, "analytics:events")
         r("GET", "/analytics/events", h.get_analytics_events, "analytics:list")
         r("POST", "/analytics/flush", h.post_analytics_flush, "analytics:flush")
         r("GET", "/analytics/status", h.get_analytics_status, "analytics:get")
