@@ -506,6 +506,7 @@ class Collection:
                              "or sum_score.")
         match_type = {"max_score": 0, "max_weight": 1,
                       "sum_score": 2}[mt_name]
+        ptp = _as_bool(params.get("prioritize_token_position"), False)
         typo_opts = (
             int(params.get("min_len_1typo", 4)),
             int(params.get("min_len_2typo", 7)),
@@ -701,7 +702,7 @@ class Collection:
                 prioritize_exact, prioritize_num_fields, typo_thresh,
                 phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
                 drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts,
-                match_type=match_type)
+                match_type=match_type, prioritize_token_position=ptp)
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -851,6 +852,7 @@ class Collection:
                                   drop_tokens_mode: str = "right_to_left",
                                   typo_opts: tuple = (4, 7, True, True),
                                   match_type: int = 0,
+                                  prioritize_token_position: bool = False,
                                   ) -> RawResult:
         """Run keyword search; drop tokens while below threshold
         (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
@@ -890,7 +892,8 @@ class Collection:
                     phrase_pairs=phrase_pairs,
                     exclude_flags=tuple(excludes[:len(tokens)]),
                     field_num_typos=num_typos,
-                    field_prefixes=prefixes, match_type=match_type)
+                    field_prefixes=prefixes, match_type=match_type,
+                    prioritize_token_position=prioritize_token_position)
 
             # staged typo expansion, mirroring the reference's ascending
             # cost-combination loop (index.cpp:4860-4870) gated by

@@ -81,7 +81,7 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
     return words_present, distance, max_offset
 
 
-def match_components_p4(pos: list):
+def match_components_p4(pos: list, want_offset: bool = False):
     """Match for the dense kernel's few-positions-per-token meta planes:
     identical semantics to match_components, closed-form per anchor. `pos`
     is a list of Q lists of (B,) int32 position vectors (ascending per
@@ -122,7 +122,37 @@ def match_components_p4(pos: list):
     words_present = jnp.where(any_usable, best >> 24, 1).astype(jnp.int32)
     distance = jnp.where(any_usable, 4095 - ((best >> 12) & 0xFFF),
                          0).astype(jnp.int32)
-    return words_present, distance
+    if not want_offset:
+        return words_present, distance
+    # second pass: the winning anchor is unique (the key packs the anchor
+    # position), so max-over-alive next_t at that anchor recovers the
+    # Match.max_offset component (match_score.h window.front())
+    moff = jnp.zeros(B, jnp.int32)
+    for qa in range(Q):
+        for ka in range(P):
+            p = pos[qa][ka]
+            words = jnp.zeros(B, jnp.int32)
+            alive_cnt = jnp.zeros(B, jnp.int32)
+            maxwin = jnp.full(B, -1, jnp.int32)
+            maxalive = jnp.full(B, -1, jnp.int32)
+            for t in range(Q):
+                nxt = jnp.full(B, INF, jnp.int32)
+                for k in range(P - 1, -1, -1):
+                    nxt = jnp.where(pos[t][k] >= p, pos[t][k], nxt)
+                alive = nxt < INF
+                in_win = alive & ((nxt - p) <= WINDOW_SIZE)
+                words = words + in_win
+                alive_cnt = alive_cnt + alive
+                maxwin = jnp.maximum(maxwin, jnp.where(in_win, nxt, -1))
+                maxalive = jnp.maximum(maxalive, jnp.where(alive, nxt, -1))
+            disp = jnp.clip(maxwin - p, 0, 4095)
+            usable = (p < INF) & (alive_cnt >= 2)
+            key = jnp.where(usable,
+                            (words << 24) | ((4095 - disp) << 12) |
+                            (4095 - jnp.minimum(p, 4095)), -1)
+            moff = jnp.where((key == best) & any_usable,
+                             jnp.minimum(maxalive, 255), moff)
+    return words_present, distance, moff
 
 
 def match_components_p2(pos_a: list, pos_b: list):

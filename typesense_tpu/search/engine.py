@@ -447,7 +447,8 @@ class IndexEngine:
                        exclude_flags: tuple = (),
                        field_num_typos: list[int] | None = None,
                        field_prefixes: list[bool] | None = None,
-                       match_type: int = 0) -> RawResult:
+                       match_type: int = 0,
+                       prioritize_token_position: bool = False) -> RawResult:
         """Single-device keyword search: plan on host, dispatch ONE kernel."""
         facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
         # dense2 counts facets by fused one-hot over single-value columns;
@@ -481,7 +482,8 @@ class IndexEngine:
                 Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags), match_type)
+                tuple(phrase_pairs), tuple(exclude_flags), match_type,
+                prioritize_token_position)
         elif mode == "dense2":
             pack2 = self._pack2_ok(sort_slots, slot_kinds, slot_signs)
             f_single = tuple(self.dev.facet_single[self._facet_idx[f]]
@@ -491,7 +493,8 @@ class IndexEngine:
                 K, 512, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_sizes,
-                tuple(exclude_flags), self.N, pack2, match_type)
+                tuple(exclude_flags), self.N, pack2, match_type,
+                prioritize_token_position)
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
                        self.dev.field_token_counts, self.dev.head_a,
@@ -508,7 +511,8 @@ class IndexEngine:
                 K, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_caps, f_sizes,
-                tuple(phrase_pairs), tuple(exclude_flags), match_type)
+                tuple(phrase_pairs), tuple(exclude_flags), match_type,
+                prioritize_token_position)
 
         buf = kern(self.dev.post_doc_ids, self.dev.post_flags, self.dev.pos_offsets,
                    self.dev.positions, self.dev.field_token_counts, fmask,

@@ -112,7 +112,7 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
                      Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                      prioritize_num_fields, n_facets, facet_caps, facet_sizes,
                      phrase_pairs, gid=None, last_flag_mask=1,
-                     match_type: int = 0):
+                     match_type: int = 0, prioritize_token_position=False):
     """Shared per-chunk scoring tail: proximity Match + packed text score,
     3-slot sort keys, running top-K merge, facet scatter-add (used by both
     the scatter-plane and probe kernels). gid: GLOBAL doc ids for sort keys
@@ -145,6 +145,13 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
             # gather entirely, the chunk's HBM hot spot
             wp = jnp.ones(S, jnp.int32)
             dist = jnp.zeros(S, jnp.int32)
+            if prioritize_token_position:
+                # single-token offset = LAST occurrence position
+                # (posting_list_t::get_last_offset)
+                lidx = jnp.clip(base + cnt - 1, 0, positions.shape[0] - 1)
+                moff = jnp.min(jnp.where(
+                    mf, jnp.minimum(positions[lidx], 255), 255),
+                    axis=0).astype(jnp.int32)
         else:
             # positions (S, Q, P)
             pidx2 = base[:, :, None] + jnp.arange(P, dtype=jnp.int64)[None, None, :]
@@ -186,8 +193,12 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
         else:
             exact = jnp.zeros(S, jnp.int32)
 
+        if prioritize_token_position:
+            off_score = 255 - jnp.clip(moff, 0, 255)
+        else:
+            off_score = jnp.zeros(S, jnp.int32)
         fs = pack_field_score(wp, uw, tc, dist, exact,
-                              jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32))
+                              off_score, jnp.ones(S, jnp.int32))
         fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
         w64 = field_weights[f].astype(jnp.int64)
         if match_type == 1:      # max_weight: first matching higher-weight field wins
@@ -253,7 +264,8 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
                          prioritize_num_fields: bool, n_facets: int,
                          facet_caps: tuple, facet_sizes: tuple,
                          phrase_pairs: tuple = (), exclude_flags: tuple = (),
-                         match_type: int = 0):
+                         match_type: int = 0,
+                         prioritize_token_position: bool = False):
     """Compile-cached keyword search kernel factory — scatter + dynamic scan.
 
     Two phases inside ONE XLA program, both with DYNAMIC trip counts so a
@@ -297,7 +309,8 @@ def build_keyword_kernel(Q: int, F: int, C: int, SCB: int, SS: int, S: int,
             post_doc_ids, post_flags, pos_offsets, positions,
             field_token_counts, filter_mask, qbuf,
             sort_col0, sort_col1, sort_col2, facet_offs, facet_vals,
-            match_type=match_type)
+            match_type=match_type,
+            prioritize_token_position=prioritize_token_position)
 
     return kernel
 
@@ -312,7 +325,8 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
                         sort_col0, sort_col1, sort_col2,  # (N,) int64 columns (dummies ok)
                         facet_offs, facet_vals,         # tuples of facet CSR arrays
                         doc_base=None,   # (N,) local->GLOBAL doc id (sharded)
-                        match_type: int = 0):
+                        match_type: int = 0,
+                        prioritize_token_position: bool = False):
     """Traceable scatter+scan program shared by the single-chip jit wrapper
     (build_keyword_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per shard and merges the packed
@@ -460,7 +474,8 @@ def keyword_kernel_body(Q, F, C, SCB, SS, S, CAP, SB, K, P, iters, slot_kinds,
                 facet_offs, facet_vals,
                 Q, F, SB, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                phrase_pairs, gid=gid, match_type=match_type)
+                phrase_pairs, gid=gid, match_type=match_type,
+                prioritize_token_position=prioritize_token_position)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
@@ -558,7 +573,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                         prioritize_exact: bool, prioritize_num_fields: bool,
                         n_facets: int, facet_sizes: tuple,
                         exclude_flags: tuple, N: int, pack2: bool,
-                        match_type: int = 0):
+                        match_type: int = 0,
+                        prioritize_token_position: bool = False):
     """Dense whole-corpus keyword kernel — the TPU-native path for
     high-volume queries (common tokens, large intersections).
 
@@ -601,7 +617,10 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         (False,) * (Q - len(exclude_flags))
     has_scatter = SCB > 0 or SCBB > 0
     need_text = SLOT_TEXT in slot_kinds
-    need_heavy = need_text and Q > 1
+    ptp = prioritize_token_position
+    # token-position scoring reads offsets even for single-token queries,
+    # so heavy docs (meta can't hold all positions) must rescore then too
+    need_heavy = need_text and (Q > 1 or ptp)
     HSLOTS = Q * F * HPF
 
     @jax.jit
@@ -697,7 +716,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         # A carries cost/heavy/last/cnt/pos0 (everything membership and
         # ranking prefilters need); B carries pos1/pos2 and is only read
         # when proximity actually matters (multi-token text-scored query)
-        need_pos = need_text and Q > 1
+        need_pos = need_text and (Q > 1 or ptp)
         va_list, vb_list = [], []
         H_rows = head_a.shape[0]
         HW = head_a.shape[1]
@@ -772,9 +791,19 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 cntf = ((va[:, f] >> MA_CNT_SHIFT) & 3) + 1
                 uw = jnp.sum(mf, axis=0).astype(jnp.int32)
                 single = uw <= 1
+                moff = jnp.zeros(N, jnp.int32)
                 if Q == 1:
                     wp = jnp.ones(N, jnp.int32)
                     dist = jnp.zeros(N, jnp.int32)
+                    if ptp:
+                        # last occurrence from the meta positions
+                        # (cnt > 3 is heavy -> exact rescore)
+                        p0 = va[0, f] & 0xFFF
+                        p1 = vb[0, f] & 0xFFF
+                        p2 = (vb[0, f] >> 12) & 0xFFF
+                        last = jnp.where(cntf[0] > 2, p2,
+                                         jnp.where(cntf[0] > 1, p1, p0))
+                        moff = jnp.where(mf[0], jnp.minimum(last, 255), 0)
                 else:
                     pos = [[jnp.where(mf[q], va[q, f] & 0xFFF, MATCH_INF),
                             jnp.where(mf[q] & (cntf[q] > 1),
@@ -782,7 +811,11 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                             jnp.where(mf[q] & (cntf[q] > 2),
                                       (vb[q, f] >> 12) & 0xFFF, MATCH_INF)]
                            for q in range(Q)]
-                    wp, dist = match_components_p4(pos)
+                    if ptp:
+                        wp, dist, moff = match_components_p4(
+                            pos, want_offset=True)
+                    else:
+                        wp, dist = match_components_p4(pos)
                     wp = jnp.where(single, 1, wp)
                     dist = jnp.where(single, 0, dist)
                 total_off = jnp.sum(jnp.where(mf, cntf, 0),
@@ -801,9 +834,10 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                                       exact_multi).astype(jnp.int32)
                 else:
                     exact = jnp.zeros(N, jnp.int32)
+                off_sc = (255 - jnp.clip(moff, 0, 255)) if ptp else \
+                    jnp.zeros(N, jnp.int32)
                 fs = pack_field_score(wp, uw, tc, dist, exact,
-                                      jnp.zeros(N, jnp.int32),
-                                      jnp.ones(N, jnp.int32))
+                                      off_sc, jnp.ones(N, jnp.int32))
                 fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
                 w64 = field_weights[f].astype(jnp.int64)
                 if match_type == 1:
@@ -959,7 +993,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                     prioritize_exact,
                     prioritize_num_fields, 0, (), (), (), gid=gidh,
                     last_flag_mask=1 << 25,  # post_meta is meta32
-                    match_type=match_type)
+                    match_type=match_type,
+                    prioritize_token_position=ptp)
                 new_cursor = jnp.min(jnp.where(ok, selv, jnp.int32(2**31 - 1)))
                 return (h0, h1, h2, hid, new_cursor)
 
@@ -1014,7 +1049,8 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
                        prioritize_num_fields: bool, n_facets: int,
                        facet_caps: tuple, facet_sizes: tuple,
                        phrase_pairs: tuple = (), exclude_flags: tuple = (),
-                       match_type: int = 0):
+                       match_type: int = 0,
+                       prioritize_token_position: bool = False):
     """Probe-path kernel for SMALL drivers: per-driver-element binary-search
     membership (the or_iterator-style intersect, or_iterator.h:61-182). For a
     rare driver token the probe count (drv_len * QFC * log P random gathers)
@@ -1103,7 +1139,8 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
                 facet_offs, facet_vals,
                 Q, F, S, K, P, slot_kinds, slot_signs, prioritize_exact,
                 prioritize_num_fields, n_facets, facet_caps, facet_sizes,
-                phrase_pairs, match_type=match_type)
+                phrase_pairs, match_type=match_type,
+                prioritize_token_position=prioritize_token_position)
 
         init_f = tuple(jnp.zeros(facet_sizes[fa], jnp.int32) for fa in range(n_facets))
         init = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
