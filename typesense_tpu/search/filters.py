@@ -19,7 +19,7 @@ import re
 
 import numpy as np
 
-from typesense_tpu.core.errors import BadRequest
+from typesense_tpu.core.errors import BadRequest, NotFound
 from typesense_tpu.index.artifacts import SegmentArrays
 from typesense_tpu.schema.field import Field
 
@@ -93,14 +93,34 @@ def parse_filter_query(expr: str) -> FilterNode | None:
     expr = expr.strip()
     if not expr:
         return None
+    depth = 0
+    in_tick = False
+    for c in expr:
+        if c == "`":
+            in_tick = not in_tick
+        elif not in_tick and c == "(":
+            depth += 1
+        elif not in_tick and c == ")":
+            depth -= 1
+            if depth < 0:
+                break
+    if depth != 0:
+        raise BadRequest("Could not parse the filter query: unbalanced "
+                         "parentheses.")
     or_parts = _split_top_level(expr, "||")
     if len(or_parts) > 1:
+        if any(not p.strip() for p in or_parts):
+            raise BadRequest("Could not parse the filter query: missing "
+                             "operand around `||`.")
         node = parse_filter_query(or_parts[0])
         for p in or_parts[1:]:
             node = BoolNode("||", node, parse_filter_query(p))
         return node
     and_parts = _split_top_level(expr, "&&")
     if len(and_parts) > 1:
+        if any(not p.strip() for p in and_parts):
+            raise BadRequest("Could not parse the filter query: missing "
+                             "operand around `&&`.")
         node = parse_filter_query(and_parts[0])
         for p in and_parts[1:]:
             node = BoolNode("&&", node, parse_filter_query(p))
@@ -166,6 +186,9 @@ def _parse_leaf(expr: str) -> FilterNode:
         # filter.cpp:677 default str_comparator), equality for numerics
         # (evaluators map it by field type)
         op = "contains"
+    if not rhs:
+        raise BadRequest(f"Error with filter field `{fname}`: "
+                         f"Filter value cannot be empty.")
 
     if rhs.startswith("[") and rhs.endswith("]"):
         inner = rhs[1:-1]
@@ -406,7 +429,7 @@ class DeviceFilterEvaluator:
             if node.field_name == "id":
                 return jnp.asarray(_id_leaf_mask(node, self.id_resolver,
                                                  self.seg.num_docs))
-            raise BadRequest(f"Could not find a filter field named "
+            raise NotFound(f"Could not find a filter field named "
                              f"`{node.field_name}` in the schema.")
         eng = self.engine
         N = self.seg.num_docs
@@ -615,7 +638,7 @@ class FilterEvaluator:
         if f is None:
             if node.field_name == "id":
                 return self._eval_id(node)
-            raise BadRequest(f"Could not find a filter field named `{node.field_name}` "
+            raise NotFound(f"Could not find a filter field named `{node.field_name}` "
                              f"in the schema.")
         if f.is_geo:
             return self._eval_geo(node, f)
