@@ -155,51 +155,6 @@ def match_components_p4(pos: list, want_offset: bool = False):
     return words_present, distance, moff
 
 
-def match_components_p2(pos_a: list, pos_b: list):
-    """Specialized Match for the dense kernel's 2-positions-per-token meta:
-    identical semantics to match_components, but closed-form per anchor —
-    no anchor sort, no (B, A, Q, P) tensor, no transposes. Inputs are
-    per-token lists of (B,) int32 vectors (first/second position, already
-    INF where the token/slot is absent; positions are 12-bit meta encodings
-    < 4096, a <= b per token), so the whole computation stays fused
-    elementwise over (B,).
-
-    next_t(p) needs no min-scan: with two sorted positions per token it is
-    `a if a >= p else (b if b >= p else none)`. The reference's ascending-
-    anchor strict-improvement tie-break folds into one int32 max over
-    (words, -displacement, -anchor)."""
-    Q = len(pos_a)
-    B = pos_a[0].shape[0]
-    best = jnp.full((B,), -1, jnp.int32)
-    for anchor in [*pos_a, *pos_b]:
-        p = anchor                                      # (B,)
-        anchor_ok = p < INF
-        words = jnp.zeros(B, jnp.int32)
-        alive_cnt = jnp.zeros(B, jnp.int32)
-        maxwin = jnp.full(B, -1, jnp.int32)
-        for t in range(Q):
-            nxt = jnp.where(pos_a[t] >= p, pos_a[t],
-                            jnp.where(pos_b[t] >= p, pos_b[t], INF))
-            alive = nxt < INF
-            in_win = alive & ((nxt - p) <= WINDOW_SIZE)
-            words = words + in_win
-            alive_cnt = alive_cnt + alive
-            maxwin = jnp.maximum(maxwin, jnp.where(in_win, nxt, -1))
-        disp = jnp.clip(maxwin - p, 0, 4095)
-        usable = anchor_ok & (alive_cnt >= 2)
-        key = jnp.where(usable,
-                        (words << 24) | ((4095 - disp) << 12) |
-                        (4095 - jnp.minimum(p, 4095)),
-                        -1)
-        best = jnp.maximum(best, key)
-
-    any_usable = best >= 0
-    words_present = jnp.where(any_usable, best >> 24, 1).astype(jnp.int32)
-    distance = jnp.where(any_usable, 4095 - ((best >> 12) & 0xFFF),
-                         0).astype(jnp.int32)
-    return words_present, distance
-
-
 def pack_field_score(words_present, unique_words, total_cost, distance,
                      exact_match, max_offset_score, synonym_score):
     """match_score.h:56-68 — identical 48-bit packing (int64)."""
