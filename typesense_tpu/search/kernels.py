@@ -927,14 +927,17 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             cand1, _ = stage(kp, tie0)
             cand_all.append(cand1)
         else:
-            cand1, t1 = stage(k1, tie0)
-            cand_all.append(cand1)
-            tie1 = tie0 & (k1 == t1)
-            cand2, t2 = stage(k2, tie1)
-            cand_all.append(cand2)
-            tie2 = tie1 & (k2 == t2)
+            # NONE slots tie universally — statically skip their stage
+            # (their keys are all zero, so the tie mask is unchanged)
+            tie = tie0
+            for kind, key in ((slot_kinds[1], k1), (slot_kinds[2], k2)):
+                if kind == SLOT_NONE:
+                    continue
+                cand_i, t_i = stage(key, tie)
+                cand_all.append(cand_i)
+                tie = tie & (key == t_i)
             # id tie-break: ids are unique and fit int32 — one direct top_k
-            _, i3 = lax.top_k(jnp.where(tie2, gid, jnp.int32(-1)), KT)
+            _, i3 = lax.top_k(jnp.where(tie, gid, jnp.int32(-1)), KT)
             cand_all.append(i3.astype(jnp.int32))
         cand = jnp.concatenate(cand_all)
 
