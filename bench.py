@@ -312,6 +312,21 @@ def run_extra_configs(coll, queries, rng, conc):
             list(ex.map(sworker, schunks))
         out["keyword_qps_300k"] = round(len(sq) / (time.time() - t0), 1)
 
+        tq = [q[:-1] + "x" if len(q) > 4 else q for q in sq[:96]]
+        tbase = {"query_by": "title,ingredients", "prefix": "true",
+                 "num_typos": "2", "per_page": 10}
+        for q in tq:
+            sc.search({**tbase, "q": q})
+
+        def tworker(qs):
+            for q in qs:
+                sc.search({**tbase, "q": q})
+        tchunks = [tq[i::conc] for i in range(conc)]
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            list(ex.map(tworker, tchunks))
+        out["typo_prefix_qps_300k"] = round(len(tq) / (time.time() - t0), 1)
+
     print(f"# extras={out}", file=sys.stderr)
     return out
 
