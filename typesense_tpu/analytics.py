@@ -132,12 +132,23 @@ class AnalyticsManager:
         return evs
 
     # -- flush -----------------------------------------------------------
-    def flush(self) -> dict:
+    def flush(self, write_fn=None) -> dict:
         """Aggregate buffers into destination collections
-        (analytics flush through the write path, analytics_manager.cpp)."""
+        (analytics flush through the write path, analytics_manager.cpp).
+
+        write_fn(dest, doc, operation): override the destination write —
+        clustered leaders pass a function that ALSO appends the document op
+        to the replication log, so followers converge on identical
+        destination collections (the reference flushes through the raft log,
+        /root/reference/include/analytics_manager.h:24-80)."""
         if self.collections is None:
             raise BadRequest("Analytics flush requires the collection manager.")
         flushed = 0
+
+        def default_write(dest, doc, operation):
+            coll = self.collections.get_collection(dest)
+            coll.add(doc, operation=operation)
+        write = write_fn or default_write
         with self._lock:
             for rname, counts in list(self.query_counts.items()):
                 rule = self.rules.get(rname)
@@ -146,13 +157,13 @@ class AnalyticsManager:
                 dest = rule["params"]["destination"]["collection"]
                 limit = int(rule["params"].get("limit", 1000))
                 try:
-                    coll = self.collections.get_collection(dest)
+                    self.collections.get_collection(dest)
                 except Exception:  # noqa: BLE001 — destination may not exist yet
                     continue
                 top = sorted(counts.items(), key=lambda kv: -kv[1])[:limit]
                 for q, cnt in top:
-                    coll.add({"id": str(abs(hash(q)) % (10**12)), "q": q,
-                              "count": cnt}, operation="upsert")
+                    write(dest, {"id": str(abs(hash(q)) % (10**12)), "q": q,
+                                 "count": cnt}, "upsert")
                     flushed += 1
                 counts.clear()
             for rname, counts in list(self.counter_counts.items()):
@@ -168,15 +179,27 @@ class AnalyticsManager:
                 for doc_id, w in counts.items():
                     try:
                         doc = coll.get(doc_id)
-                        coll.add({"id": doc_id,
-                                  cfield: int(doc.get(cfield, 0)) + w},
-                                 operation="update")
+                        write(dest, {"id": doc_id,
+                                     cfield: int(doc.get(cfield, 0)) + w},
+                              "update")
                         flushed += 1
                     except NotFound:
                         pass
                 counts.clear()
         self.last_flush = int(time.time())
         return {"ok": True, "flushed": flushed}
+
+    def clear_buffers(self) -> dict:
+        """Follower-side flush replay: the destination document writes
+        arrive as separate replicated ops, so the local buffers just clear
+        (keeps leader/follower buffers aligned across the flush point)."""
+        with self._lock:
+            for counts in self.query_counts.values():
+                counts.clear()
+            for counts in self.counter_counts.values():
+                counts.clear()
+        self.last_flush = int(time.time())
+        return {"ok": True, "flushed": 0}
 
     def status(self) -> dict:
         return {

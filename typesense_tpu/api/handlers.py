@@ -133,6 +133,18 @@ def get_search(server, req):
         if not model_id:
             raise BadRequest("Parameter `conversation_model_id` is required "
                              "for conversational search.")
+        if str(params.get("conversation_stream", "false")).lower() == "true":
+            # SSE streaming (core_api.cpp:613-764): first event carries the
+            # search results, then answer deltas, then [DONE]
+            from typesense_tpu.api.http import SSEResponse
+
+            def events():
+                yield "data: " + json.dumps(
+                    res, ensure_ascii=False) + "\n\n"
+                yield from server.conv_models.converse_stream(
+                    str(model_id), str(params.get("q", "")),
+                    res.get("hits", []), params.get("conversation_id"))
+            return SSEResponse(events())
         res["conversation"] = server.conv_models.converse(
             str(model_id), str(params.get("q", "")), res.get("hits", []),
             params.get("conversation_id"))
@@ -156,9 +168,8 @@ def post_import_documents(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     action = req.query.get("action", "create")
     dirty = req.query.get("dirty_values", "coerce_or_reject")
-    lines = req.body.decode("utf-8", errors="replace").splitlines()
     out = []
-    for line in lines:
+    for line in req.iter_lines():
         line = line.strip()
         if not line:
             continue
@@ -644,8 +655,30 @@ def get_analytics_events(server, req):
         req.query.get("name"), int(req.query.get("limit", 100)))}
 
 
+def do_analytics_flush(server):
+    """Leader-side flush: destination writes ALSO append to the replication
+    log as ordinary document ops, so followers converge (reference flushes
+    through raft, include/analytics_manager.h:24-80). Single-node: plain
+    local flush."""
+    repl = server.replication
+
+    def write(dest, doc, operation):
+        coll = server.manager.get_collection(dest)
+        coll.add(doc, operation=operation)
+        if repl is not None and repl.is_leader:
+            repl.log_write({"method": "POST",
+                            "path": f"/collections/{dest}/documents",
+                            "query": {"action": operation},
+                            "body": json.dumps(doc)})
+    return server.analytics.flush(write_fn=write)
+
+
 def post_analytics_flush(server, req):
-    return server.analytics.flush()
+    if "x-ts-replicated" in req.headers:
+        # follower replay: the doc writes arrived as separate replicated
+        # ops just before this one — only the buffers clear here
+        return server.analytics.clear_buffers()
+    return do_analytics_flush(server)
 
 
 def get_analytics_status(server, req):

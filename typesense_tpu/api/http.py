@@ -33,6 +33,65 @@ def _json_bytes(obj) -> bytes:
     return json.dumps(obj, ensure_ascii=False, separators=(",", ":")).encode()
 
 
+class BodyStream:
+    """Bounded cross-thread byte-chunk pipe: the event loop produces chunks
+    (content-length or chunked transfer decoding) while the handler thread
+    consumes lines — a 1 GB JSONL import never holds more than
+    maxsize x chunk bytes in RAM (h2o async_req streaming equivalent,
+    /root/reference/include/http_server.h:262-277)."""
+
+    _EOF = object()
+
+    def __init__(self, maxsize: int = 32):
+        import queue
+        self.q = queue.Queue(maxsize=maxsize)
+        self.aborted = False
+
+    def put(self, chunk: bytes):       # event-loop side (via executor)
+        import queue
+        while not self.aborted:
+            try:
+                self.q.put(chunk, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    def close(self):
+        import queue
+        while True:
+            try:
+                self.q.put(self._EOF, timeout=0.2)
+                return
+            except queue.Full:
+                if self.aborted:   # consumer is gone; EOF is moot
+                    return
+
+    def iter_lines(self):
+        """Yield complete decoded lines as they arrive (handler thread)."""
+        tail = b""
+        while True:
+            chunk = self.q.get()
+            if chunk is self._EOF:
+                break
+            tail += chunk
+            *lines, tail = tail.split(b"\n")
+            for ln in lines:
+                yield ln.decode("utf-8", errors="replace")
+        if tail:
+            yield tail.decode("utf-8", errors="replace")
+
+
+class SSEResponse:
+    """Marker a handler returns to stream server-sent events: `events` is a
+    generator of pre-formatted `data: ...\\n\\n` strings, written to the
+    socket as chunked transfer encoding while the generator runs
+    (stream_response, /root/reference/src/core_api.cpp:111)."""
+
+    def __init__(self, events, status: int = 200):
+        self.events = events
+        self.status = status
+
+
 class Request:
     def __init__(self, method: str, path: str, query: dict, headers: dict,
                  body: bytes):
@@ -41,8 +100,16 @@ class Request:
         self.query = query
         self.headers = headers
         self.body = body
+        self.body_stream: BodyStream | None = None
         self.params: dict[str, str] = {}
         self.embedded_params: dict = {}
+
+    def iter_lines(self):
+        """Lines of the request body — streamed when a BodyStream is
+        attached (import route), otherwise from the buffered body."""
+        if self.body_stream is not None:
+            return self.body_stream.iter_lines()
+        return iter(self.body.decode("utf-8", errors="replace").splitlines())
 
     def json(self):
         if not self.body:
@@ -247,16 +314,45 @@ class HttpServer:
                         break
                     k, _, v = hline.decode().partition(":")
                     headers[k.strip().lower()] = v.strip()
-                length = int(headers.get("content-length", 0))
-                body = await reader.readexactly(length) if length else b""
-
                 parsed = urllib.parse.urlsplit(target)
+                chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+                length = int(headers.get("content-length", 0))
+                # import bodies stream through a bounded pipe instead of
+                # buffering (typesense_server.cpp:33 async_req routes)
+                # (clustered nodes buffer: the oplog/forwarding needs the
+                # full body; single nodes stream with bounded memory)
+                streaming = (method == "POST"
+                             and parsed.path.rstrip("/").endswith("/documents/import")
+                             and (chunked or length > (1 << 22))
+                             and self.replication is None)
                 query = {k: v[-1] for k, v in
                          urllib.parse.parse_qs(parsed.query, keep_blank_values=True).items()}
-                req = Request(method, parsed.path, query, headers, body)
+                req = Request(method, parsed.path, query, headers, b"")
                 peer = writer.get_extra_info("peername")
                 req.remote_ip = peer[0] if peer else ""
-                status, payload, ctype = await self.dispatch(req)
+                if streaming:
+                    req.body_stream = BodyStream()
+                    task = asyncio.ensure_future(self.dispatch(req))
+                    try:
+                        await self._pump_body(reader, req.body_stream,
+                                              chunked, length, task=task)
+                    finally:
+                        loop = asyncio.get_running_loop()
+                        req.body_stream.aborted = req.body_stream.aborted or \
+                            task.done()
+                        await loop.run_in_executor(None, req.body_stream.close)
+                    status, payload, ctype = await task
+                else:
+                    if chunked:
+                        body = b"".join([c async for c in
+                                         self._chunked_reader(reader)])
+                    else:
+                        body = await reader.readexactly(length) if length else b""
+                    req.body = body
+                    status, payload, ctype = await self.dispatch(req)
+                if isinstance(payload, SSEResponse):
+                    await self._write_sse(writer, payload)
+                    break   # SSE responses end the connection
                 resp = (f"HTTP/1.1 {status} {_reason(status)}\r\n"
                         f"content-type: {ctype}\r\n"
                         f"content-length: {len(payload)}\r\n"
@@ -270,6 +366,79 @@ class HttpServer:
         finally:
             writer.close()
 
+
+    async def _write_sse(self, writer, sse: SSEResponse):
+        """Stream SSE events with chunked transfer encoding; the blocking
+        generator (LLM HTTP reads) runs on executor threads."""
+        loop = asyncio.get_running_loop()
+        writer.write((f"HTTP/1.1 {sse.status} {_reason(sse.status)}\r\n"
+                      "content-type: text/event-stream\r\n"
+                      "cache-control: no-cache\r\n"
+                      "transfer-encoding: chunked\r\n"
+                      "connection: close\r\n\r\n").encode())
+        await writer.drain()
+        sentinel = object()
+        it = iter(sse.events)
+        while True:
+            ev = await loop.run_in_executor(None, next, it, sentinel)
+            if ev is sentinel:
+                break
+            data = ev.encode() if isinstance(ev, str) else ev
+            writer.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            await writer.drain()
+        writer.write(b"0\r\n\r\n")
+        await writer.drain()
+
+    async def _chunked_reader(self, reader):
+        """Decode Transfer-Encoding: chunked request bodies."""
+        while True:
+            size_line = await reader.readline()
+            try:
+                size = int(size_line.split(b";")[0].strip() or b"0", 16)
+            except ValueError:
+                raise asyncio.IncompleteReadError(b"", 0)
+            if size == 0:
+                # consume trailers until blank line
+                while True:
+                    t = await reader.readline()
+                    if t in (b"\r\n", b"\n", b""):
+                        break
+                return
+            data = await reader.readexactly(size)
+            await reader.readexactly(2)  # CRLF
+            yield data
+
+    async def _pump_body(self, reader, stream: BodyStream, chunked: bool,
+                         length: int, task=None, chunk_size: int = 1 << 20):
+        """Feed request-body bytes into the handler's BodyStream without
+        buffering the whole payload (queue backpressure bounds memory).
+        If the handler finishes early (e.g. auth rejection) the remaining
+        body is read and DISCARDED so keep-alive framing stays intact and
+        the blocking put can't deadlock the event loop."""
+        loop = asyncio.get_running_loop()
+
+        async def feed(data):
+            if stream.aborted or (task is not None and task.done()):
+                stream.aborted = True
+                return
+            putf = loop.run_in_executor(None, stream.put, data)
+            waits = {putf} | ({task} if task is not None else set())
+            await asyncio.wait(waits, return_when=asyncio.FIRST_COMPLETED)
+            if not putf.done():
+                stream.aborted = True   # unblocks the spinning put
+            await putf
+
+        if chunked:
+            async for data in self._chunked_reader(reader):
+                await feed(data)
+        else:
+            remaining = length
+            while remaining > 0:
+                data = await reader.read(min(chunk_size, remaining))
+                if not data:
+                    raise asyncio.IncompleteReadError(b"", remaining)
+                remaining -= len(data)
+                await feed(data)
 
     # ------------------------------------------------------------------
     WRITE_EXEMPT = ("replication", "operations", "health", "status", "debug",
@@ -404,6 +573,8 @@ class HttpServer:
                     req.path == "/multi_search" else \
                     ("write" if req.method not in ("GET", "HEAD") else "read")
                 metrics.record(label, (time.monotonic() - t0) * 1000)
+            if isinstance(result, SSEResponse):
+                return result.status, result, "text/event-stream"
             if isinstance(result, tuple):
                 status, obj = result
             else:
@@ -422,8 +593,47 @@ class HttpServer:
             return 500, _json_bytes({"message": str(e)}), "application/json"
 
     # ------------------------------------------------------------------
+    def _build_ssl(self):
+        """SSLContext from ssl_certificate / ssl_certificate_key config
+        (h2o SSL serving, /root/reference/include/http_server.h:118).
+        Returns (ctx, cert_path, key_path) or (None, None, None)."""
+        import ssl
+        cfg = getattr(self, "config", None)
+        cert = getattr(cfg, "ssl_certificate", "") if cfg else ""
+        key = getattr(cfg, "ssl_certificate_key", "") if cfg else ""
+        if not cert or not key:
+            return None, None, None
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert, key)
+        return ctx, cert, key
+
+    async def _ssl_refresh_loop(self, ctx, cert, key):
+        """Reload the cert chain when the files change on disk (the
+        reference refreshes every ssl_refresh_interval_seconds; we also
+        poll mtimes so a renewed cert is picked up without restart).
+        New connections handshake with the refreshed chain."""
+        import os
+        interval = min(getattr(self.config, "ssl_refresh_interval_seconds",
+                               28800) or 28800, 3600)
+        last = None
+        while True:
+            await asyncio.sleep(max(min(interval, 60), 1))
+            try:
+                mt = (os.path.getmtime(cert), os.path.getmtime(key))
+                if last is None:
+                    last = mt
+                elif mt != last:
+                    ctx.load_cert_chain(cert, key)
+                    last = mt
+            except OSError:
+                pass  # files temporarily missing mid-renewal
+
     async def serve(self):
-        server = await asyncio.start_server(self.handle_conn, self.host, self.port)
+        ctx, cert, key = self._build_ssl()
+        server = await asyncio.start_server(self.handle_conn, self.host,
+                                            self.port, ssl=ctx)
+        if ctx is not None:
+            asyncio.ensure_future(self._ssl_refresh_loop(ctx, cert, key))
         async with server:
             await server.serve_forever()
 

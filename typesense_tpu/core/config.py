@@ -24,6 +24,7 @@ OPTIONS: dict[str, dict] = {
     "log_dir": {"type": str, "default": ""},
     "ssl_certificate": {"type": str, "default": ""},
     "ssl_certificate_key": {"type": str, "default": ""},
+    "ssl_refresh_interval_seconds": {"type": int, "default": 8 * 60 * 60},
     "enable_cors": {"type": bool, "default": True},
     "cors_domains": {"type": str, "default": ""},
     "thread_pool_size": {"type": int, "default": max(8, (os.cpu_count() or 4) * 8)},

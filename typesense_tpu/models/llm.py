@@ -57,6 +57,53 @@ def chat_complete(model: dict, messages: list[dict],
         raise BadRequest(f"LLM request failed: {e}")
 
 
+def chat_complete_stream(model: dict, messages: list[dict],
+                         max_tokens: int = 1024):
+    """Streaming chat-completions call: yields content deltas as they
+    arrive from the provider's SSE stream (OpenAIConversationModel::
+    get_answer_stream, /root/reference/src/conversation_model.cpp:541 —
+    `stream: true` + `data: {...}` line parsing)."""
+    import urllib.request
+    name = model.get("model_name", "")
+    provider = _provider_of(name)
+    url = model.get("api_url") or {
+        "openai": "https://api.openai.com/v1/chat/completions",
+    }.get(provider)
+    if not url:
+        raise BadRequest(f"Model provider `{provider}` needs an `api_url`.")
+    body = json.dumps({
+        "model": name.split("/", 1)[-1],
+        "messages": messages,
+        "max_tokens": max_tokens,
+        "stream": True,
+    }).encode()
+    req = urllib.request.Request(url, data=body, method="POST", headers={
+        "Authorization": f"Bearer {model.get('api_key', '')}",
+        "Content-Type": "application/json"})
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+    except Exception as e:  # noqa: BLE001 — egress-gated environment
+        raise BadRequest(f"LLM request failed: {e}")
+    try:
+        for raw in resp:
+            line = raw.decode("utf-8", errors="replace").strip()
+            if not line.startswith("data:"):
+                continue
+            payload = line[len("data:"):].strip()
+            if payload == "[DONE]":
+                break
+            try:
+                data = json.loads(payload)
+            except json.JSONDecodeError:
+                continue
+            delta = (data.get("choices") or [{}])[0].get(
+                "delta", {}).get("content")
+            if delta:
+                yield delta
+    finally:
+        resp.close()
+
+
 class ConversationModelManager:
     """conversations/models registry + RAG search glue
     (conversation_model.cpp, conversation_manager.cpp)."""
@@ -147,6 +194,47 @@ class ConversationModelManager:
         self._append_history(m, cid, question, answer)
         return {"answer": answer, "conversation_id": cid,
                 "query": question}
+
+    def converse_stream(self, model_id: str, question: str,
+                        search_results: list[dict],
+                        conversation_id: str | None = None):
+        """Streaming RAG answer: yields SSE event strings
+        (`data: {...}\\n\\n` ... `data: [DONE]\\n\\n`), mirroring the
+        reference's conversation_stream=true flow (core_api.cpp:739-764 —
+        the conversation_id is created IN ADVANCE and sent with each
+        delta event; history is appended once the stream completes)."""
+        m = self.get(model_id)
+        max_bytes = int(m.get("max_bytes", 16384))
+        ctx_lines, used = [], 0
+        for hit in search_results:
+            line = json.dumps(hit.get("document", {}), ensure_ascii=False)
+            if used + len(line) > max_bytes:
+                break
+            ctx_lines.append(line)
+            used += len(line)
+        history = self._history(m, conversation_id)
+        messages = [{"role": "system",
+                     "content": m.get("system_prompt",
+                                      "Answer using only the given context.")}]
+        messages += history
+        messages.append({"role": "user",
+                         "content": "Context:\n" + "\n".join(ctx_lines) +
+                                    f"\n\nQuestion: {question}"})
+        cid = conversation_id or f"conv-{int(time.time() * 1000)}"
+        parts: list[str] = []
+        for delta in chat_complete_stream(m, messages):
+            parts.append(delta)
+            yield "data: " + json.dumps(
+                {"conversation": {"answer": delta, "conversation_id": cid,
+                                  "query": question}},
+                ensure_ascii=False) + "\n\n"
+        answer = "".join(parts)
+        self._append_history(m, cid, question, answer)
+        yield "data: " + json.dumps(
+            {"conversation": {"answer": answer, "conversation_id": cid,
+                              "query": question, "complete": True}},
+            ensure_ascii=False) + "\n\n"
+        yield "data: [DONE]\n\n"
 
     def _history_coll(self, m: dict):
         if self.collections is None:

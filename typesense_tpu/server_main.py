@@ -69,7 +69,16 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
         while True:
             _t.sleep(interval)
             try:
-                server.analytics.flush()
+                repl = server.replication
+                if repl is None or repl.is_leader:
+                    # followers never flush locally; replicated doc ops +
+                    # the flush op clear their buffers (leader-driven)
+                    from typesense_tpu.api.handlers import do_analytics_flush
+                    do_analytics_flush(server)
+                    if repl is not None and repl.is_leader:
+                        repl.log_write({"method": "POST",
+                                        "path": "/analytics/flush",
+                                        "query": {}, "body": ""})
             except Exception:  # noqa: BLE001 — destination may not exist yet
                 pass
             try:
