@@ -510,6 +510,90 @@ def topk_merge2(key0, kpacked, valid, k: int, id_bits: int = 22):
 
 PACK2_BIAS = jnp.int64(1) << 39  # |slot-1 keys| must stay below this
 
+# Whole-N selection switches from direct lax.top_k to BLOCK-MAX selection
+# above this corpus size: measured on the axon v5e, ONE int32/int64 top_k
+# over 2.2M lanes costs ~3.4 ms of device time while fused elementwise
+# N-lane chains are ~free — a per-32-lane block max (elementwise), a top_k
+# over N/32 block maxes, and a small pool sort select the same candidates
+# EXACTLY for ~0.5 ms. (Proof of exactness in block_stage.)
+BLOCK_SELECT_MIN_N = 1 << 18
+
+
+def _block_params(N: int, KT: int):
+    """Static (use_block, BW, NB, PADN) for block-max selection."""
+    if N < BLOCK_SELECT_MIN_N:
+        return False, 0, 0, 0
+    BW = 32 if KT <= 2048 else 8
+    NB = (N + BW - 1) // BW
+    if NB < KT:
+        return False, 0, 0, 0
+    return True, BW, NB, NB * BW - N
+
+
+def block_stage(key, mask, KT: int, N: int, BW: int, NB: int, PADN: int):
+    """Exact top-KT stage via block-max selection.
+
+    Returns (cand lanes (2*KT,) int32 with -1 padding, exact KT-th largest
+    key value under `mask`, KEY_MIN if fewer than KT).
+
+    Exactness: let t be the true KT-th largest masked element. If an
+    element y > t lived in an unselected block, every one of the KT
+    selected blocks would have max >= y's block max >= y > t, giving KT
+    distinct elements > t — contradicting t's rank. So the pool (all lanes
+    of the top-KT blocks by block max) contains every element > t; and
+    when >= KT blocks reach max >= t the pool holds >= KT elements >= t,
+    pinning the pool's KT-th largest to exactly t (pool is a sub-multiset
+    of the masked elements). Ties at t beyond the pool are recovered by
+    the NEXT stage's tie mask, exactly as with the direct-top_k stages."""
+    km = jnp.where(mask, key, KEY_MIN)
+    kp_ = jnp.pad(km, (0, PADN), constant_values=KEY_MIN) if PADN else km
+    bm = jnp.max(kp_.reshape(NB, BW), axis=1)
+    _, ib = lax.top_k(bm, KT)
+    idx = (ib[:, None] * BW +
+           jnp.arange(BW, dtype=jnp.int32)[None, :]).reshape(-1)
+    ck = kp_[idx]                          # (KT*BW,) distinct lanes
+    nidx = jnp.where(ck == KEY_MIN, jnp.int64(2**62), idx.astype(jnp.int64))
+    sk, sidx = lax.sort((-ck, nidx), num_keys=2)
+    t = -sk[KT - 1]
+    take = min(2 * KT, KT * BW)
+    cand = jnp.where(sidx[:take] == 2**62, -1, sidx[:take]).astype(jnp.int32)
+    if take < 2 * KT:
+        cand = jnp.pad(cand, (0, 2 * KT - take), constant_values=-1)
+    return cand, t
+
+
+def cascade_topk(k0, k1, k2, gid, mask, K: int, slot_kinds=None):
+    """Whole-corpus exact lexicographic top-K: block-max stages for large N
+    (a 4-key lax.sort over 2.2M lanes measures ~100 ms on this chip; the
+    cascade does the same selection in ~1 ms), direct topk_merge below
+    BLOCK_SELECT_MIN_N. Tie-break by doc id descending, matching topk_merge
+    (topster.h:146-149 KV::is_greater)."""
+    N = k0.shape[0]
+    KT = min(K, N)
+    use_block, BW, NB, PADN = _block_params(N, KT)
+    if not use_block:
+        return topk_merge(k0, k1, k2, gid, mask, K)
+    cands = []
+    c0, t0 = block_stage(k0, mask, KT, N, BW, NB, PADN)
+    cands.append(c0)
+    tie = mask & (k0 == t0)
+    for i, key in ((1, k1), (2, k2)):
+        if slot_kinds is not None and slot_kinds[i] == SLOT_NONE:
+            continue  # NONE keys are all zero: universal tie, skip stage
+        ci, ti = block_stage(key, tie, KT, N, BW, NB, PADN)
+        cands.append(ci)
+        tie = tie & (key == ti)
+    c3, _ = block_stage(gid.astype(jnp.int64), tie, KT, N, BW, NB, PADN)
+    cands.append(c3)
+    cand = jnp.concatenate(cands)
+    csafe = jnp.clip(cand, 0, N - 1)
+    cv = (cand >= 0) & mask[csafe]
+    cid = jnp.where(cv, gid[csafe], -1)
+    ck0 = jnp.where(cv, k0[csafe], KEY_MIN)
+    ck1 = jnp.where(cv, k1[csafe], KEY_MIN)
+    ck2 = jnp.where(cv, k2[csafe], KEY_MIN)
+    return _dedup_sorted_ids(ck0, ck1, ck2, cid, K)
+
 
 def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
                     b_starts, b_lens, b_qf, b_c, n_big,
@@ -889,6 +973,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         # is always safe.
         KT = min(K, N)       # tiny corpora: top_k k must not exceed N
         HMIN32 = jnp.int32(-(2**31))
+        use_block, BW, NB, PADN = _block_params(N, KT)
 
         def kth_distinct(keys, idxs):
             """KT-th largest key among distinct-index pool entries
@@ -902,9 +987,10 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             sk = lax.sort(jnp.where(dup, jnp.int64(2**62), sk))
             return -sk[KT - 1]
 
-        def stage(key, mask):
+        def stage_direct(key, mask):
             """2*KT candidate pool + exact KT-th threshold of `key` under
-            `mask`, using only int32 top_k."""
+            `mask`, using only int32 top_k (small-N path: block selection
+            needs NB >= KT blocks)."""
             hi = (key >> 32).astype(jnp.int32)
             him = jnp.where(mask, hi, HMIN32)
             vh, ih = lax.top_k(him, KT)
@@ -917,6 +1003,11 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             cm = mask[jnp.clip(cand, 0, N - 1)]
             ck = jnp.where(cm, key[jnp.clip(cand, 0, N - 1)], KEY_MIN)
             return cand, kth_distinct(ck, jnp.where(cm, cand, -1))
+
+        def stage(key, mask):
+            if use_block:
+                return block_stage(key, mask, KT, N, BW, NB, PADN)
+            return stage_direct(key, mask)
 
         cand_all = []
         cand0, t0 = stage(k0, m_light)
@@ -936,9 +1027,14 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 cand_i, t_i = stage(key, tie)
                 cand_all.append(cand_i)
                 tie = tie & (key == t_i)
-            # id tie-break: ids are unique and fit int32 — one direct top_k
-            _, i3 = lax.top_k(jnp.where(tie, gid, jnp.int32(-1)), KT)
-            cand_all.append(i3.astype(jnp.int32))
+            # id tie-break: ids are unique, so the stage threshold is moot —
+            # only the candidate pool matters
+            if use_block:
+                i3, _ = stage(gid.astype(jnp.int64), tie)
+            else:
+                _, i3 = lax.top_k(jnp.where(tie, gid, jnp.int32(-1)), KT)
+                i3 = i3.astype(jnp.int32)
+            cand_all.append(i3)
         cand = jnp.concatenate(cand_all)
 
         csafe = jnp.clip(cand, 0, N - 1)
@@ -959,11 +1055,20 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             hlane = jnp.arange(HCT, dtype=jnp.int32)
             lid = jnp.arange(N, dtype=jnp.int32)  # LOCAL index for gathers
             heavy_m = m & heavy
+            use_hblock, HBW, HNB, HPADN = _block_params(N, HCT)
 
             def rescore_round(carry):
                 h0, h1, h2, hid, cursor = carry
                 active = heavy_m & (lid < cursor)
-                selv, seli = lax.top_k(jnp.where(active, lid, -1), HCT)
+                if use_hblock:
+                    # block-max select of the HCT highest active ids (the
+                    # lane IS the key, so the sorted pool head is the
+                    # descending id batch directly)
+                    hc_pool, _ = block_stage(lid.astype(jnp.int64), active,
+                                             HCT, N, HBW, HNB, HPADN)
+                    selv = hc_pool[:HCT]
+                else:
+                    selv, _ = lax.top_k(jnp.where(active, lid, -1), HCT)
                 ok = selv >= 0
                 d = jnp.where(ok, selv, 0)
                 x = d[None, :]
@@ -1188,7 +1293,8 @@ def build_wildcard_kernel(K: int, slot_kinds: tuple, slot_signs: tuple,
         k1 = _slot_keys(slot_kinds[1], slot_signs[1], zero_text, doc_ids, sort_col1)
         k2 = _slot_keys(slot_kinds[2], slot_signs[2], zero_text, doc_ids, sort_col2)
         found = jnp.sum(filter_mask, dtype=jnp.int64)
-        r0, r1, r2, rid = topk_merge(k0, k1, k2, doc_ids, filter_mask, K)
+        r0, r1, r2, rid = cascade_topk(k0, k1, k2, doc_ids, filter_mask, K,
+                                       slot_kinds)
 
         out = [rid.astype(jnp.int64), r0, r1, r2, found[None]]
         for fa in range(n_facets):
