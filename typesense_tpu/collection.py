@@ -597,7 +597,8 @@ class Collection:
                 fm = self._filter_mask_for(eng, filter_by)
                 e_ids, e_d = eng.vector_search(
                     vq.field_name, np.asarray(vq.values, np.float32), vk,
-                    filter_mask=fm, distance_threshold=vq.distance_threshold)
+                    filter_mask=fm, distance_threshold=vq.distance_threshold,
+                    ef=vq.ef, flat_search_cutoff=vq.flat_search_cutoff)
                 pairs.extend(zip((int(x) for x in e_ids),
                                  (float(x) for x in e_d)))
                 out_of += eng._live_count
@@ -667,7 +668,7 @@ class Collection:
                 vec_handles = eng.vector_search_dispatch(
                     vq.field_name, np.asarray(vq.values, np.float32),
                     vq.k or k, filter_mask=fm,
-                    distance_threshold=vq.distance_threshold)
+                    distance_threshold=vq.distance_threshold, ef=vq.ef)
             if q == "*":
                 return (eng.wildcard_search(slots, filter_mask=fm,
                                             facet_fields=dispatch_facet_fields,

@@ -368,7 +368,15 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         facet_offsets=tuple(put(seg.facet_columns[n][0]) for n in facet_names),
         facet_value_ids=tuple(put(seg.facet_columns[n][1]) for n in facet_names),
         str_sort_columns=tuple(put(seg.str_sort_columns[n]) for n in str_sort_names),
-        vectors=tuple(put(seg.vectors[n]) for n in vec_names),
+        # large vector fields store bf16: halves HBM traffic for the scan
+        # (the usual bottleneck) at ~1e-3 distance error; small corpora
+        # keep f32 exactness (hnswlib stores f32, index.h:379-388 — bf16
+        # is the TPU trade, recall measured against an f32 oracle in bench)
+        vectors=tuple(
+            jax.device_put(jnp.asarray(seg.vectors[n], jnp.bfloat16))
+            if seg.vectors[n].shape[0] >= 100_000
+            else put(seg.vectors[n])
+            for n in vec_names),
         geo_columns=tuple(put(seg.geo_columns[n]) for n in geo_names),
         geopoly_verts=tuple(put(seg.geopoly_columns[n][0]) for n in geopoly_names),
         geopoly_counts=tuple(put(seg.geopoly_columns[n][1]) for n in geopoly_names),

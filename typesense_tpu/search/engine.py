@@ -579,56 +579,109 @@ class IndexEngine:
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
 
     # ------------------------------------------------------------------
+    IVF_MIN_N = 300_000   # below this a brute bf16/f32 scan is already fast
+
+    def _vec_mask(self, field_name: str):
+        vmask = getattr(self, "_vec_masks", {}).get(field_name)
+        if vmask is None:
+            norms = np.linalg.norm(self.seg.vectors[field_name], axis=1)
+            m = (norms > 0) & self.seg.live
+            vmask = jax.device_put(jnp.asarray(m))
+            if not hasattr(self, "_vec_masks"):
+                self._vec_masks = {}
+            self._vec_masks[field_name] = vmask
+        return vmask
+
+    def _ivf_for(self, field_name: str):
+        """Build (once) the IVF index for a large vector field. A 2M x 768
+        bf16 brute scan moves ~3.4 GB HBM (~40 ms on this rig); IVF probes
+        ~5% of it (index.h:356-389 hnsw_index_t territory)."""
+        ivfs = getattr(self, "_ivf", None)
+        if ivfs is None:
+            ivfs = self._ivf = {}
+        if field_name in ivfs:
+            return ivfs[field_name]
+        vecs = self.seg.vectors.get(field_name)
+        if vecs is None or vecs.shape[0] < self.IVF_MIN_N:
+            ivfs[field_name] = None
+            return None
+        from typesense_tpu.ops.ivf import build_ivf
+        ivfs[field_name] = build_ivf(vecs)
+        return ivfs[field_name]
+
     def vector_search(self, field_name: str, query_vec: np.ndarray, k: int,
                       filter_mask=None, distance_threshold: float = 3.4e38,
+                      ef: int = 0, flat_search_cutoff: int = 0,
                       ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact kNN over the dense vector matrix. Returns (ids, distances),
-        already trimmed to valid entries (dist <= threshold, filter passed)."""
+        """kNN over the vector field: IVF probe at scale, exact brute scan
+        otherwise. Returns (ids, distances) trimmed to valid entries
+        (dist <= threshold, filter passed). A filtered IVF probe that comes
+        back short of k falls back to the exact scan — the reference's
+        brute-force-under-selective-filters contract (index.cpp:3345
+        flat_search_cutoff) without needing a host-side filter count."""
+        ivf = self._ivf_for(field_name)
+        if ivf is not None:
+            vmask = self._vec_mask(field_name)
+            mask = vmask if filter_mask is None else (vmask & filter_mask)
+            from typesense_tpu.ops.ivf import ivf_search
+            nprobe = max(32, min(ef * 8, ivf.n_cells)) if ef else 64
+            # fetch a 4x margin so the exact f32 host re-rank below can
+            # reorder bf16 near-ties without losing true top-k members
+            KF = min(bucket(min(4 * k + 32, self.N), lo=16, hi=1 << 14),
+                     self.N)
+            handles = ivf_search(ivf, query_vec, KF, nprobe=nprobe,
+                                 mask=mask,
+                                 dist_threshold=distance_threshold)
+            ids, dists = self.vector_search_collect(handles, KF)
+            if len(ids) >= k or filter_mask is None:
+                # exact re-rank: device scans bf16 (HBM half-traffic); the
+                # final ordering is f32-exact over the candidate margin
+                q = np.asarray(query_vec, np.float32)
+                rows = self.seg.vectors[field_name][ids]
+                d32 = 1.0 - rows.astype(np.float32) @ q
+                keep = d32 <= distance_threshold
+                ids, d32 = ids[keep], d32[keep]
+                o = np.argsort(d32, kind="stable")[:k]
+                return ids[o], d32[o]
+            # selective filter starved the probe: exact scan fallback
+        return self.vector_search_collect(
+            self._brute_dispatch(field_name, query_vec, k, filter_mask,
+                                 distance_threshold), k)
+
+    def _brute_dispatch(self, field_name: str, query_vec: np.ndarray,
+                        k: int, filter_mask, distance_threshold: float):
         from typesense_tpu.ops.vector import build_knn_kernel
         vi = self._vec_idx.get(field_name)
         if vi is None:
             raise BadRequest(f"Field `{field_name}` does not have a vector index.")
         vecs = self.dev.vectors[vi]
-        vmask = getattr(self, "_vec_masks", {}).get(field_name)
-        if vmask is None:
-            norms = np.linalg.norm(self.seg.vectors[field_name], axis=1)
-            m = (norms > 0) & self.seg.live
-            vmask = jax.device_put(jnp.asarray(m))
-            if not hasattr(self, "_vec_masks"):
-                self._vec_masks = {}
-            self._vec_masks[field_name] = vmask
-        mask = vmask if filter_mask is None else (vmask & filter_mask)
-
-        K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
-        kern = build_knn_kernel(K, 1)
-        q = jnp.asarray(query_vec, jnp.float32)[None, :]
-        idxs, dists = kern(vecs, q, mask, jnp.float32(distance_threshold))
-        return self.vector_search_collect((idxs, dists), k)
-
-    def vector_search_dispatch(self, field_name: str, query_vec: np.ndarray,
-                               k: int, filter_mask=None,
-                               distance_threshold: float = 3.4e38):
-        """Async half of vector_search: enqueue the kNN program and return
-        device handles WITHOUT blocking — lets hybrid search overlap the
-        vector and keyword programs in one device round trip."""
-        from typesense_tpu.ops.vector import build_knn_kernel
-        vi = self._vec_idx.get(field_name)
-        if vi is None:
-            raise BadRequest(f"Field `{field_name}` does not have a vector index.")
-        vecs = self.dev.vectors[vi]
-        vmask = getattr(self, "_vec_masks", {}).get(field_name)
-        if vmask is None:
-            norms = np.linalg.norm(self.seg.vectors[field_name], axis=1)
-            m = (norms > 0) & self.seg.live
-            vmask = jax.device_put(jnp.asarray(m))
-            if not hasattr(self, "_vec_masks"):
-                self._vec_masks = {}
-            self._vec_masks[field_name] = vmask
+        vmask = self._vec_mask(field_name)
         mask = vmask if filter_mask is None else (vmask & filter_mask)
         K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
         kern = build_knn_kernel(K, 1)
         q = jnp.asarray(query_vec, jnp.float32)[None, :]
         return kern(vecs, q, mask, jnp.float32(distance_threshold))
+
+    def vector_search_dispatch(self, field_name: str, query_vec: np.ndarray,
+                               k: int, filter_mask=None,
+                               distance_threshold: float = 3.4e38,
+                               ef: int = 0):
+        """Async half of vector_search: enqueue the kNN program and return
+        device handles WITHOUT blocking — lets hybrid search overlap the
+        vector and keyword programs in one device round trip. Uses the IVF
+        probe at scale (no short-result fallback here; hybrid fusion only
+        consumes the top ranks)."""
+        ivf = self._ivf_for(field_name)
+        if ivf is not None:
+            vmask = self._vec_mask(field_name)
+            mask = vmask if filter_mask is None else (vmask & filter_mask)
+            from typesense_tpu.ops.ivf import ivf_search
+            nprobe = max(32, min(ef * 8, ivf.n_cells)) if ef else 64
+            K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
+            return ivf_search(ivf, query_vec, K, nprobe=nprobe, mask=mask,
+                              dist_threshold=distance_threshold)
+        return self._brute_dispatch(field_name, query_vec, k, filter_mask,
+                                    distance_threshold)
 
     @staticmethod
     def vector_search_collect(handles, k: int):
