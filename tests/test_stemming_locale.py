@@ -48,8 +48,9 @@ def test_stemming_dictionary_override():
 
 
 def test_cjk_tokenization():
+    # ja: kakasi-style romaji unit pairs (kanji readings + kana runs)
     toks = Tokenizer("日本語テスト", locale="ja").tokenize()
-    assert len(toks) >= 4  # overlapping bigrams over the run
+    assert toks == ["nichihon", "hongo", "gotesuto"]
     toks_zh = Tokenizer("中文搜索", locale="zh").tokenize()
     assert toks_zh == ["中文", "文搜", "搜索"]
 
@@ -122,6 +123,34 @@ def test_korean_word_search():
     assert len(res["hits"]) == 1
 
 
-def test_thai_bigram_run():
-    toks = Tokenizer("สวัสดี", locale="th").tokenize()
-    assert len(toks) >= 2  # bigrams over the undelimited run
+def test_thai_dictionary_segmentation():
+    # dictionary maximal-match: known words come out whole
+    assert Tokenizer("สวัสดี", locale="th").tokenize() == ["สวัสดี"]
+    assert Tokenizer("สวัสดีครับ", locale="th").tokenize() == \
+        ["สวัสดี", "ครับ"]
+    assert Tokenizer("ผมกินข้าว", locale="th").tokenize() == \
+        ["ผม", "กิน", "ข้าว"]
+
+
+def test_thai_field_search_segmented():
+    c = Collection("thseg", [Field("t", "string", locale="th")])
+    c.add({"id": "0", "t": "ผมกินข้าวทุกวัน"})       # I eat rice every day
+    c.add({"id": "1", "t": "แมวนอนบนโต๊ะ"})           # cat sleeps on table
+    res = c.search({"q": "กินข้าว", "query_by": "t", "num_typos": "0",
+                    "prefix": "false"})
+    assert [h["document"]["id"] for h in res["hits"]] == ["0"]
+
+
+def test_japanese_kana_kanji_unification():
+    """kakasi romanization: a kana query finds the kanji document
+    (japanese_localizer.h behavior)."""
+    c = Collection("jakana", [Field("t", "string", locale="ja")])
+    c.add({"id": "0", "t": "東京"})
+    c.add({"id": "1", "t": "京都"})
+    res = c.search({"q": "とうきょう", "query_by": "t", "num_typos": "0",
+                    "prefix": "false"})
+    assert [h["document"]["id"] for h in res["hits"]] == ["0"]
+    # romaji query unifies too
+    res2 = c.search({"q": "toukyou", "query_by": "t", "num_typos": "0",
+                     "prefix": "false"})
+    assert [h["document"]["id"] for h in res2["hits"]] == ["0"]

@@ -64,8 +64,10 @@ def test_cjk_bigram_tokens():
 
 
 def test_cjk_single_char_run():
-    assert tokenize("猫", locale="ja") == ["猫"]
-    assert tokenize("猫 犬", locale="ja") == ["猫", "犬"]
+    # ja single kanji: romanized reading (kakasi-style); zh stays raw
+    assert tokenize("猫", locale="ja") == ["neko"]
+    assert tokenize("猫 犬", locale="ja") == ["neko", "inu"]
+    assert tokenize("猫", locale="zh") == ["猫"]
 
 
 def test_hangul_whole_word():

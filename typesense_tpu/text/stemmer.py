@@ -197,7 +197,45 @@ class Stemmer:
             return hit
         if self.language in ("en", "english", ""):
             return porter2_stem(word)
-        return word  # other snowball languages: identity (dictionary-only)
+        from typesense_tpu.text.snowball import STEMMERS
+        fn = STEMMERS.get(self.language.lower())
+        if fn is not None:
+            return fn(word)
+        nl = _nltk_stemmer(self.language.lower())
+        if nl is not None:
+            return nl.stem(word)
+        return word  # unsupported languages: dictionary-only
+
+
+_NLTK_LANGS = {
+    "ar": "arabic", "da": "danish", "nl": "dutch", "fi": "finnish",
+    "hu": "hungarian", "it": "italian", "no": "norwegian",
+    "pt": "portuguese", "ro": "romanian", "es": "spanish", "sv": "swedish",
+    "el": None, "arabic": "arabic", "danish": "danish", "dutch": "dutch",
+    "finnish": "finnish", "hungarian": "hungarian", "italian": "italian",
+    "norwegian": "norwegian", "portuguese": "portuguese",
+    "romanian": "romanian", "spanish": "spanish", "swedish": "swedish",
+}
+_NLTK_CACHE: dict = {}
+
+
+def _nltk_stemmer(lang: str):
+    """Snowball stemmers for the remaining libstemmer languages
+    (stemmer_manager.h:8) via the image's nltk (pure-algorithm, no corpus
+    downloads). de/fr/ru use the first-party implementations in
+    snowball.py; this covers es/it/pt/nl/sv/no/da/fi/hu/ro/ar."""
+    name = _NLTK_LANGS.get(lang)
+    if name is None:
+        return None
+    st = _NLTK_CACHE.get(name)
+    if st is None:
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+            st = SnowballStemmer(name)
+        except Exception:  # noqa: BLE001 — nltk unavailable/odd build
+            st = False
+        _NLTK_CACHE[name] = st
+    return st or None
 
 
 _ACTIVE: "StemmerManager | None" = None

@@ -199,6 +199,39 @@ class Tokenizer:
             nonlocal token_counter
             if not run:
                 return
+            if self.locale == "ja" and not _is_hangul(run[0]):
+                # kakasi-style romanization (japanese_localizer.h): units =
+                # kanji readings + kana subruns; index unit pairs (the
+                # romaji analogue of the bigram scheme) so kana whole-word
+                # queries match kanji docs and vice versa
+                from typesense_tpu.text.japanese import ja_units
+                units = ja_units(run)
+                if len(units) == 1:
+                    results.append((units[0], token_counter, run_start,
+                                    run_start + len(run) - 1))
+                    token_counter += 1
+                else:
+                    for j in range(len(units) - 1):
+                        results.append((units[j] + units[j + 1],
+                                        token_counter,
+                                        run_start + j,
+                                        min(run_start + j + 1,
+                                            run_start + len(run) - 1)))
+                        token_counter += 1
+                return
+            if self.locale == "th" and 0x0E00 <= ord(run[0]) <= 0x0E7F:
+                # dictionary maximal-match segmentation (ICU dictionary
+                # BreakIterator equivalent, tokenizer.h:31)
+                from typesense_tpu.text.thai import segment_thai
+                pos = run_start
+                for word in segment_thai(
+                        unicodedata.normalize("NFKC", run)):
+                    results.append((word, token_counter, pos,
+                                    min(pos + len(word) - 1,
+                                        run_start + len(run) - 1)))
+                    token_counter += 1
+                    pos = min(pos + len(word), run_start + len(run) - 1)
+                return
             if _is_hangul(run[0]):
                 # whole-word hangul token
                 results.append(("".join(norm_cjk(c) for c in run),
