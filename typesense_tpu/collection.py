@@ -392,6 +392,71 @@ class Collection:
             self._deleted_since_build.clear()
         return self._engine
 
+    def warmup(self, log=None) -> float:
+        """Precompile the common kernel-shape grid so first queries don't
+        stall on ~40 s tunnel compiles (TPU-native debt; no reference
+        equivalent). Runs representative searches — Q in {1,2,3} exact,
+        typo+prefix (wide candidate tier), facet and filter+sort variants —
+        against the real index; results are discarded, the jit cache (and
+        the persistent compilation cache) keeps the programs."""
+        import time as _t
+        t_all = _t.time()
+        try:
+            eng = self._ensure_index()
+        except Exception:  # noqa: BLE001 — empty/broken schema: nothing to warm
+            return 0.0
+        terms = [t for t, tid in sorted(
+            self.seg_top_terms(eng), key=lambda kv: -kv[1])][:4]
+        if not terms:
+            return 0.0
+        string_fields = [f.name for f in self.fields
+                         if f.type in ("string", "string[]") and f.index]
+        if not string_fields:
+            return 0.0
+        qb = ",".join(string_fields[:2])
+        facet_f = next((f.name for f in self.fields if f.facet), None)
+        sort_f = next((f.name for f in self.fields
+                       if f.type in ("int32", "int64", "float")), None)
+        base = {"query_by": qb, "per_page": 10}
+        mixes = [
+            {"q": terms[0], "prefix": "false", "num_typos": "0"},
+            {"q": " ".join(terms[:2]), "prefix": "false", "num_typos": "0"},
+            {"q": " ".join((terms * 3)[:3]), "prefix": "false",
+             "num_typos": "0"},
+            {"q": terms[0][:-1] + "x" if len(terms[0]) > 3 else terms[0],
+             "prefix": "true", "num_typos": "2"},
+            {"q": " ".join((terms * 2)[:2]), "prefix": "true",
+             "num_typos": "2"},
+        ]
+        if facet_f:
+            mixes.append({"q": terms[0], "prefix": "false", "num_typos": "0",
+                          "facet_by": facet_f})
+        if sort_f:
+            mixes.append({"q": " ".join(terms[:2]), "prefix": "false",
+                          "num_typos": "0", "sort_by": f"{sort_f}:desc",
+                          "filter_by": f"{sort_f}:>0"})
+        for mix in mixes:
+            t0 = _t.time()
+            try:
+                self.search({**base, **mix})
+            except Exception:  # noqa: BLE001 — warmup must never break boot
+                continue
+            if log is not None:
+                log(f"warmup {self.name} {mix.get('q', '')!r} "
+                    f"typos={mix.get('num_typos')} "
+                    f"{_t.time() - t0:.1f}s")
+        return _t.time() - t_all
+
+    @staticmethod
+    def seg_top_terms(eng) -> list[tuple[str, int]]:
+        seg = eng.seg
+        out = []
+        for term, tid in list(seg.term_to_id.items())[:50000]:
+            if len(term) >= 3 and term.isalpha():
+                out.append((term, int(seg.term_doc_freq[tid])))
+        out.sort(key=lambda kv: -kv[1])
+        return out[:8]
+
     def _engines(self) -> list[IndexEngine]:
         '''Live segments: the main one plus (when recent writes exist) a
         small delta segment, searched together and merged by sort keys.'''

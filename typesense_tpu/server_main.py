@@ -59,9 +59,24 @@ def make_server(argv: list[str] | None = None) -> HttpServer:
     server.pers_models.load()
     manager.stemmers.load()
 
-    # housekeeping (housekeeper.h:7): periodic analytics flush + expired
-    # API key deletion on a daemon thread
+    # boot-time shape precompile (background): the common kernel grid
+    # compiles while the server is already serving, so first real queries
+    # hit warm programs instead of ~40 s tunnel compiles
     import threading
+
+    def _precompile():
+        import time as _t
+        for name in list(manager.collections):
+            try:
+                coll = manager.get_collection(name)
+            except Exception:  # noqa: BLE001
+                continue
+            took = coll.warmup(log=lambda m: print(f"[precompile] {m}",
+                                                   flush=True))
+            if took:
+                print(f"[precompile] {name} done in {took:.1f}s", flush=True)
+    if cfg.data_dir:
+        threading.Thread(target=_precompile, daemon=True).start()
 
     def _housekeeping():
         import time as _t
