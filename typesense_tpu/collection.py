@@ -476,10 +476,157 @@ class Collection:
         return [main, self._delta_engine]
 
     # ------------------------------------------------------------------
+    # mesh serving path (opt-in): TS_MESH=1 with >1 visible device routes
+    # supported searches through the doc-sharded ShardedEngine
+    # (SURVEY §2.4: intra-request fan-out -> sharded SPMD execution,
+    # /root/reference/src/index.cpp:6653-6655)
+    # ------------------------------------------------------------------
+    def _mesh_engine(self):
+        import os
+        if os.environ.get("TS_MESH") != "1":
+            return None
+        import jax
+        if len(jax.devices()) < 2:
+            return None
+        if getattr(self, "_sharded", None) is None or self._dirty or \
+            getattr(self, "_sharded_seq", -1) != self.next_seq_id:
+            from typesense_tpu.parallel.sharded import ShardedEngine, make_mesh
+            items = sorted(self.docs.items())
+            if self._needs_flatten():
+                items = [(s, self._flat_doc(d)) for s, d in items]
+            self._sharded = ShardedEngine(items, self.fields, make_mesh())
+            self._sharded_seq = self.next_seq_id
+        return self._sharded
+
+    def _mesh_search(self, params: dict):
+        """Serve via the mesh when the query fits the sharded interface
+        (keyword + typo + range filter + single-value facets + column
+        sorts). Returns a response dict, or None to fall through to the
+        single-device path (hybrid/joins/groups/etc)."""
+        import re as _re
+        from typesense_tpu.search import kernels as _k
+        q = params.get("q", "")
+        if q in ("", "*") or params.get("vector_query") or \
+                params.get("group_by") or "$" in str(params.get("filter_by",
+                                                                "")):
+            return None
+        sharded = self._mesh_engine()
+        if sharded is None:
+            return None
+        query_by = _as_list(params.get("query_by"))
+        if not query_by or any(f not in sharded.field_idx
+                               for f in query_by):
+            return None
+        filter_by = str(params.get("filter_by", "") or "")
+        filter_range = None
+        if filter_by:
+            m = _re.fullmatch(r"\s*(\w+)\s*:\s*(>=?|<=?)\s*(-?\d+)\s*",
+                              filter_by)
+            m2 = _re.fullmatch(r"\s*(\w+)\s*:\s*\[(-?\d+)\.\.(-?\d+)\]\s*",
+                               filter_by)
+            if m and m.group(1) in sharded.sort_cols:
+                v = int(m.group(3))
+                op = m.group(2)
+                lo = v + (1 if op == ">" else 0) if op.startswith(">") \
+                    else -(2**60)
+                hi = v - (1 if op == "<" else 0) if op.startswith("<") \
+                    else (2**60)
+                filter_range = (m.group(1), lo, hi)
+            elif m2 and m2.group(1) in sharded.sort_cols:
+                filter_range = (m2.group(1), int(m2.group(2)),
+                                int(m2.group(3)))
+            else:
+                return None
+        # default sort assembly mirrors _parse_sort_by (collection.cpp
+        # :1735-1825): text desc then default_sorting_field / seq id
+        sort_by = str(params.get("sort_by", "") or "")
+        if sort_by:
+            sort_specs = []
+            have_text = False
+            for part in sort_by.split(","):
+                part = part.strip()
+                mm = _re.fullmatch(r"(\w+):(asc|desc)", part)
+                if not mm:
+                    return None
+                name, order = mm.group(1), mm.group(2)
+                if name == "_text_match":
+                    sort_specs.append((_k.SLOT_TEXT, 1, None))
+                    have_text = True
+                    continue
+                if name not in sharded.sort_cols:
+                    return None
+                sort_specs.append((_k.SLOT_COLUMN,
+                                   1 if order == "desc" else -1, name))
+            if not have_text and len(sort_specs) < 3:
+                sort_specs.append((_k.SLOT_TEXT, 1, None))
+            sort_specs = sort_specs[:3]
+        else:
+            sort_specs = [(_k.SLOT_TEXT, 1, None)]
+            if self.default_sorting_field:
+                sort_specs.append((_k.SLOT_COLUMN, 1,
+                                   self.default_sorting_field))
+            else:
+                sort_specs.append((_k.SLOT_SEQ_ID, 1, None))
+        facet_by = [f for f in _as_list(params.get("facet_by"))
+                    if f in sharded.facet_values]
+        tokens, phrase_pairs, excl = parse_query_text(
+            str(q), self.field_map.get(query_by[0]) or self.fields[0])
+        if not tokens or len(tokens) > 10 or phrase_pairs or any(excl):
+            return None
+        num_typos = [int(x) for x in
+                     _as_list(params.get("num_typos")) or ["2"]]
+        prefixes = [x.lower() == "true" for x in
+                    _as_list(params.get("prefix")) or ["true"]]
+        per_page = int(params.get("per_page", 10))
+        page = max(int(params.get("page", 1)), 1)
+        k = min(max(per_page * page, 16), 1024)
+        mode = "dense2"
+        weights = [max(0, FIELD_MAX_WEIGHT - i)
+                   for i in range(len(query_by))]
+        raw = sharded.search(
+            tokens, query_by, weights, sort_specs=sort_specs,
+            facet_fields=facet_by, num_typos=num_typos, prefixes=prefixes,
+            filter_range=filter_range, k=k, mode=mode)
+        hits = []
+        start = (page - 1) * per_page
+        text_slot = next((i for i, s in enumerate(sort_specs)
+                          if s[0] == _k.SLOT_TEXT), None)
+        for i, did in enumerate(raw.doc_ids[start:start + per_page]):
+            doc = self.docs.get(int(did))
+            if doc is None:
+                continue
+            tm = int(raw.scores[start + i][text_slot]) \
+                if text_slot is not None else 0
+            hits.append({
+                "document": dict(doc),
+                "text_match": tm,
+                "text_match_info": {"score": str(tm)},
+            })
+        facet_counts = []
+        for fname in facet_by:
+            vals, cnts = raw.facet_counts[fname]
+            counts = [{"value": v, "count": int(c)}
+                      for v, c in zip(vals, cnts) if int(c) > 0]
+            counts.sort(key=lambda x: -x["count"])
+            facet_counts.append({"field_name": fname, "counts": counts})
+        return {"found": raw.found, "out_of": raw.out_of,
+                "page": page, "hits": hits, "facet_counts": facet_counts,
+                "search_cutoff": False, "request_params": {
+                    "collection_name": self.name, "q": q,
+                    "per_page": per_page}}
+
+    # ------------------------------------------------------------------
     # search (collection.cpp:2807 Collection::search)
     # ------------------------------------------------------------------
     def search(self, params: dict) -> dict:
         t0 = time.monotonic()
+        if params.get("q") not in (None, "", "*"):
+            try:
+                mesh_res = self._mesh_search(params)
+            except Exception:  # noqa: BLE001 — mesh is opt-in best-effort
+                mesh_res = None
+            if mesh_res is not None:
+                return mesh_res
         # bounded search budget (thread_local_vars.h:5-9 search_stop_us;
         # kernels are fixed-trip so the budget gates optional passes instead)
         cutoff_ms = int(params.get("search_cutoff_ms", 30000) or 30000)

@@ -422,6 +422,63 @@ class ShardedEngine:
 
         self._kern_cache: dict = {}
 
+        # ---- dense2 artifacts: meta32 postings, head planes, facet cols
+        from typesense_tpu.index.artifacts import (
+            MA_EMPTY, build_head_planes, pack_post_meta32_device,
+        )
+        metas, heads_a, heads_b = [], [], []
+        for vi, seg in enumerate(segs):
+            pd = jax.device_put(
+                pad(seg.post_doc_ids, P_len).astype(np.int32))
+            m32 = np.asarray(pack_post_meta32_device(
+                seg.post_flags, seg.pos_offsets, seg.positions))
+            metas.append(pad(m32.astype(np.uint32), P_len))
+            ha, hb, hm = build_head_planes(seg, pd)
+            heads_a.append(np.asarray(ha))
+            heads_b.append(np.asarray(hb))
+            self.views[vi].names = {"head_map": hm}
+            self.views[vi].seg.post_len = P_len
+        Hmax = max(h.shape[0] for h in heads_a)
+
+        def pad_plane(h, fill):
+            out = np.full((Hmax, per_docs), fill, np.int32)
+            if h.shape[1] >= per_docs:
+                out[:h.shape[0], :] = h[:, :per_docs]
+            else:
+                out[:h.shape[0], :h.shape[1]] = h
+            return out
+
+        self.post_meta = put(np.stack(metas))
+        self.head_a = put(np.stack([pad_plane(h, MA_EMPTY)
+                                    for h in heads_a]))
+        self.head_b = put(np.stack([pad_plane(h, 0) for h in heads_b]))
+        # dense one-hot facet columns (GLOBAL value ids; sentinel = V)
+        self.facet_single: dict[str, jax.Array | None] = {}
+        for name in facet_names:
+            V = len(self.facet_values[name])
+            cols = []
+            ok = True
+            for seg in segs:
+                offs, vals = seg.facet_columns[name]
+                counts = np.diff(offs)
+                if counts.max(initial=0) > 1:
+                    ok = False
+                    break
+                col = np.full(per_docs, V, np.int32)
+                has = counts == 1
+                col[has] = vals[offs[:-1][has]]
+                cols.append(col)
+            self.facet_single[name] = put(np.stack(cols)) if ok else None
+        # vector fields (bf16 at scale, like the single-chip engine)
+        self.vectors: dict[str, jax.Array] = {}
+        for name in segs[0].vectors:
+            stacked = np.stack([s.vectors[name] for s in segs])
+            if per_docs >= 100_000:
+                self.vectors[name] = jax.device_put(
+                    jnp.asarray(stacked, jnp.bfloat16), shard)
+            else:
+                self.vectors[name] = put(stacked)
+
     # ------------------------------------------------------------------
     def _sharded_kernel(self, statics: tuple):
         kern = self._kern_cache.get(statics)
@@ -467,6 +524,93 @@ class ShardedEngine:
         return kern
 
     # ------------------------------------------------------------------
+    def _sharded_dense2(self, statics: tuple):
+        """Sharded dense2: each shard runs the whole-corpus fused scan over
+        its OWN doc slice (head planes + meta32 scatter + block-select
+        cascade, kernels.dense2_kernel_body), then top-k/facets/found merge
+        over ICI — the production path for high-volume queries on a mesh."""
+        key = ("dense2",) + statics
+        kern = self._kern_cache.get(key)
+        if kern is not None:
+            return kern
+        (Q, F, C, HPF, SCB, SCBB, SSB, K, HC, Pp, iters, slot_kinds,
+         slot_signs, pe, pnf, n_facets, f_sizes, excl, N_local, match_type,
+         ptp) = statics
+
+        def local(pd, pm, po, pos, ftc, ha, hb, fm, qbuf, c0, c1, c2, db,
+                  f_cols):
+            buf = kernels.dense2_kernel_body(
+                Q, F, C, HPF, SCB, SCBB, SSB, K, HC, Pp, iters, slot_kinds,
+                slot_signs, pe, pnf, n_facets, f_sizes, excl, N_local,
+                False, match_type, ptp,
+                pd[0], pm[0], po[0], pos[0], ftc[0], ha[0], hb[0], fm[0],
+                qbuf[0], c0[0], c1[0], c2[0],
+                tuple(x[0] for x in f_cols), doc_base=db[0])
+            rid = buf[:K]
+            r0, r1, r2 = buf[K:2 * K], buf[2 * K:3 * K], buf[3 * K:4 * K]
+            found = buf[4 * K]
+            o = 4 * K + 1
+            gid = lax.all_gather(rid, DOC_AXIS, tiled=True)
+            g0 = lax.all_gather(r0, DOC_AXIS, tiled=True)
+            g1 = lax.all_gather(r1, DOC_AXIS, tiled=True)
+            g2 = lax.all_gather(r2, DOC_AXIS, tiled=True)
+            m0, m1, m2, mid = kernels.topk_merge(
+                g0, g1, g2, gid.astype(jnp.int32), gid >= 0, K)
+            found = lax.psum(found, DOC_AXIS)
+            out = [mid.astype(jnp.int64), m0, m1, m2, found[None]]
+            for sz in f_sizes:
+                out.append(lax.psum(buf[o:o + sz], DOC_AXIS))
+                o += sz
+            return jnp.concatenate(out)[None]
+
+        spec = P(DOC_AXIS)
+        kern = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(spec,) * 14,
+            out_specs=spec, check_vma=False))
+        self._kern_cache[key] = kern
+        return kern
+
+    # ------------------------------------------------------------------
+    def vector_search(self, field_name: str, query_vec, k: int = 10,
+                      distance_threshold: float = 3.4e38):
+        """Sharded brute kNN: fused matmul + local top-k per doc shard,
+        all_gather + re-top-k over ICI (the mesh mapping of
+        index.cpp:3345's flat scan). Returns (global ids, distances)."""
+        vecs = self.vectors[field_name]
+        K = min(int(k), self.N_local)
+        key = ("knn", field_name, K)
+        kern = self._kern_cache.get(key)
+        if kern is None:
+            def local(v, live, db, q, thr):
+                q1 = q.astype(v.dtype)
+                sims = jax.lax.dot_general(
+                    q1[None, :], v[0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)[0]
+                dist = jnp.where(live[0], 1.0 - sims, jnp.inf)
+                dist = jnp.where(dist <= thr, dist, jnp.inf)
+                nv, ni = lax.top_k(-dist, K)
+                ids = jnp.where(jnp.isfinite(nv), db[0][ni], -1)
+                av = lax.all_gather(nv, DOC_AXIS, tiled=True)
+                ai = lax.all_gather(ids, DOC_AXIS, tiled=True)
+                gv, gi = lax.top_k(av, K)
+                return ai[gi][None], (-gv)[None]
+
+            spec = P(DOC_AXIS)
+            kern = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(spec, spec, spec, P(), P()),
+                out_specs=(spec, spec), check_vma=False))
+            self._kern_cache[key] = kern
+        ids, dists = kern(vecs, self.live, self.doc_base,
+                          jnp.asarray(query_vec, jnp.float32),
+                          jnp.float32(distance_threshold))
+        ids = np.asarray(ids)[0]
+        dists = np.asarray(dists)[0]
+        valid = np.isfinite(dists)
+        return ids[valid][:k], dists[valid][:k]
+
+    # ------------------------------------------------------------------
     def search(self, tokens: list[str], field_names: list[str],
                field_weights: list[int] | None = None,
                sort_specs: list[tuple] | None = None,
@@ -475,12 +619,13 @@ class ShardedEngine:
                prefixes: list[bool] | None = None,
                max_candidates: int = 64,
                filter_range: tuple | None = None,
-               k: int = 16) -> RawResult:
+               k: int = 16, mode: str = "scatter") -> RawResult:
         """Typo-tolerant faceted filtered search over the mesh.
 
         sort_specs: up to 3 of (kind, sign, column_name_or_None) using
         kernels.SLOT_* kinds. filter_range: (num_field, lo, hi) inclusive.
-        """
+        mode: "scatter" (driver-stream kernel) or "dense2" (whole-corpus
+        fused scan with head planes + block-select cascade)."""
         from typesense_tpu.search.candidates import token_candidate_sets
 
         num_typos = num_typos or [0]
@@ -488,8 +633,12 @@ class ShardedEngine:
         field_weights = field_weights or [1] * len(field_names)
         facet_fields = [f for f in (facet_fields or [])
                         if f in self.facet_values]
+        if mode == "dense2" and any(self.facet_single.get(f) is None
+                                    for f in facet_fields):
+            mode = "scatter"   # multi-value facets need the CSR path
 
         # per-shard planning with the single-device planner
+        mode_force = {"mode": "dense2"} if mode == "dense2" else {}
         preps = []
         per_shard_cands = []
         for view in self.views:
@@ -498,10 +647,15 @@ class ShardedEngine:
                 max_candidates, typo_tokens_threshold=1)
             per_shard_cands.append(cands)
             preps.append(IndexEngine.prepare_keyword_dispatch(
-                view, cands, field_names, field_weights, k=k))
+                view, cands, field_names, field_weights, k=k,
+                force=dict(mode_force) or None))
         if all(p is None for p in preps):
             return RawResult(np.empty(0, np.int32),
                              np.empty((0, 3), np.int64), 0)
+        if mode == "dense2":
+            return self._search_dense2(preps, per_shard_cands, field_names,
+                                       field_weights, sort_specs,
+                                       facet_fields, filter_range, k)
         # one SPMD program: every shard re-plans with the SAME statics
         force = {
             "C": max(p["C"] for p in preps if p),
@@ -563,6 +717,70 @@ class ShardedEngine:
             f_offs, f_vals))[0]
         K = force["K"]
         rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
+        scores = np.stack([r0, r1, r2], axis=1)
+        valid = rid >= 0
+        rid, scores = rid[valid][:k], scores[valid][:k]
+        facets = {f: (self.facet_values[f], f_acc[i])
+                  for i, f in enumerate(facet_fields)}
+        return RawResult(doc_ids=rid, scores=scores, found=int(found),
+                         facet_counts=facets,
+                         out_of=int(sum(s.live.sum() for s in self.segs)))
+
+
+    def _search_dense2(self, preps, per_shard_cands, field_names,
+                       field_weights, sort_specs, facet_fields,
+                       filter_range, k) -> RawResult:
+        from typesense_tpu.search.engine import MAX_POS_PER_POSTING
+        force = {
+            "mode": "dense2",
+            "C": max(p["C"] for p in preps),
+            "K": max(p["K"] for p in preps),
+            "HPF": max(p["HPF"] for p in preps),
+            "SCB": max(p["SCB"] for p in preps),
+            "SCBB": max(p["SCBB"] for p in preps),
+        }
+        preps = [IndexEngine.prepare_keyword_dispatch(
+            view, cands, field_names, field_weights, k=k, force=force)
+            for view, cands in zip(self.views, per_shard_cands)]
+        qbuf = jax.device_put(
+            np.stack([p["qbuf"] for p in preps]), self._shard)
+
+        kinds, signs, cols = [], [], []
+        sort_specs = list(sort_specs or [(kernels.SLOT_TEXT, 1, None)])
+        for i in range(3):
+            if i < len(sort_specs):
+                kd, sg, nm = sort_specs[i]
+                kinds.append(kd)
+                signs.append(sg)
+                cols.append(self.sort_cols[nm] if nm else self._zero_col)
+            else:
+                kinds.append(kernels.SLOT_NONE)
+                signs.append(1)
+                cols.append(self._zero_col)
+
+        if filter_range is not None:
+            fname, lo, hi = filter_range
+            fmask = _range_mask(self._raw_cols[fname], self.live, lo, hi)
+        else:
+            fmask = self.live
+
+        f_cols = tuple(self.facet_single[f] for f in facet_fields)
+        f_sizes = tuple(len(self.facet_values[f]) for f in facet_fields)
+        p0 = preps[0]
+        K = force["K"]
+        statics = (p0["Q"], p0["Fq"], force["C"], force["HPF"],
+                   force["SCB"], force["SCBB"], p0["SSB"], K, 512,
+                   MAX_POS_PER_POSTING, self._iters,
+                   tuple(kinds), tuple(signs), True, True,
+                   len(facet_fields), f_sizes, (), self.N_local, 0, False)
+        kern = self._sharded_dense2(statics)
+        buf = np.asarray(kern(
+            self.post_doc_ids, self.post_meta, self.pos_offsets,
+            self.positions, self.field_token_counts, self.head_a,
+            self.head_b, fmask, qbuf, cols[0], cols[1], cols[2],
+            self.doc_base, f_cols))[0]
+        rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K,
+                                                              f_sizes)
         scores = np.stack([r0, r1, r2], axis=1)
         valid = rid >= 0
         rid, scores = rid[valid][:k], scores[valid][:k]

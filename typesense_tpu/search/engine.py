@@ -318,6 +318,8 @@ class IndexEngine:
         mode = "probe" if use_probe else \
             ("scatter" if (phrase_pairs or force or not dense_ok)
              else "dense2")
+        if force.get("mode"):
+            mode = force["mode"]   # sharded engine pins one SPMD mode
         forced_mode = getattr(self, "_force_mode", None)  # tests/benchmarks
         if forced_mode and not force and not phrase_pairs:
             mode = forced_mode
@@ -329,7 +331,8 @@ class IndexEngine:
         # dynamic_slice stays inside small segments' posting arrays
         import math
         _posts = getattr(self.seg, "post_doc_ids", None)
-        _plen = len(_posts) if _posts is not None else (1 << 31)  # shard views
+        _plen = getattr(self.seg, "post_len", None) or \
+            (len(_posts) if _posts is not None else (1 << 31))  # shard views
         SSB = min(131072, 1 << int(math.log2(max(_plen, 1))))
         BIG_ROW_MIN = 16384   # rows at least this long use big descriptors
         HPF_MAX = 8           # head-plane slots per (token, field)
@@ -386,6 +389,16 @@ class IndexEngine:
             SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
             SCBB = bucket4(max(n_big, 1), lo=8, hi=1 << 16)
             HPF = 0
+        # the sharded engine pins identical statics on every shard so one
+        # SPMD program serves the mesh
+        if force.get("SCB") is not None:
+            SCB = force["SCB"]
+        if force.get("SCBB") is not None:
+            SCBB = force["SCBB"]
+        if force.get("HPF") is not None:
+            HPF = force["HPF"]
+            # drop head slots past the forced width (stay within hrow pad)
+            head_slots = {qf: v[:HPF] for qf, v in head_slots.items()}
         spad = SCB - n_sc
         sc_starts = np.asarray(s_starts + [0] * spad, dtype=np.int64)
         sc_lens = np.asarray(s_lens + [0] * spad, dtype=np.int64)

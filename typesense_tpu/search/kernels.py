@@ -697,6 +697,35 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     (/root/reference/src/index.cpp:5385, or_iterator.h:61-182,
     include/topster.h).
     """
+    @jax.jit
+    def kernel(post_doc_ids, post_meta, pos_offsets, positions,
+               field_token_counts, head_a, head_b, filter_mask, qbuf,
+               sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None):
+        return dense2_kernel_body(
+            Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
+            slot_signs, prioritize_exact, prioritize_num_fields, n_facets,
+            facet_sizes, exclude_flags, N, pack2, match_type,
+            prioritize_token_position,
+            post_doc_ids, post_meta, pos_offsets, positions,
+            field_token_counts, head_a, head_b, filter_mask, qbuf,
+            sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base)
+
+    return kernel
+
+
+def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
+                       slot_kinds, slot_signs, prioritize_exact,
+                       prioritize_num_fields, n_facets, facet_sizes,
+                       exclude_flags, N, pack2, match_type,
+                       prioritize_token_position,
+                       post_doc_ids, post_meta, pos_offsets, positions,
+                       field_token_counts, head_a, head_b, filter_mask,
+                       qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
+                       doc_base=None):
+    """Traceable dense2 program shared by the single-chip jit wrapper
+    (build_dense2_kernel) and the shard_map'd multi-chip engine
+    (parallel/sharded.py), which calls it per doc shard and merges the
+    packed result buffers with ICI collectives."""
     exclude = tuple(bool(x) for x in exclude_flags) + \
         (False,) * (Q - len(exclude_flags))
     has_scatter = SCB > 0 or SCBB > 0
@@ -706,11 +735,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     # so heavy docs (meta can't hold all positions) must rescore then too
     need_heavy = need_text and (Q > 1 or ptp)
     HSLOTS = Q * F * HPF
-
-    @jax.jit
-    def kernel(post_doc_ids, post_meta, pos_offsets, positions,
-               field_token_counts, head_a, head_b, filter_mask, qbuf,
-               sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None):
+    if True:
         o = 0
         sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
         sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
@@ -1133,8 +1158,6 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
         return jnp.concatenate(out)
-
-    return kernel
 
 
 def pack_probe_buf(drows_start, drows_cum, n_chunks, drv,
