@@ -503,7 +503,7 @@ class IndexEngine:
                              for f in facet_fields)
             kern = kernels.build_dense2_kernel(
                 Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
-                K, 512, MAX_POS_PER_POSTING, self._iters,
+                K, 1024, MAX_POS_PER_POSTING, self._iters,
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_sizes,
                 tuple(exclude_flags), self.N, pack2, match_type,

@@ -890,11 +890,17 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         tc = jnp.sum(jnp.where(tok_any & tv, min_cost_q, 0), axis=0)
         query_len = jnp.sum(tok_any & tv, axis=0).astype(jnp.int32)
 
+        # upper-bound text score for heavy docs (best possible proximity):
+        # used to SKIP the exact CSR rescore for heavy docs that provably
+        # cannot reach the stage-1 threshold (the rescore loop measured
+        # ~6.6 ms of a 19.6 ms 2-token query before this gate)
+        need_ub = need_heavy and slot_kinds[0] == SLOT_TEXT
         if need_text:
             from typesense_tpu.ops.match import (INF as MATCH_INF,
                                                  match_components_p4)
             best_score = jnp.zeros(N, jnp.int64)
             best_weight = jnp.zeros(N, jnp.int64)
+            best_ub = jnp.zeros(N, jnp.int64)
             for f in range(F):
                 mf = inc_member[:, f]                          # (Q, N)
                 cntf = ((va[:, f] >> MA_CNT_SHIFT) & 3) + 1
@@ -949,16 +955,30 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                                       off_sc, jnp.ones(N, jnp.int32))
                 fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
                 w64 = field_weights[f].astype(jnp.int64)
+                if need_ub:
+                    fs_ub = pack_field_score(
+                        uw, uw, tc, jnp.zeros(N, jnp.int32),
+                        jnp.full(N, 1 if prioritize_exact else 0,
+                                 jnp.int32),
+                        jnp.full(N, 255 if ptp else 0, jnp.int32),
+                        jnp.ones(N, jnp.int32))
+                    fs_ub = jnp.where(jnp.any(mf, axis=0), fs_ub, 0)
                 if match_type == 1:
                     better = (fs > 0) & (w64 > best_weight)
                     best_score = jnp.where(better, fs, best_score)
                     best_weight = jnp.where(better, w64, best_weight)
+                    if need_ub:
+                        best_ub = jnp.where(better, fs_ub, best_ub)
                 elif match_type == 2:
                     best_score = best_score + w64 * fs
+                    if need_ub:
+                        best_ub = best_ub + w64 * fs_ub
                 else:
                     better = fs > best_score
                     best_weight = jnp.where(better, w64, best_weight)
                     best_score = jnp.maximum(best_score, fs)
+                    if need_ub:
+                        best_ub = jnp.maximum(best_ub, fs_ub)
             if prioritize_num_fields:
                 nmf = jnp.sum(jnp.any(inc_member, axis=0),
                               axis=0).astype(jnp.int32)
@@ -967,6 +987,11 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
             text_match = pack_aggregated_score(ql, best_score, best_weight,
                                                nmf, match_type)
+            if need_ub:
+                # weight/nmf forced to max so ub >= any exact packing
+                text_ub = pack_aggregated_score(
+                    ql, best_ub, jnp.full(N, 127, jnp.int64),
+                    jnp.full(N, 7, jnp.int32), match_type)
         else:
             text_match = jnp.zeros(N, jnp.int64)
 
@@ -1079,7 +1104,14 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             HCT = min(HC, N)
             hlane = jnp.arange(HCT, dtype=jnp.int32)
             lid = jnp.arange(N, dtype=jnp.int32)  # LOCAL index for gathers
-            heavy_m = m & heavy
+            # threshold gate: a heavy doc whose UPPER-BOUND slot-0 key is
+            # below the stage-1 threshold t0 cannot enter the top-K (t0 is
+            # the exact KT-th best among light docs; ties at t0 included
+            # via >=). Non-text slot-0 keys carry no proximity, so the
+            # doc's own exact key gates directly. When fewer than KT light
+            # docs exist t0 = KEY_MIN and every heavy doc rescored.
+            ub0 = text_ub if need_ub else k0
+            heavy_m = m & heavy & (ub0 >= t0)
             use_hblock, HBW, HNB, HPADN = _block_params(N, HCT)
 
             def rescore_round(carry):
