@@ -312,15 +312,21 @@ class Collection:
         flat.update(flatten_paths(doc))
         return flat
 
-    def _get_embedder(self, f: Field):
+    def _embedder_manager(self):
         from typesense_tpu.models.embedder import EmbedderManager
-        mcfg = (f.embed or {}).get("model_config", {})
+        own = getattr(self, "embedders", None)
+        if own is not None:
+            return own
         if self.manager is not None:
-            return self.manager.embedders.get(mcfg)
+            return self.manager.embedders
         global _DEFAULT_EMBEDDERS
         if _DEFAULT_EMBEDDERS is None:
             _DEFAULT_EMBEDDERS = EmbedderManager()
-        return _DEFAULT_EMBEDDERS.get(mcfg)
+        return _DEFAULT_EMBEDDERS
+
+    def _get_embedder(self, f: Field):
+        return self._embedder_manager().get(
+            (f.embed or {}).get("model_config", {}))
 
     def _auto_embed(self):
         """Generate embeddings for `embed.from` fields on docs lacking them
@@ -329,15 +335,22 @@ class Collection:
         for f in self.fields:
             if not f.embed or not f.embed.get("from"):
                 continue
-            emb = self._get_embedder(f)
-            if not f.num_dim:
-                f.num_dim = emb.num_dim
-                f.type = ftypes.FLOAT_ARRAY
             src_fields = f.embed["from"]
             img_srcs = [sf for sf in src_fields
                         if self.field_map.get(sf) is not None
                         and self.field_map[sf].type == ftypes.IMAGE]
             txt_srcs = [sf for sf in src_fields if sf not in img_srcs]
+            if img_srcs and not txt_srcs:
+                # image-only embed field: dims come from the VISION tower
+                # (a converted CLIP checkpoint may differ from the text
+                # tower's builtin spec)
+                emb = self._embedder_manager().get_image(
+                    (f.embed or {}).get("model_config", {}))
+            else:
+                emb = self._get_embedder(f)
+            if not f.num_dim:
+                f.num_dim = emb.num_dim
+                f.type = ftypes.FLOAT_ARRAY
             todo_seqs, todo_texts, todo_imgs = [], [], []
             for seq, doc in self.docs.items():
                 if isinstance(doc.get(f.name), list):
@@ -361,10 +374,8 @@ class Collection:
             if todo_imgs:
                 # image docs embed through the CLIP-vision tower
                 # (image_embedder.h; same space as the text tower)
-                from typesense_tpu.models.embedder import EmbedderManager
-                mgr = self.manager.embedders if self.manager is not None \
-                    else _DEFAULT_EMBEDDERS
-                ienc = mgr.get_image((f.embed or {}).get("model_config", {}))
+                ienc = self._embedder_manager().get_image(
+                    (f.embed or {}).get("model_config", {}))
                 vecs = ienc.embed_images_base64([b for _, b in todo_imgs])
                 if vecs.shape[1] != f.num_dim:
                     # pad/trim into the field's space (mismatched towers)

@@ -196,9 +196,91 @@ def convert_whisper(model_dir_or_name: str, out_path: str) -> str:
     return out_path
 
 
+def convert_clip_state_dict(sd: dict, n_heads: int, image_size: int,
+                            patch_size: int,
+                            precision: str = "bf16") -> dict:
+    """CLIPVisionModel state_dict -> flat npz dict for
+    embedder._clip_vision_forward (reference: CLIP vision ONNX session,
+    /root/reference/include/image_embedder.h)."""
+    def t(key):
+        return np.asarray(sd[key].detach().cpu().numpy(), np.float32)
+
+    pfx = "vision_model."
+    if not any(k.startswith(pfx) for k in sd):
+        pfx = ""
+    dim = t(pfx + "embeddings.class_embedding").shape[0]
+    # Conv2d patch embedding (dim, 3, P, P) -> (P*P*3, dim) linear over
+    # patches flattened (h, w, c) like the engine's patchify
+    conv = t(pfx + "embeddings.patch_embedding.weight")
+    lin = conv.transpose(2, 3, 1, 0).reshape(-1, dim)
+    out = {
+        "arch": np.asarray("clip_vision"),
+        "precision": np.asarray(precision),
+        "n_heads": np.asarray(n_heads, np.int32),
+        "image_size": np.asarray(image_size, np.int32),
+        "patch_size": np.asarray(patch_size, np.int32),
+        "class_emb": t(pfx + "embeddings.class_embedding"),
+        "patch_proj": lin,
+        "pos_emb": t(pfx + "embeddings.position_embedding.weight"),
+        "pre_ln_g": t(pfx + "pre_layrnorm.weight"),
+        "pre_ln_b": t(pfx + "pre_layrnorm.bias"),
+        "post_ln_g": t(pfx + "post_layernorm.weight"),
+        "post_ln_b": t(pfx + "post_layernorm.bias"),
+    }
+    if "visual_projection.weight" in sd:
+        out["visual_proj"] = t("visual_projection.weight").T
+    i = 0
+    while f"{pfx}encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"{pfx}encoder.layers.{i}."
+        out.update({
+            f"blocks.{i}.wq": t(p + "self_attn.q_proj.weight").T,
+            f"blocks.{i}.bq": t(p + "self_attn.q_proj.bias"),
+            f"blocks.{i}.wk": t(p + "self_attn.k_proj.weight").T,
+            f"blocks.{i}.bk": t(p + "self_attn.k_proj.bias"),
+            f"blocks.{i}.wv": t(p + "self_attn.v_proj.weight").T,
+            f"blocks.{i}.bv": t(p + "self_attn.v_proj.bias"),
+            f"blocks.{i}.wo": t(p + "self_attn.out_proj.weight").T,
+            f"blocks.{i}.bo": t(p + "self_attn.out_proj.bias"),
+            f"blocks.{i}.ln1_g": t(p + "layer_norm1.weight"),
+            f"blocks.{i}.ln1_b": t(p + "layer_norm1.bias"),
+            f"blocks.{i}.w1": t(p + "mlp.fc1.weight").T,
+            f"blocks.{i}.b1": t(p + "mlp.fc1.bias"),
+            f"blocks.{i}.w2": t(p + "mlp.fc2.weight").T,
+            f"blocks.{i}.b2": t(p + "mlp.fc2.bias"),
+            f"blocks.{i}.ln2_g": t(p + "layer_norm2.weight"),
+            f"blocks.{i}.ln2_b": t(p + "layer_norm2.bias"),
+        })
+        i += 1
+    out["n_layers"] = np.asarray(i, np.int32)
+    return out
+
+
+def convert_clip(model_dir_or_name: str, out_path: str,
+                 precision: str = "bf16") -> str:
+    """Local HF CLIP checkpoint (CLIPModel or CLIPVisionModel) ->
+    image-embedder .npz."""
+    try:
+        from transformers import CLIPModel
+        model = CLIPModel.from_pretrained(model_dir_or_name)
+        cfg = model.config.vision_config
+    except Exception:  # noqa: BLE001 — vision-only checkpoints
+        from transformers import CLIPVisionModel
+        model = CLIPVisionModel.from_pretrained(model_dir_or_name)
+        cfg = model.config
+    arrays = convert_clip_state_dict(
+        model.state_dict(), n_heads=cfg.num_attention_heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        precision=precision)
+    np.savez_compressed(out_path, **arrays)
+    return out_path
+
+
 def main():
     if len(sys.argv) == 4 and sys.argv[1] == "--whisper":
         print(f"wrote {convert_whisper(sys.argv[2], sys.argv[3])}")
+        return
+    if len(sys.argv) == 4 and sys.argv[1] == "--clip":
+        print(f"wrote {convert_clip(sys.argv[2], sys.argv[3])}")
         return
     if len(sys.argv) != 3:
         print(__doc__)

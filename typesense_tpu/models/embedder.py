@@ -334,7 +334,7 @@ class EmbedderManager:
         name = model_config.get("model_name", "ts/clip-vit-b-p32")
         key = name + "#vision"
         if key not in self._cache:
-            self._cache[key] = ImageEncoder(name)
+            self._cache[key] = ImageEncoder(name, self.models_dir)
         return self._cache[key]
 
     def get(self, model_config: dict):
@@ -361,14 +361,14 @@ IMG_PATCH = 16
 N_PATCHES = (IMG_SIZE // IMG_PATCH) ** 2
 
 
-def _decode_image_base64(b64: str) -> np.ndarray:
-    """base64 -> (IMG_SIZE, IMG_SIZE, 3) float32 in [0,1] (image_processor.h
+def _decode_image_base64(b64: str, size: int = IMG_SIZE) -> np.ndarray:
+    """base64 -> (size, size, 3) float32 in [0,1] (image_processor.h
     decode+resize; PIL replaces the reference's stb/ONNX preprocessing)."""
     import base64
     import io
     from PIL import Image
     raw = base64.b64decode(b64)
-    img = Image.open(io.BytesIO(raw)).convert("RGB").resize((IMG_SIZE, IMG_SIZE))
+    img = Image.open(io.BytesIO(raw)).convert("RGB").resize((size, size))
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
@@ -418,11 +418,125 @@ def _vit_forward(params, pixels, n_heads: int):
     return pooled / jnp.maximum(norm, 1e-12)
 
 
+def _clip_vision_forward(params, pixels, n_heads: int, patch: int = 16):
+    """Exact CLIP-ViT vision tower (transformers CLIPVisionModel layout):
+    conv patchify -> [class] + pos embed -> pre-LN transformer blocks with
+    quick_gelu -> post-LN on the class token -> optional visual projection
+    -> L2 normalize. Weights from models/convert.py convert_clip
+    (image_embedder.h CLIP vision session equivalent).
+
+    pixels: (B, S, S, 3) float32 already CLIP-normalized."""
+    B = pixels.shape[0]
+    p = patch
+    S = pixels.shape[1]
+    n = S // p
+    dt = params["patch_proj"].dtype
+    x = pixels.reshape(B, n, p, n, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, n * n, p * p * 3).astype(dt)
+    x = jnp.einsum("bld,de->ble", x, params["patch_proj"],
+                   preferred_element_type=jnp.float32)
+    cls = jnp.broadcast_to(params["class_emb"].astype(jnp.float32)[None, None],
+                           (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"][: n * n + 1].astype(jnp.float32)[None]
+    x = _layer_norm(x, params["pre_ln_g"], params["pre_ln_b"], eps=1e-5)
+    L = n * n + 1
+    dim = x.shape[-1]
+    hd = dim // n_heads
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"], eps=1e-5)
+
+        def proj(w, b):
+            y = jnp.einsum("bld,de->ble", h.astype(dt), w,
+                           preferred_element_type=jnp.float32) + b
+            return y.reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+
+        q = proj(blk["wq"], blk["bq"])
+        k = proj(blk["wk"], blk["bk"])
+        v = proj(blk["wv"], blk["bv"])
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs.astype(dt), v.astype(dt),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        x = x + jnp.einsum("bld,de->ble", ctx.astype(dt), blk["wo"],
+                           preferred_element_type=jnp.float32) + blk["bo"]
+        h2 = _layer_norm(x, blk["ln2_g"], blk["ln2_b"], eps=1e-5)
+        ff = jnp.einsum("bld,de->ble", h2.astype(dt), blk["w1"],
+                        preferred_element_type=jnp.float32) + blk["b1"]
+        ff = ff * jax.nn.sigmoid(1.702 * ff)     # quick_gelu
+        ff = jnp.einsum("bld,de->ble", ff.astype(dt), blk["w2"],
+                        preferred_element_type=jnp.float32) + blk["b2"]
+        x = x + ff
+    pooled = _layer_norm(x[:, 0], params["post_ln_g"], params["post_ln_b"],
+                         eps=1e-5)
+    if "visual_proj" in params:
+        pooled = jnp.einsum("bd,de->be", pooled.astype(dt),
+                            params["visual_proj"],
+                            preferred_element_type=jnp.float32)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+# CLIP pixel normalization constants (image_processor.h preprocessing)
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
 class ImageEncoder:
     """CLIP-vision-equivalent tower sharing the embedding space convention
-    with TextEncoder (same model name -> same dim)."""
+    with TextEncoder (same model name -> same dim). When a converted
+    checkpoint `<models_dir>/<name>.npz` (arch=clip_vision) exists, the
+    EXACT CLIP forward runs with real weights; otherwise the seeded
+    deterministic tower serves as the stand-in."""
 
-    def __init__(self, model_name: str = "ts/clip-vit-b-p32"):
+    def __init__(self, model_name: str = "ts/clip-vit-b-p32",
+                 models_dir: str = ""):
+        safe = model_name.replace("/", "_")
+        path = os.path.join(models_dir or "", f"{safe}.npz")
+        if models_dir and os.path.exists(path):
+            raw = np.load(path, allow_pickle=False)
+            if "arch" in raw and str(raw["arch"]) == "clip_vision":
+                self._init_clip(model_name, raw)
+                return
+        self._init_seeded(model_name)
+
+    def _init_clip(self, model_name, raw):
+        dt = jnp.float32 if str(raw["precision"]) == "f32" else jnp.bfloat16
+        self.model_name = model_name
+        self.n_heads = int(raw["n_heads"])
+        self.image_size = int(raw["image_size"])
+        params = {
+            "class_emb": jnp.asarray(raw["class_emb"], dt),
+            "patch_proj": jnp.asarray(raw["patch_proj"], dt),
+            "pos_emb": jnp.asarray(raw["pos_emb"], dt),
+            "pre_ln_g": jnp.asarray(raw["pre_ln_g"], jnp.float32),
+            "pre_ln_b": jnp.asarray(raw["pre_ln_b"], jnp.float32),
+            "post_ln_g": jnp.asarray(raw["post_ln_g"], jnp.float32),
+            "post_ln_b": jnp.asarray(raw["post_ln_b"], jnp.float32),
+            "blocks": [],
+        }
+        if "visual_proj" in raw:
+            params["visual_proj"] = jnp.asarray(raw["visual_proj"], dt)
+        for i in range(int(raw["n_layers"])):
+            params["blocks"].append({
+                k: jnp.asarray(raw[f"blocks.{i}.{k}"],
+                               jnp.float32 if k.startswith(("ln", "b"))
+                               else dt)
+                for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                          "w1", "b1", "w2", "b2",
+                          "ln1_g", "ln1_b", "ln2_g", "ln2_b")})
+        self.params = params
+        self.num_dim = int(
+            raw["visual_proj"].shape[1] if "visual_proj" in raw
+            else raw["class_emb"].shape[0])
+        self._clip = True
+        self._fwd = jax.jit(partial(_clip_vision_forward,
+                                    n_heads=self.n_heads,
+                                    patch=int(raw["patch_size"])))
+
+    def _init_seeded(self, model_name):
         spec = BUILTIN_MODELS.get(model_name, (512, 6, 8, 4))
         dim, layers, heads, ff_mult = spec
         self.model_name = model_name
@@ -439,18 +553,22 @@ class ImageEncoder:
             rng.standard_normal((N_PATCHES, dim)).astype(np.float32) * 0.02,
             jnp.bfloat16)
         self.params = base
+        self.image_size = IMG_SIZE
+        self._clip = False
         self._fwd = jax.jit(partial(_vit_forward, n_heads=heads))
 
     def embed_images_base64(self, images_b64: list[str],
                             batch_size: int = 16) -> np.ndarray:
+        S = self.image_size
         out = np.zeros((len(images_b64), self.num_dim), np.float32)
         for i in range(0, len(images_b64), batch_size):
             chunk = images_b64[i:i + batch_size]
-            px = np.stack([_decode_image_base64(b) for b in chunk])
+            px = np.stack([_decode_image_base64(b, S) for b in chunk])
+            if self._clip:
+                px = (px - CLIP_MEAN) / CLIP_STD
             if len(chunk) < batch_size:
                 px = np.concatenate([px, np.zeros(
-                    (batch_size - len(chunk), IMG_SIZE, IMG_SIZE, 3),
-                    np.float32)])
+                    (batch_size - len(chunk), S, S, 3), np.float32)])
             emb = np.asarray(self._fwd(self.params, jnp.asarray(px)))
             out[i:i + len(chunk)] = emb[:len(chunk)]
         return out
