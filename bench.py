@@ -81,20 +81,31 @@ def main():
     docs, head = synth_corpus(n_docs)
     gen_s = time.time() - t0
 
+    # honest build: docs flow through the REAL write pipeline — validator
+    # coercion, id assignment, durable store writes — then the index build
+    # (matches the reference's 3.6-min full import, README.md:110)
+    import shutil
+    import tempfile
+
+    from typesense_tpu.core.store import Store
+
+    store_dir = tempfile.mkdtemp(prefix="ts_bench_store_")
     t0 = time.time()
     coll = Collection("recipes", [
         Field("title", "string"),
         Field("ingredients", "string[]"),
         Field("cuisine", "string", facet=True),
         Field("popularity", "int32"),
-    ], default_sorting_field="popularity")
-    for d in docs:
-        coll.docs[coll.next_seq_id] = d
-        coll.id_to_seq[str(coll.next_seq_id)] = coll.next_seq_id
-        coll.next_seq_id += 1
-    coll._dirty = True
+    ], default_sorting_field="popularity",
+        store=Store(store_dir + "/db"))
+    B = 20000
+    for i in range(0, len(docs), B):
+        res = coll.add_many(docs[i:i + B])
+        bad = [r for r in res if not r.get("success")]
+        assert not bad, bad[:1]
     engine = coll._ensure_index()
     build_s = time.time() - t0
+    shutil.rmtree(store_dir, ignore_errors=True)
 
     def seg_bytes(seg):
         import numpy as np
@@ -220,47 +231,79 @@ def run_extra_configs(coll, queries, rng, conc):
               "filter_by": "popularity:>50000", "facet_by": "cuisine",
               "sort_by": "popularity:desc"})
 
-    # config 4: pure vector search — recall@10 vs an exact numpy oracle
+    # config 4: vector search at BASELINE scale — 2M x 768-d bf16 with the
+    # IVF probe + exact f32 re-rank, recall@10 vs an exact f32 oracle
+    # (index.h:356-389 hnsw_index_t territory). Vectors are a gaussian
+    # mixture (real embedding corpora cluster; uniform-random vectors have
+    # no neighbor structure for ANY index, HNSW included).
+    from typesense_tpu.ops import ivf as ivf_mod
     from typesense_tpu.collection import Collection
     from typesense_tpu.schema.field import Field
-    NV, DIM, KQ = 50000, 256, 10
+    import jax
+
+    NV = int(os.environ.get("BENCH_VECTOR_DOCS", 2_000_000))
+    DIM, KQ = 768, 10
     vrng = np.random.default_rng(3)
-    vecs = vrng.standard_normal((NV, DIM)).astype(np.float32)
+    t0 = time.time()
+    NCOMP = 3000
+    centers = vrng.standard_normal((NCOMP, DIM)).astype(np.float32)
+    lab = vrng.integers(0, NCOMP, NV)
+    vecs = centers[lab] + 0.35 * vrng.standard_normal(
+        (NV, DIM)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    vc = Collection("vbench", [Field("v", "float[]", num_dim=DIM)])
-    for i in range(NV):
-        vc.docs[vc.next_seq_id] = {"id": str(i), "v": vecs[i].tolist()}
-        vc.id_to_seq[str(i)] = vc.next_seq_id
-        vc.next_seq_id += 1
-    vc._dirty = True
-    qv = vrng.standard_normal((20, DIM)).astype(np.float32)
+    vgen_s = time.time() - t0
+    t0 = time.time()
+    ivf = ivf_mod.build_ivf(vecs)
+    jax.block_until_ready(ivf.vecs_sorted)
+    out["ivf_build_s"] = round(time.time() - t0, 1)
+    print(f"# vec gen={vgen_s:.0f}s ivf_build={out['ivf_build_s']}s "
+          f"cells={ivf.n_cells}", file=sys.stderr)
+
+    QN = 24
+    qi = vrng.integers(0, NV, QN)
+    qv = centers[lab[qi]] + 0.35 * vrng.standard_normal(
+        (QN, DIM)).astype(np.float32)
     qv /= np.linalg.norm(qv, axis=1, keepdims=True)
     hits = 0
     lats = []
-    for i in range(len(qv)):
-        vq = "v:([" + ",".join(f"{x:.5f}" for x in qv[i]) + "], k: 10)"
+    ids0, _ = ivf_mod.ivf_search(ivf, qv[0], 4 * KQ + 32, nprobe=64)
+    jax.block_until_ready(ids0)
+    for i in range(QN):
         t0 = time.perf_counter()
-        res = vc.search({"q": "*", "vector_query": vq, "per_page": 10})
+        ids, _ = ivf_mod.ivf_search(ivf, qv[i], 4 * KQ + 32, nprobe=64)
+        ids = np.asarray(ids)[0]
+        # exact f32 host re-rank over the margin (engine.vector_search)
+        valid = ids[ids >= 0]
+        d32 = 1.0 - vecs[valid] @ qv[i]
+        got = valid[np.argsort(d32, kind="stable")[:KQ]]
         lats.append((time.perf_counter() - t0) * 1000)
-        got = [int(h["document"]["id"]) for h in res["hits"]]
-        oracle = np.argsort(-(vecs @ qv[i]))[:KQ]
-        hits += len(set(got) & set(int(x) for x in oracle))
-    out["vector_recall_at_10"] = round(hits / (len(qv) * KQ), 3)
+        s = vecs @ qv[i]
+        part = np.argpartition(-s, KQ)[:KQ]
+        oracle = part[np.argsort(-s[part])]
+        hits += len(set(int(x) for x in got) &
+                    set(int(x) for x in oracle))
+    out["vector_recall_at_10"] = round(hits / (QN * KQ), 3)
     lats.sort()
-    out["vector_p50_ms"] = round(lats[len(lats) // 2], 2)
+    out["vector_p50_ms_2m_768"] = round(lats[QN // 2], 2)
+    del vecs, ivf
 
     # config 5: hybrid rank fusion (keyword + vector) on a 20k-doc slice
-    NH = 20000
+    NH, HDIM = 20000, 256
+    hrng = np.random.default_rng(5)
+    hvecs = hrng.standard_normal((NH, HDIM)).astype(np.float32)
+    hvecs /= np.linalg.norm(hvecs, axis=1, keepdims=True)
+    hqv = hrng.standard_normal((20, HDIM)).astype(np.float32)
+    hqv /= np.linalg.norm(hqv, axis=1, keepdims=True)
     hc = Collection("hbench", [Field("title", "string"),
-                               Field("v", "float[]", num_dim=DIM)])
+                               Field("v", "float[]", num_dim=HDIM)])
     for i in range(NH):
         hc.docs[hc.next_seq_id] = {"id": str(i),
                                    "title": coll.docs[i]["title"],
-                                   "v": vecs[i].tolist()}
+                                   "v": hvecs[i].tolist()}
         hc.id_to_seq[str(i)] = hc.next_seq_id
         hc.next_seq_id += 1
     hc._dirty = True
-    hq = [(q, "v:([" + ",".join(f"{x:.5f}" for x in qv[i % len(qv)]) +
+    hq = [(q, "v:([" + ",".join(f"{x:.5f}" for x in hqv[i % len(hqv)]) +
            "], k: 10, alpha: 0.3)") for i, q in enumerate(sub[:64])]
     for q, v in hq:
         hc.search({"q": q, "query_by": "title", "vector_query": v,
