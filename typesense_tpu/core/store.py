@@ -175,21 +175,43 @@ class Store:
             os.fsync(f.fileno())
         os.replace(tmp, dest)
 
+    def _snapshot_chunked(self, keys: list[str], dest: str,
+                          chunk: int = 8192):
+        """Stream the state for `keys` into a JSONL snapshot WITHOUT a
+        full-dict copy: the lock is taken per chunk and each key's CURRENT
+        value is written. Per-key atomicity suffices — the snapshot only
+        needs to be at least as new as the rotation point per key, because
+        newer WAL generations replay on top of it (post-rotation updates
+        and tombstones win either way). Peak extra memory is the key list,
+        not a second copy of the dataset."""
+        tmp = dest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for i in range(0, len(keys), chunk):
+                with self._lock:
+                    rows = [(k, self._data[k]) for k in keys[i:i + chunk]
+                            if k in self._data]
+                for k, v in rows:
+                    f.write(json.dumps({"k": k, "v": v},
+                                       ensure_ascii=False) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, dest)
+
     def _start_compaction_locked(self):
         """Rotate the WAL and snapshot in the background. The write lock is
-        held only for a dict copy (value strings are shared references), not
-        for the O(dataset) serialization — writers continue against the new
-        WAL generation while the snapshot streams out."""
+        held only to capture the KEY list (values stream out chunk-wise),
+        so writers continue against the new WAL generation while the
+        snapshot writes."""
         if self._compactor is not None and self._compactor.is_alive():
             return  # one compaction at a time; the next threshold retriggers
-        view = self._data.copy()
+        keys = list(self._data.keys())
         old_gens = self._wal_gens()
         self._wal.close()
         self._wal_gen += 1
         self._wal = open(self._wal_path(self._wal_gen), "a", encoding="utf-8")
 
         def run():
-            self._stream_snapshot(view, self._snap_path)
+            self._snapshot_chunked(keys, self._snap_path)
             # snapshot covers every generation <= the rotated ones
             for g in old_gens:
                 try:
