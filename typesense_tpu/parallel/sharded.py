@@ -103,9 +103,12 @@ def build_sharded_arrays(docs: list[tuple[int, dict]], fields: list[Field],
 
 def _pad_offsets(seg, F, T, P_len):
     """Remap a segment's (F_s*T_s+1,) offsets onto the padded (F*T+1,) space."""
-    Fs = max(len(seg.search_fields), 1)
-    Ts = max(seg.num_terms, 1)
-    src = seg.post_offsets
+    return _pad_offsets_arr(seg.post_offsets,
+                            max(len(seg.search_fields), 1),
+                            max(seg.num_terms, 1), F, T)
+
+
+def _pad_offsets_arr(src, Fs, Ts, F, T):
     dst = np.zeros(F * T + 1, dtype=np.int64)
     for f in range(F):
         for_block = np.full(T + 1, src[min(f, Fs - 1) * Ts + Ts] if f < Fs else src[-1],
@@ -422,11 +425,14 @@ class ShardedEngine:
 
         self._kern_cache: dict = {}
 
-        # ---- dense2 artifacts: meta32 postings, head planes, facet cols
+        # ---- dense2 artifacts: meta32 postings, head planes, heavy
+        # lists, facet cols
         from typesense_tpu.index.artifacts import (
-            MA_EMPTY, build_head_planes, pack_post_meta32_device,
+            MA_EMPTY, build_head_planes, build_heavy_lists,
+            pack_post_meta32_device,
         )
-        metas, heads_a, heads_b = [], [], []
+        metas, heads_a, heads_b, heavies = [], [], [], []
+        F_pad = max(len(segs[0].search_fields), 1)
         for vi, seg in enumerate(segs):
             pd = jax.device_put(
                 pad(seg.post_doc_ids, P_len).astype(np.int32))
@@ -436,9 +442,18 @@ class ShardedEngine:
             ha, hb, hm = build_head_planes(seg, pd)
             heads_a.append(np.asarray(ha))
             heads_b.append(np.asarray(hb))
+            hp, ho = build_heavy_lists(seg)
+            heavies.append(hp)
             self.views[vi].names = {"head_map": hm}
             self.views[vi].seg.post_len = P_len
+            self.views[vi].seg.heavy_offsets = _pad_offsets_arr(
+                ho, max(len(seg.search_fields), 1),
+                max(seg.num_terms, 1), F_pad, T)
         Hmax = max(h.shape[0] for h in heads_a)
+        HP_len = max(max((len(h) for h in heavies), default=1), 1)
+        self.heavy_ids = put(np.stack(
+            [pad(h if len(h) else np.zeros(1, np.int32), HP_len)
+             for h in heavies]))
 
         def pad_plane(h, fill):
             out = np.full((Hmax, per_docs), fill, np.int32)
@@ -535,17 +550,18 @@ class ShardedEngine:
             return kern
         (Q, F, C, HPF, SCB, SCBB, SSB, K, HC, Pp, iters, slot_kinds,
          slot_signs, pe, pnf, n_facets, f_sizes, excl, N_local, match_type,
-         ptp) = statics
+         ptp, CAP_H) = statics
 
-        def local(pd, pm, po, pos, ftc, ha, hb, fm, qbuf, c0, c1, c2, db,
-                  f_cols):
+        def local(pd, pm, po, pos, ftc, ha, hb, hv, fm, qbuf, c0, c1, c2,
+                  db, f_cols):
             buf = kernels.dense2_kernel_body(
                 Q, F, C, HPF, SCB, SCBB, SSB, K, HC, Pp, iters, slot_kinds,
                 slot_signs, pe, pnf, n_facets, f_sizes, excl, N_local,
                 False, match_type, ptp,
                 pd[0], pm[0], po[0], pos[0], ftc[0], ha[0], hb[0], fm[0],
                 qbuf[0], c0[0], c1[0], c2[0],
-                tuple(x[0] for x in f_cols), doc_base=db[0])
+                tuple(x[0] for x in f_cols), doc_base=db[0],
+                heavy_ids=hv[0], CAP_H=CAP_H)
             rid = buf[:K]
             r0, r1, r2 = buf[K:2 * K], buf[2 * K:3 * K], buf[3 * K:4 * K]
             found = buf[4 * K]
@@ -566,7 +582,7 @@ class ShardedEngine:
         spec = P(DOC_AXIS)
         kern = jax.jit(shard_map(
             local, mesh=self.mesh,
-            in_specs=(spec,) * 14,
+            in_specs=(spec,) * 15,
             out_specs=spec, check_vma=False))
         self._kern_cache[key] = kern
         return kern
@@ -738,6 +754,7 @@ class ShardedEngine:
             "HPF": max(p["HPF"] for p in preps),
             "SCB": max(p["SCB"] for p in preps),
             "SCBB": max(p["SCBB"] for p in preps),
+            "CAP_H": max(p["CAP_H"] for p in preps),
         }
         preps = [IndexEngine.prepare_keyword_dispatch(
             view, cands, field_names, field_weights, k=k, force=force)
@@ -772,13 +789,14 @@ class ShardedEngine:
                    force["SCB"], force["SCBB"], p0["SSB"], K, 512,
                    MAX_POS_PER_POSTING, self._iters,
                    tuple(kinds), tuple(signs), True, True,
-                   len(facet_fields), f_sizes, (), self.N_local, 0, False)
+                   len(facet_fields), f_sizes, (), self.N_local, 0, False,
+                   force["CAP_H"])
         kern = self._sharded_dense2(statics)
         buf = np.asarray(kern(
             self.post_doc_ids, self.post_meta, self.pos_offsets,
             self.positions, self.field_token_counts, self.head_a,
-            self.head_b, fmask, qbuf, cols[0], cols[1], cols[2],
-            self.doc_base, f_cols))[0]
+            self.head_b, self.heavy_ids, fmask, qbuf, cols[0], cols[1],
+            cols[2], self.doc_base, f_cols))[0]
         rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K,
                                                               f_sizes)
         scores = np.stack([r0, r1, r2], axis=1)

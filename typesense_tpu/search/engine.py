@@ -348,6 +348,23 @@ class IndexEngine:
         b_qf: list[int] = []
         b_c: list[int] = []
         head_slots: dict[int, list[tuple[int, int]]] = {}  # qf -> [(h, cost)]
+        # heavy-posting slice descriptors per (q, f, c): the kernel streams
+        # these precomputed CSR slices instead of selecting heavy docs with
+        # whole-N passes (artifacts.build_heavy_lists). hv_flag marks rows
+        # on the head-plane path (meta64 heaviness tier).
+        hv_starts = np.zeros(Q * Fq * C, dtype=np.int64)
+        hv_lens = np.zeros(Q * Fq * C, dtype=np.int64)
+        hv_flag = np.zeros(Q * Fq * C, dtype=np.int64)
+        hoffs = getattr(self.seg, "heavy_offsets", None)
+
+        def add_hv(q, f, c, row, is_head):
+            if hoffs is None:
+                return
+            i = (q * Fq + f) * C + c
+            hv_starts[i] = hoffs[row]
+            hv_lens[i] = hoffs[row + 1] - hoffs[row]
+            hv_flag[i] = 1 if is_head else 0
+
         if mode in ("scatter", "dense2") and drv_total > 0:
             for c in range(C):
                 for q in range(Q):
@@ -356,11 +373,21 @@ class IndexEngine:
                         if e0 <= s0 or cand_costs[q, c] >= 255:
                             continue
                         if mode == "dense2":
+                            # excluded (-token) rows never drive heaviness
+                            # (inc_member masks them in the scan)
+                            excl_q = (q < len(exclude_flags)
+                                      and bool(exclude_flags[q]))
                             h = head_map.get(int(cand_rows[q, f, c]))
                             slots = head_slots.setdefault(q * Fq + f, [])
                             if h is not None and len(slots) < HPF_MAX:
                                 slots.append((h, int(cand_costs[q, c])))
+                                if not excl_q:
+                                    add_hv(q, f, c,
+                                           int(cand_rows[q, f, c]), True)
                                 continue
+                            if not excl_q:
+                                add_hv(q, f, c, int(cand_rows[q, f, c]),
+                                       False)
                             if e0 - s0 >= BIG_ROW_MIN:
                                 # long rows stream through contiguous slices
                                 for off in range(s0, e0, SSB):
@@ -435,7 +462,8 @@ class IndexEngine:
                 cand_starts.astype(np.int64),
                 cand_ends.astype(np.int64),
                 cand_costs.astype(np.int64),
-                token_valid, weights)
+                token_valid, weights,
+                hv_starts, hv_lens, hv_flag)
         else:
             qbuf = kernels.pack_query_buf(sc_starts, sc_lens, sc_qf, sc_c,
                                           sc_rel0, n_sc,
@@ -444,9 +472,12 @@ class IndexEngine:
                                           cand_starts.astype(np.int64),
                                           cand_costs.astype(np.int64),
                                           token_valid, weights)
+        total_hv = int(hv_lens.sum())
+        CAP_H = force.get("CAP_H") or bucket4(max(total_hv, 1), lo=1024,
+                                              hi=1 << 22)
         return {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
                 "CAP": CAP, "SB": SB, "mode": mode, "SCBB": SCBB,
-                "SSB": SSB, "n_big": n_big, "HPF": HPF,
+                "SSB": SSB, "n_big": n_big, "HPF": HPF, "CAP_H": CAP_H,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total}
 
@@ -507,13 +538,14 @@ class IndexEngine:
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_sizes,
                 tuple(exclude_flags), self.N, pack2, match_type,
-                prioritize_token_position)
+                prioritize_token_position, prep["CAP_H"])
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
                        self.dev.field_token_counts, self.dev.head_a,
                        self.dev.head_b,
                        fmask, jnp.asarray(prep["qbuf"]),
-                       cols[0], cols[1], cols[2], f_single)
+                       cols[0], cols[1], cols[2], f_single,
+                       heavy_ids=self.dev.heavy_ids)
             rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
                 buf, K, f_sizes)
             return self._collect(rid, r0, r1, r2, found, f_acc,

@@ -599,11 +599,17 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
                     b_starts, b_lens, b_qf, b_c, n_big,
                     hrow, hcost,
                     cand_starts, cand_ends, cand_costs, token_valid,
-                    field_weights):
+                    field_weights, hv_starts=None, hv_lens=None,
+                    hv_flag=None):
     """Query buffer for the dense2 kernel: small-row scatter descriptors,
-    big-row slice descriptors, head-plane slot assignments, and candidate
-    row bounds (for the heavy-doc exact rescore)."""
+    big-row slice descriptors, head-plane slot assignments, candidate row
+    bounds (heavy-doc exact rescore), and the heavy-posting CSR slice
+    descriptors (hv_*, per (q, f, c) row)."""
     import numpy as np
+    if hv_starts is None:
+        hv_starts = np.zeros(cand_starts.size, np.int64)
+        hv_lens = np.zeros(cand_starts.size, np.int64)
+        hv_flag = np.zeros(cand_starts.size, np.int64)
     return np.concatenate([
         sc_starts.ravel(), sc_lens.ravel(), sc_qf.ravel(), sc_c.ravel(),
         np.array([n_sc], dtype=np.int64),
@@ -612,6 +618,7 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
         hrow.ravel(), hcost.ravel(),
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
+        hv_starts.ravel(), hv_lens.ravel(), hv_flag.ravel(),
     ]).astype(np.int64)
 
 
@@ -658,7 +665,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                         n_facets: int, facet_sizes: tuple,
                         exclude_flags: tuple, N: int, pack2: bool,
                         match_type: int = 0,
-                        prioritize_token_position: bool = False):
+                        prioritize_token_position: bool = False,
+                        CAP_H: int = 1024):
     """Dense whole-corpus keyword kernel — the TPU-native path for
     high-volume queries (common tokens, large intersections).
 
@@ -700,7 +708,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     @jax.jit
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
                field_token_counts, head_a, head_b, filter_mask, qbuf,
-               sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None):
+               sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None,
+               heavy_ids=None):
         return dense2_kernel_body(
             Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
             slot_signs, prioritize_exact, prioritize_num_fields, n_facets,
@@ -708,7 +717,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             prioritize_token_position,
             post_doc_ids, post_meta, pos_offsets, positions,
             field_token_counts, head_a, head_b, filter_mask, qbuf,
-            sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base)
+            sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base,
+            heavy_ids=heavy_ids, CAP_H=CAP_H)
 
     return kernel
 
@@ -721,7 +731,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                        post_doc_ids, post_meta, pos_offsets, positions,
                        field_token_counts, head_a, head_b, filter_mask,
                        qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
-                       doc_base=None):
+                       doc_base=None, heavy_ids=None, CAP_H: int = 1024):
     """Traceable dense2 program shared by the single-chip jit wrapper
     (build_dense2_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per doc shard and merges the
@@ -757,6 +767,10 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         o += Q * C
         token_valid = qbuf[o:o + Q].astype(bool); o += Q
         field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
+        HV = Q * F * C
+        hv_starts = qbuf[o:o + HV].astype(jnp.int32); o += HV
+        hv_lens = qbuf[o:o + HV].astype(jnp.int32); o += HV
+        hv_flag = qbuf[o:o + HV].astype(jnp.int32); o += HV
 
         excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
         tv = token_valid[:, None] & ~excl
@@ -1096,38 +1110,72 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
 
         found_count = jnp.sum(m, dtype=jnp.int64)
 
-        # ---- phase 4: heavy-doc exact rescore (rare with meta64) ----
+        # ---- phase 4: heavy-doc exact rescore via PRECOMPUTED heavy
+        # posting lists (artifacts.build_heavy_lists). The per-query heavy
+        # candidates are contiguous CSR slices of the candidate rows, so
+        # selection is a streamed gather + small-chunk compaction — NO
+        # whole-N passes (the previous while_loop's per-round N-lane
+        # selection measured ~4.5 ms at 2.2M docs).
+        #
+        # Correctness: the stream is a SUPERSET of plane-heavy matched
+        # docs (tier mask matches each row's meta64/meta32 path; wider
+        # entries rescore to identical exact scores and the final
+        # _dedup_sorted_ids collapses duplicates). The threshold gate
+        # (ub0 >= t0) soundly skips docs that cannot reach the top-K.
         if need_heavy:
             cs = cand_starts.reshape(-1, 1)
             ce = cand_ends.reshape(-1, 1)
             cvalid = (cand_costs < 255)[:, None, :, None]
             HCT = min(HC, N)
-            hlane = jnp.arange(HCT, dtype=jnp.int32)
-            lid = jnp.arange(N, dtype=jnp.int32)  # LOCAL index for gathers
-            # threshold gate: a heavy doc whose UPPER-BOUND slot-0 key is
-            # below the stage-1 threshold t0 cannot enter the top-K (t0 is
-            # the exact KT-th best among light docs; ties at t0 included
-            # via >=). Non-text slot-0 keys carry no proximity, so the
-            # doc's own exact key gates directly. When fewer than KT light
-            # docs exist t0 = KEY_MIN and every heavy doc rescored.
             ub0 = text_ub if need_ub else k0
-            heavy_m = m & heavy & (ub0 >= t0)
-            use_hblock, HBW, HNB, HPADN = _block_params(N, HCT)
+            eligible = m & (ub0 >= t0)       # gathered per candidate below
 
-            def rescore_round(carry):
-                h0, h1, h2, hid, cursor = carry
-                active = heavy_m & (lid < cursor)
-                if use_hblock:
-                    # block-max select of the HCT highest active ids (the
-                    # lane IS the key, so the sorted pool head is the
-                    # descending id batch directly)
-                    hc_pool, _ = block_stage(lid.astype(jnp.int64), active,
-                                             HCT, N, HBW, HNB, HPADN)
-                    selv = hc_pool[:HCT]
-                else:
-                    selv, _ = lax.top_k(jnp.where(active, lid, -1), HCT)
-                ok = selv >= 0
-                d = jnp.where(ok, selv, 0)
+            hv_cum = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(hv_lens)])
+            total_hv = hv_cum[HV]
+            HEAVY_LEN = heavy_ids.shape[0] if heavy_ids is not None else 1
+            hids = heavy_ids if heavy_ids is not None else \
+                jnp.zeros((1,), jnp.int32)
+
+            # phase 4a: stream heavy slices, keep docs that matched the
+            # query AND are plane-heavy under their row's tier
+            SA = 8192
+            alane = jnp.arange(SA, dtype=jnp.int32)
+
+            def scanA(i, carry):
+                nh, buf = carry
+                g = i * SA + alane
+                inr = g < total_hv
+                row = jnp.sum(g[:, None] >= hv_cum[None, 1:],
+                              axis=1).astype(jnp.int32)
+                rs = jnp.clip(row, 0, HV - 1)
+                idx = hv_starts[rs] + (g - hv_cum[rs])
+                hp = hids[jnp.clip(idx, 0, HEAVY_LEN - 1)]
+                d = hp & ((1 << 30) - 1)
+                tier64 = (hp >> 30) & 1
+                # head-path rows only rescore meta64-heavy postings
+                use = jnp.where(hv_flag[rs] == 1, tier64 == 1, True)
+                dsafe2 = jnp.clip(d, 0, N - 1)
+                keep = inr & use & eligible[dsafe2] & heavy[dsafe2]
+                mi = keep.astype(jnp.int32)
+                out_idx = jnp.where(keep, nh + jnp.cumsum(mi) - mi,
+                                    jnp.int32(CAP_H))
+                buf = buf.at[out_idx].set(d, mode="drop")
+                return nh + jnp.sum(mi, dtype=jnp.int32), buf
+
+            n_a = (total_hv + SA - 1) // SA
+            nh, hbuf = lax.fori_loop(
+                0, n_a, scanA,
+                (jnp.int32(0), jnp.zeros((CAP_H,), jnp.int32)))
+
+            # phase 4b: exact CSR rescore of survivors in HCT chunks
+            hlane = jnp.arange(HCT, dtype=jnp.int32)
+
+            def rescore_round(i, carry):
+                h0, h1, h2, hid = carry
+                g = i * HCT + hlane
+                ok = g < nh
+                d = jnp.where(ok, hbuf[jnp.clip(g, 0, CAP_H - 1)], 0)
                 x = d[None, :]
                 pidx = lower_bound(post_doc_ids,
                                    jnp.broadcast_to(cs, (Q * F * C, HCT)),
@@ -1160,17 +1208,12 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                     last_flag_mask=1 << 25,  # post_meta is meta32
                     match_type=match_type,
                     prioritize_token_position=ptp)
-                new_cursor = jnp.min(jnp.where(ok, selv, jnp.int32(2**31 - 1)))
-                return (h0, h1, h2, hid, new_cursor)
-
-            def rescore_cond(carry):
-                return jnp.any(heavy_m & (lid < carry[4]))
+                return (h0, h1, h2, hid)
 
             init_h = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
-                      jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32),
-                      jnp.int32(N))
-            h0, h1, h2, hid, _ = lax.while_loop(rescore_cond, rescore_round,
-                                                init_h)
+                      jnp.full((K,), KEY_MIN), jnp.full((K,), -1, jnp.int32))
+            n_b = (nh + HCT - 1) // HCT
+            h0, h1, h2, hid = lax.fori_loop(0, n_b, rescore_round, init_h)
             cid = jnp.concatenate([cid, hid])
             ck0 = jnp.concatenate([ck0, h0])
             ck1 = jnp.concatenate([ck1, h1])
