@@ -1089,7 +1089,10 @@ class Collection:
 
         tokens = list(q_tokens)
         excludes = list(exclude_flags) or [False] * len(tokens)
-        can_drop = not phrase_pairs and not any(excludes)
+        # drop_tokens_threshold: 0 disables dropping entirely (reference-
+        # documented contract); phrase/exclusion queries never drop
+        can_drop = (not phrase_pairs and not any(excludes)
+                    and drop_tokens_threshold > 0)
         drop_plan = self._drop_tokens_plan(list(q_tokens), drop_tokens_mode)
         results: list[RawResult] = []
         cand_memo: dict = {}
