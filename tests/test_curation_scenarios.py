@@ -1,0 +1,162 @@
+"""Curation-set scenario family — reference collection_override_test.cpp
+behaviors: exact/contains query rules, includes (pins at positions),
+excludes (hides), rule filter_by injection, replace_query, enable_overrides
+opt-out, and rule CRUD over HTTP.
+"""
+
+import pytest
+
+from tests.test_http_api import call, make_server
+from typesense_tpu.core.store import Store
+
+
+@pytest.fixture()
+def srv(tmp_path):
+    s = make_server(Store(str(tmp_path / "db")))
+    call(s, "POST", "/collections", body={
+        "name": "shoes",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "brand", "type": "string", "facet": True},
+                   {"name": "points", "type": "int32"}],
+        "default_sorting_field": "points",
+        "metadata": {"curation_sets": ["promos"]}})
+    docs = [
+        {"id": "0", "title": "air max sneakers", "brand": "nike",
+         "points": 50},
+        {"id": "1", "title": "gel lyte sneakers", "brand": "asics",
+         "points": 40},
+        {"id": "2", "title": "classic leather sneakers", "brand": "reebok",
+         "points": 30},
+        {"id": "3", "title": "running sandals", "brand": "teva",
+         "points": 20},
+        {"id": "4", "title": "boost sneakers", "brand": "adidas",
+         "points": 10},
+    ]
+    for d in docs:
+        call(s, "POST", "/collections/shoes/documents", body=d)
+    return s
+
+
+def _put_set(s, items):
+    code, body = call(s, "PUT", "/curation_sets/promos",
+                      body={"items": items})
+    assert code == 200, body
+    return body
+
+
+def ids(res):
+    return [h["document"]["id"] for h in res["hits"]]
+
+
+def search(s, **params):
+    code, res = call(s, "GET", "/collections/shoes/documents/search",
+                     query={"q": params.pop("q", "sneakers"),
+                            "query_by": "title", "prefix": "false",
+                            "num_typos": "0", **params})
+    assert code == 200, res
+    return res
+
+
+def test_exact_match_include_pins(srv):
+    _put_set(srv, [{
+        "id": "pin-adidas",
+        "rule": {"query": "sneakers", "match": "exact"},
+        "includes": [{"id": "4", "position": 1}]}])
+    res = search(srv)
+    assert ids(res)[0] == "4"
+    assert ids(res) == ["4", "0", "1", "2"]
+    # non-matching query unaffected
+    res2 = search(srv, q="sandals")
+    assert ids(res2) == ["3"]
+
+
+def test_contains_match(srv):
+    _put_set(srv, [{
+        "id": "c",
+        "rule": {"query": "sneak", "match": "contains"},
+        "includes": [{"id": "2", "position": 1}]}])
+    res = search(srv, q="best sneakers")
+    # 'sneak' contained in query -> rule fires; doc 2 pinned even though
+    # 'best' matches nothing (curated doc rides above organic results)
+    assert "2" in ids(res) and ids(res)[0] == "2"
+
+
+def test_excludes_hide_doc(srv):
+    _put_set(srv, [{
+        "id": "x",
+        "rule": {"query": "sneakers", "match": "exact"},
+        "excludes": [{"id": "0"}]}])
+    res = search(srv)
+    assert "0" not in ids(res)
+    assert res["found"] == 3
+
+
+def test_rule_filter_by_injection(srv):
+    _put_set(srv, [{
+        "id": "f",
+        "rule": {"query": "sneakers", "match": "exact"},
+        "filter_by": "points:>25"}])
+    res = search(srv)
+    assert ids(res) == ["0", "1", "2"]
+
+
+def test_replace_query(srv):
+    _put_set(srv, [{
+        "id": "r",
+        "rule": {"query": "kicks", "match": "exact"},
+        "replace_query": "sneakers"}])
+    res = search(srv, q="kicks")
+    assert res["found"] == 4
+
+
+def test_enable_overrides_false_skips_rules(srv):
+    _put_set(srv, [{
+        "id": "pin",
+        "rule": {"query": "sneakers", "match": "exact"},
+        "includes": [{"id": "4", "position": 1}]}])
+    res = search(srv, enable_overrides="false")
+    assert ids(res) == ["0", "1", "2", "4"]  # organic points order
+
+
+def test_multiple_rules_combine(srv):
+    _put_set(srv, [
+        {"id": "a", "rule": {"query": "sneakers", "match": "exact"},
+         "includes": [{"id": "3", "position": 1}]},
+        {"id": "b", "rule": {"query": "sneakers", "match": "exact"},
+         "excludes": [{"id": "1"}]},
+    ])
+    res = search(srv)
+    assert ids(res)[0] == "3"
+    assert "1" not in ids(res)
+
+
+def test_item_crud_roundtrip(srv):
+    _put_set(srv, [{
+        "id": "one", "rule": {"query": "sneakers", "match": "exact"},
+        "includes": [{"id": "2", "position": 1}]}])
+    code, body = call(srv, "GET", "/curation_sets/promos")
+    assert code == 200 and len(body["items"]) == 1
+    code, body = call(srv, "GET", "/curation_sets/promos/items/one")
+    assert code == 200 and body["rule"]["query"] == "sneakers"
+    code, _ = call(srv, "DELETE", "/curation_sets/promos/items/one")
+    assert code == 200
+    code, body = call(srv, "GET", "/curation_sets/promos")
+    assert code == 200 and len(body["items"]) == 0
+
+
+def test_malformed_rule_rejected(srv):
+    code, body = call(srv, "PUT", "/curation_sets/promos",
+                      body={"items": [{"id": "bad", "rule": {}}]})
+    assert code == 400
+
+
+def test_filter_curated_hits(srv):
+    _put_set(srv, [{
+        "id": "p", "rule": {"query": "sneakers", "match": "exact"},
+        "includes": [{"id": "4", "position": 1}],
+        "filter_by": "points:>25"}])
+    # without filter_curated_hits the pin bypasses the rule filter
+    res = search(srv)
+    assert ids(res)[0] == "4"
+    res2 = search(srv, filter_curated_hits="true")
+    assert "4" not in ids(res2)

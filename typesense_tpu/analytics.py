@@ -93,7 +93,9 @@ class AnalyticsManager:
                 colls = src.get("collections", [])
                 if colls and collection not in colls:
                     continue
-                if rule["type"] == "popular_queries":
+                if rule["type"] == "popular_queries" and found > 0:
+                    # reference records POPULAR only when found != 0
+                    # (collection_manager.cpp:1452-1457)
                     self.query_counts.setdefault(rule["name"], {})
                     self.query_counts[rule["name"]][query] = \
                         self.query_counts[rule["name"]].get(query, 0) + 1
@@ -110,18 +112,34 @@ class AnalyticsManager:
         data = body.get("data", {})
         if not etype or not name:
             raise BadRequest("`type` and `name` are required.")
-        rule = self.rules.get(name)
+        # the event `name` refers to a NAMED EVENT declared inside a rule's
+        # params.source.events (analytics event schema); rule-name match
+        # kept as a fallback for legacy payloads
+        rule = None
+        w = 1
+        for r in self.rules.values():
+            for ev in r.get("params", {}).get("source", {}).get(
+                    "events", []) or []:
+                if ev.get("name") == name:
+                    rule = r
+                    if ev.get("type") in (etype, None):
+                        w = int(ev.get("weight", 1))
+                    break
+            if rule is not None:
+                break
+        if rule is None:
+            rule = self.rules.get(name)
         with self._lock:
             self.events_log.append({**body, "ts": int(time.time())})
             if rule is not None and rule["type"] == "counter":
-                weights = rule.get("params", {}).get("counter_events", [])
-                w = 1
-                for we in weights:
+                for we in rule.get("params", {}).get("counter_events", []):
                     if we.get("type") == etype:
                         w = int(we.get("weight", 1))
                 doc_id = data.get("doc_id")
                 if doc_id is not None:
-                    cc = self.counter_counts.setdefault(name, {})
+                    # buffers key by RULE name (flush resolves the rule's
+                    # destination from it)
+                    cc = self.counter_counts.setdefault(rule["name"], {})
                     cc[doc_id] = cc.get(doc_id, 0) + w
         return {"ok": True}
 
