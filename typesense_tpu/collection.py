@@ -1025,12 +1025,14 @@ class Collection:
                                         sort_slots=sort_slots,
                                         facet_specs=facet_specs)
         # grouped-search escalation: when the page's groups need hits that
-        # lie beyond the ranked list, re-run with a 4x deeper collector
-        # (per-group topsters over the full scan, topster.h:252; our
-        # collector deepens until the page is complete or k hits the cap)
+        # lie beyond the ranked list, re-run ONCE with the max-depth
+        # collector (per-group topsters over the full scan, topster.h:252).
+        # Jumping straight to the cap bounds a pathological group query at
+        # TWO whole-corpus dispatches (the previous 4x ladder could run
+        # three) — block-select keeps the deep top-K cheap.
         if resp.pop("_groups_truncated", False) and k < 16384 \
                 and time.monotonic() <= self._deadline:
-            return self.search({**params, "_group_k": k * 4})
+            return self.search({**params, "_group_k": 16384})
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         resp["search_cutoff"] = time.monotonic() > self._deadline
         return resp
