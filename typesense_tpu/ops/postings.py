@@ -37,6 +37,46 @@ def lower_bound(flat: jax.Array, lo, hi, x, iters: int):
     return lo
 
 
+def lower_bound_wide(flat: jax.Array, lo, hi, x, iters: int,
+                     fan: int = 16):
+    """Wide-fanout lower_bound: first index in [lo, hi) with
+    flat[idx] >= x, probing fan-1 pivots per step.
+
+    On this rig a random gather from a large HBM array costs a FIXED
+    ~0.35 ms regardless of lane count (latency/DMA-descriptor bound), so
+    a 21-step binary search is ~7 ms of dependent gathers. The 16-way
+    search narrows [lo, hi) by 16x per step — ceil(log16(range)) + 1
+    dependent gathers (~6 at 1.4M-entry rows) for the same exact result.
+
+    Exactness: step boundaries b_j = lo + floor(width*j/fan) partition
+    [lo, hi); with k = #{j in 1..fan-1 : flat[b_j] < x}, the answer lies
+    in [b_k, b_{k+1}) since flat is sorted (b_k's pivot < x <= b_{k+1}'s
+    pivot, boundary cases collapse the interval). Width shrinks to
+    <= ceil(width/fan) each step, so after the static step count the
+    interval is a single index, finished by one final compare step."""
+    import math
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    steps = max(1, math.ceil(iters / math.log2(fan))) + 1
+    js = jnp.arange(1, fan, dtype=jnp.int32)          # (fan-1,)
+    jshape = (fan - 1,) + (1,) * max(lo.ndim, x.ndim)
+    js = js.reshape(jshape)
+    for _ in range(steps):
+        width = hi - lo
+        piv = lo[None] + (width[None] * js) // fan     # (fan-1, ...)
+        v = flat[jnp.clip(piv, 0, flat.shape[0] - 1)]
+        k = jnp.sum((v < x[None]).astype(jnp.int32), axis=0)
+        new_lo = lo + (width * k) // fan
+        new_hi = jnp.where(k < fan - 1,
+                           lo + (width * (k + 1)) // fan, hi)
+        # empty/degenerate ranges stay fixed points
+        lo = jnp.where(width > 1, new_lo, lo)
+        hi = jnp.where(width > 1, new_hi, hi)
+    # final resolve: width is now <= 1
+    v = flat[jnp.clip(lo, 0, flat.shape[0] - 1)]
+    return jnp.where((hi > lo) & (v < x), lo + 1, lo)
+
+
 def membership(flat: jax.Array, start, end, x, iters: int):
     """(found, idx): is x present in sorted slice flat[start:end)? idx is the
     position where it was found (valid only when found)."""

@@ -33,7 +33,7 @@ from jax import lax
 from typesense_tpu.ops.match import (
     match_components, pack_field_score, pack_aggregated_score,
 )
-from typesense_tpu.ops.postings import lower_bound
+from typesense_tpu.ops.postings import lower_bound, lower_bound_wide
 
 INT32_INF = jnp.int32(2**31 - 1)
 KEY_MIN = jnp.int64(-(2**62))
@@ -1177,7 +1177,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 ok = g < nh
                 d = jnp.where(ok, hbuf[jnp.clip(g, 0, CAP_H - 1)], 0)
                 x = d[None, :]
-                pidx = lower_bound(post_doc_ids,
+                pidx = lower_bound_wide(post_doc_ids,
                                    jnp.broadcast_to(cs, (Q * F * C, HCT)),
                                    jnp.broadcast_to(ce, (Q * F * C, HCT)), x,
                                    iters)
@@ -1305,7 +1305,7 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
                           INT32_INF)
 
             x = d[None, :]
-            pidx = lower_bound(post_doc_ids,
+            pidx = lower_bound_wide(post_doc_ids,
                                jnp.broadcast_to(cs, (Q * F * C, S)),
                                jnp.broadcast_to(ce, (Q * F * C, S)), x, iters)
             safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
