@@ -19,13 +19,19 @@ def test_wide_matches_binary_random():
         hi = np.minimum(lo + rng.integers(0, 4000, lo.shape), len(flat)) \
             .astype(np.int32)
         x = rng.integers(-10, 5100, (1, 256)).astype(np.int32)
+        want = np.empty_like(lo)
+        for r in range(lo.shape[0]):
+            for c in range(lo.shape[1]):
+                want[r, c] = np.searchsorted(
+                    flat[lo[r, c]:hi[r, c]], x[0, c]) + lo[r, c]
         a = np.asarray(lower_bound(jnp.asarray(flat), jnp.asarray(lo),
                                    jnp.asarray(hi), jnp.asarray(x), iters))
+        np.testing.assert_array_equal(a, want, err_msg="binary")
         for fan in (4, 16, 32):
             b = np.asarray(lower_bound_wide(
                 jnp.asarray(flat), jnp.asarray(lo), jnp.asarray(hi),
                 jnp.asarray(x), iters, fan=fan))
-            np.testing.assert_array_equal(a, b, err_msg=f"fan={fan}")
+            np.testing.assert_array_equal(b, want, err_msg=f"fan={fan}")
 
 
 def test_wide_edges():
@@ -38,7 +44,8 @@ def test_wide_edges():
         (2, 5, 12, 4),
     ]
     for lo, hi, x, want in cases:
-        got = int(lower_bound_wide(flat, jnp.asarray([lo], jnp.int32),
-                                   jnp.asarray([hi], jnp.int32),
-                                   jnp.asarray([x], jnp.int32), iters))
+        got = np.asarray(lower_bound_wide(
+            flat, jnp.asarray([lo], jnp.int32),
+            jnp.asarray([hi], jnp.int32),
+            jnp.asarray([x], jnp.int32), iters))[0]
         assert got == want, (lo, hi, x, got, want)

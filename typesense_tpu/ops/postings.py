@@ -28,10 +28,14 @@ def lower_bound(flat: jax.Array, lo, hi, x, iters: int):
 
     def body(_, state):
         lo, hi = state
+        active = lo < hi   # converged/empty lanes must not run past hi
         mid = (lo + hi) >> 1
         v = flat[jnp.clip(mid, 0, flat.shape[0] - 1)]
         less = v < x
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+        new_lo = jnp.where(less, mid + 1, lo)
+        new_hi = jnp.where(less, hi, mid)
+        return (jnp.where(active, new_lo, lo),
+                jnp.where(active, new_hi, hi))
 
     lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
     return lo
