@@ -42,15 +42,15 @@ def lower_bound(flat: jax.Array, lo, hi, x, iters: int):
 
 
 def lower_bound_wide(flat: jax.Array, lo, hi, x, iters: int,
-                     fan: int = 16):
+                     fan: int = 4):
     """Wide-fanout lower_bound: first index in [lo, hi) with
     flat[idx] >= x, probing fan-1 pivots per step.
 
     On this rig a random gather from a large HBM array costs a FIXED
     ~0.35 ms regardless of lane count (latency/DMA-descriptor bound), so
-    a 21-step binary search is ~7 ms of dependent gathers. The 16-way
-    search narrows [lo, hi) by 16x per step — ceil(log16(range)) + 1
-    dependent gathers (~6 at 1.4M-entry rows) for the same exact result.
+    a 21-step binary search is ~7 ms of dependent gathers, while wide
+    gathers above ~30K lanes turn throughput-bound (~60M elem/s). fan=4
+    (3 pivots/step, ~12 steps) sits under both limits.
 
     Exactness: step boundaries b_j = lo + floor(width*j/fan) partition
     [lo, hi); with k = #{j in 1..fan-1 : flat[b_j] < x}, the answer lies
