@@ -311,6 +311,10 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
 
     rows = select_head_rows(seg)
     N = max(seg.num_docs, 1)
+    # planes are padded to a 128-multiple width so the pallas fused scan
+    # (search/pallas_scan.py) can view them as (H, N128/128, 128) tiles;
+    # pad cells stay MA_EMPTY / 0 (XLA kernels slice [:N] as before)
+    NP = -(-N // 128) * 128
     if len(rows) == 0:
         e = jax.device_put(np.full((1, 1), MA_EMPTY, np.int32))
         return e, e, {}
@@ -327,15 +331,15 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
             valid = idx < end
             safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
             docs = post_doc_ids[safe]
-            flat = jnp.where(valid, docs, jnp.int32(N))
+            flat = jnp.where(valid, docs, jnp.int32(NP))
             pa = pa.at[flat].set(ma[safe], mode="drop")
             pb = pb.at[flat].set(mb[safe], mode="drop")
             return pa, pb
 
         n = (end - start + CH - 1) // CH
         return lax.fori_loop(0, n, step,
-                             (jnp.full((N,), MA_EMPTY, jnp.int32),
-                              jnp.zeros((N,), jnp.int32)))
+                             (jnp.full((NP,), MA_EMPTY, jnp.int32),
+                              jnp.zeros((NP,), jnp.int32)))
 
     pa_list, pb_list = [], []
     for r in rows:

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 WINDOW_SIZE = 10  # match_score.h:11
-INF = jnp.int32(1 << 30)
+# plain int, not jnp.int32: weak-typed literals behave identically in XLA
+# and are the only legal form inside pallas kernel bodies (a jnp scalar
+# would be a captured constant match_components_p4's pallas callers reject)
+INF = 1 << 30
 
 
 def match_components(positions: jax.Array, pos_valid: jax.Array,
@@ -93,10 +96,10 @@ def match_components_p4(pos: list, want_offset: bool = False):
     max over (words, -displacement, -anchor)."""
     Q = len(pos)
     P = len(pos[0])
-    B = pos[0][0].shape[0]
+    B = pos[0][0].shape  # any shape: (B,) vectors or (SUBT, LANES) tiles
     if Q == 2 and not want_offset:
         return _pair_closed_form(pos, B)
-    best = jnp.full((B,), -1, jnp.int32)
+    best = jnp.full(B, -1, jnp.int32)
     for qa in range(Q):
         for ka in range(P):
             p = pos[qa][ka]
@@ -168,7 +171,7 @@ def _pair_closed_form(pos, B):
     keys at the global min position."""
     p, q = pos
     P = len(p)
-    best = jnp.full((B,), -1, jnp.int32)
+    best = jnp.full(B, -1, jnp.int32)
     for i in range(P):
         for j in range(P):
             d = jnp.abs(p[i] - q[j])

@@ -1,0 +1,876 @@
+"""Pallas TPU fused whole-N scan for the dense2 keyword path.
+
+The XLA dense2 scan (kernels.dense2_kernel_body phases 2-3) materializes the
+(Q, F, N) va/vb planes and every derived N-lane intermediate in HBM: XLA
+fusion splits around reduces/reshapes, so a 2-token query re-reads ~75 MB of
+plane data several times (~17-21 ms device time at 2.2M docs where the raw
+read is ~1 ms at this chip's HBM bandwidth). This module performs the whole
+scan — head-plane min-merge, membership, typo costs, proximity scoring
+(ops/match.py math, bit-identical), 48-bit score packing, block maxes for
+top-K selection, found count and facet histograms — in ONE pass through VMEM
+tiles, then a small XLA epilogue assembles the exact top-K.
+
+int64 is not lowerable on the TPU vector units, so the packed 63-bit
+aggregated text score rides as an (hi, lo) int32 pair (pack_pair_* below,
+asserted bit-equal to ops/match.pack_* in tests/test_pallas_scan.py). The
+candidate-selection cascade mirrors kernels.cascade_topk's block-max
+argument: the per-block lexicographic (hi, lo) maxima are computed in-kernel
+(BW = SUBT lanes per block along the sublane axis), the top-KT blocks by
+block max provably contain every lane with k0 > t0, and the stage-2 tie
+kernel re-scans lanes with k0 == t0 under the pack2 (slot1, doc-id) key.
+
+Replaces: or_iterator intersection + topster merge
+(/root/reference/src/index.cpp:5385, or_iterator.h:61-182,
+include/topster.h) — same contract as kernels.dense2_kernel_body, which
+remains the fallback for shapes this path does not support (see supported()).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import typesense_tpu.core.jaxcfg  # noqa: F401  (enable x64 before jnp use)
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from typesense_tpu.ops.match import (
+    INF as _INF_J, match_components_p4,
+)
+from typesense_tpu.search.kernels import (
+    KEY_MIN, SLOT_COLUMN, SLOT_NONE, SLOT_SEQ_ID, SLOT_TEXT,
+    MA_CNT_SHIFT, MA_COST_SHIFT, MA_HEAVY_SHIFT, MA_LAST_SHIFT,
+    MA_EMPTY as _MA_EMPTY_J,
+    _dedup_sorted_ids, _score_and_merge,
+)
+from typesense_tpu.ops.postings import lower_bound_wide
+
+# pallas kernels may not close over traced jnp scalars — keep every constant
+# a Python int (weak-typed literals lower fine inside the kernel body)
+MATCH_INF = int(_INF_J)
+MA_EMPTY = int(_MA_EMPTY_J)
+SENT_HI = -(2 ** 31)                 # k0hi sentinel: below any valid hi >= 0
+MIN32 = -(2 ** 31)
+LANES = 128
+
+
+def fsum(x):
+    """Int count of a bool/int tile via f32 accumulation (tile sums are
+    < 2^24 so f32 is exact; jnp.sum on int32 inserts an int64 accumulator
+    under x64, which mosaic cannot lower)."""
+    return jnp.sum(x.astype(jnp.float32)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# (hi, lo) int32 pair packing — bit-identical to ops/match.py int64 packers
+# ---------------------------------------------------------------------------
+
+def pack_pair_field_score(wp, uw, tc, dist, exact, off, syn):
+    """pack_field_score as (fshi, fslo): fs == (fshi << 24) | fslo, both
+    non-negative int32 (24 bits each)."""
+    wp = jnp.clip(wp, 0, 255)
+    uw = jnp.clip(uw, 0, 255)
+    tcp = jnp.clip(255 - tc, 0, 255)
+    dp = 100 - jnp.clip(dist, 0, 100)
+    ex = jnp.clip(exact, 0, 15)
+    offp = jnp.clip(off, 0, 255)
+    synp = jnp.clip(syn, 0, 15)
+    fshi = (wp << 16) | (uw << 8) | tcp
+    fslo = (dp << 16) | (ex << 12) | (offp << 4) | synp
+    return fshi, fslo
+
+
+def pack_pair_aggregated(ql, bshi, bslo, w, nmf):
+    """pack_aggregated_score (match_type=0) as (hi, lo) int32 pair with
+    (hi << 32) | uint32(lo) == the int64 score. lo may have its sign bit
+    set; compare it unsigned (xor 0x80000000)."""
+    ql = jnp.clip(ql, 0, 15)
+    w = jnp.clip(w, 0, 127)
+    nmf = jnp.clip(nmf, 0, 7)
+    hi = (ql << 27) | (bshi << 3) | ((bslo >> 21) & 7)
+    lo = ((bslo & 0x1FFFFF) << 11) | (w << 3) | nmf
+    return hi, lo
+
+
+def pair_max(ahi, alo, bhi, blo):
+    """Lexicographic max of non-negative int32 pairs (used for per-field
+    best score; fs pairs are 24-bit so signed compare is fine)."""
+    better = (bhi > ahi) | ((bhi == ahi) & (blo > alo))
+    return jnp.where(better, bhi, ahi), jnp.where(better, blo, alo), better
+
+
+# ---------------------------------------------------------------------------
+# host-side support gate
+# ---------------------------------------------------------------------------
+
+def choose_subt(n_head_bufs: int, N128: int, KT: int) -> int:
+    """Pick the tile sublane count: small enough that double-buffered head
+    slices fit VMEM, big enough that the block count NB = N128/SUBT allows
+    KT blocks."""
+    for subt in (128, 64, 32, 16, 8):
+        vmem = n_head_bufs * 2 * subt * LANES * 4      # double-buffered
+        if vmem > 6 * 1024 * 1024:
+            continue
+        if N128 // subt >= KT:
+            return subt
+    return 0
+
+
+def supported(prep: dict, slot_kinds, slot_signs, match_type: int,
+              prioritize_token_position: bool, n_facets: int,
+              facet_sizes: tuple, N: int, k1_fits_i32: bool,
+              doc_base=None) -> bool:
+    """Static gate: shapes/configs the fused path handles; everything else
+    falls back to kernels.dense2_kernel_body."""
+    if doc_base is not None or match_type != 0 or prioritize_token_position:
+        return False
+    if slot_kinds[0] != SLOT_TEXT:
+        return False
+    if slot_kinds[1] == SLOT_COLUMN and not k1_fits_i32:
+        return False
+    if slot_kinds[1] not in (SLOT_COLUMN, SLOT_NONE):
+        return False
+    if slot_kinds[2] == SLOT_SEQ_ID:
+        if slot_signs[2] != 1:
+            return False
+    elif slot_kinds[2] != SLOT_NONE:
+        return False
+    if sum(facet_sizes) + 1 + n_facets > 120:
+        return False
+    K = prep["K"]
+    if K > 1024 or N < 1024:
+        return False
+    N128 = -(-N // LANES) * LANES
+    Q, F, HPF = prep["Q"], prep["Fq"], prep["HPF"]
+    need_pos = Q > 1
+    n_head_bufs = Q * F * max(HPF, 1) * (2 if need_pos else 1)
+    if choose_subt(n_head_bufs, N128, min(K, N)) == 0:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: fused scan
+# ---------------------------------------------------------------------------
+
+def _scan_kernel_factory(Q, F, HPF, n_facets, facet_sizes, exclude,
+                         prioritize_exact, prioritize_num_fields,
+                         has_scatter, need_pos, need_heavy, SUBT, N,
+                         slot_kinds):
+    """Returns the pallas kernel body (closure over static config)."""
+    EMPTY32 = np.uint32(0xFFFFFFFF)   # np scalar: legal uint32 literal
+                                      # whether or not x64 is enabled
+    HSLOTS = Q * F * max(HPF, 1)
+    TN = SUBT * LANES
+
+    def kernel(*refs):
+        # trace with x64 off: bare Python literals must stay weak-i32 —
+        # under global x64 they become i64[] consts whose i64->i32 convert
+        # mosaic cannot lower (infinite _convert_helper recursion)
+        with jax.enable_x64(False):
+            _kernel(*refs)
+
+    def _kernel(*refs):
+        pb = refs[0]
+        o = 1
+        ha_refs = refs[o:o + Q * F * HPF]; o += Q * F * HPF
+        hb_refs = ()
+        if need_pos:
+            hb_refs = refs[o:o + Q * F * HPF]; o += Q * F * HPF
+        pl_ref = None
+        if has_scatter:
+            pl_ref = refs[o]; o += 1
+        fm_ref = refs[o]; o += 1
+        ftc_ref = None
+        if prioritize_exact:
+            ftc_ref = refs[o]; o += 1
+        fac_refs = refs[o:o + n_facets]; o += n_facets
+        wt_ref = refs[o]; o += 1          # field weights (F,) int32 SMEM
+        # outputs
+        k0hi_ref = refs[o]; o += 1
+        k0lo_ref = refs[o]; o += 1
+        if need_heavy:
+            ubhi_ref = refs[o]; o += 1
+            ublo_ref = refs[o]; o += 1
+        bmhi_ref = refs[o]; o += 1
+        bmlo_ref = refs[o]; o += 1
+        st_ref = refs[o]; o += 1
+
+        i = pl.program_id(0)
+        sub_io = lax.broadcasted_iota(jnp.int32, (SUBT, LANES), 0)
+        lane_io = lax.broadcasted_iota(jnp.int32, (SUBT, LANES), 1)
+        gl = i * TN + sub_io * LANES + lane_io          # global lane id
+        inb = gl < N
+
+        # ---- membership planes: head min-merge (+ scatter conversion) ----
+        va = []
+        vb = []
+        for qf in range(Q * F):
+            if has_scatter:
+                m32 = pl_ref[qf]
+                sc_ok = m32 != EMPTY32
+                a32 = ((m32 & jnp.uint32(0xFFF)).astype(jnp.int32)
+                       | (((m32 >> 24) & jnp.uint32(1)).astype(jnp.int32)
+                          << MA_CNT_SHIFT)
+                       | (((m32 >> 25) & jnp.uint32(1)).astype(jnp.int32)
+                          << MA_LAST_SHIFT)
+                       | (((m32 >> 26) & jnp.uint32(1)).astype(jnp.int32)
+                          << MA_HEAVY_SHIFT)
+                       | ((m32 >> 28).astype(jnp.int32) << MA_COST_SHIFT))
+                a = jnp.where(sc_ok, a32, MA_EMPTY)
+                b = jnp.where(sc_ok,
+                              ((m32 >> 12) & jnp.uint32(0xFFF)).astype(
+                                  jnp.int32),
+                              jnp.int32(0)) if need_pos else None
+            else:
+                a = jnp.full((SUBT, LANES), MA_EMPTY, jnp.int32)
+                b = jnp.zeros((SUBT, LANES), jnp.int32) if need_pos else None
+            for s in range(HPF):
+                slot = qf * HPF + s
+                row = pb[slot]
+                ha = ha_refs[slot][0]
+                hcost = pb[HSLOTS + slot]
+                ha = jnp.where((row >= 0) & (ha != MA_EMPTY),
+                               ha | (hcost << MA_COST_SHIFT), MA_EMPTY)
+                take = ha < a
+                if need_pos:
+                    hb = hb_refs[slot][0]
+                    b = jnp.where(take, hb, b)
+                a = jnp.minimum(a, ha)
+            va.append(a)
+            vb.append(b)
+
+        member = [[va[q * F + f] != MA_EMPTY for f in range(F)]
+                  for q in range(Q)]
+        # include/exclude masks from runtime token_valid scalars
+        tvs = [pb[2 * HSLOTS + q] > 0 for q in range(Q)]
+        inc = [tvs[q] & jnp.bool_(not exclude[q]) for q in range(Q)]
+        exc = [tvs[q] & jnp.bool_(bool(exclude[q])) for q in range(Q)]
+
+        tok_any = []
+        for q in range(Q):
+            t = member[q][0]
+            for f in range(1, F):
+                t = t | member[q][f]
+            tok_any.append(t)
+
+        all_match = None
+        any_inc = None
+        any_exc = None
+        for q in range(Q):
+            ok = tok_any[q] | ~inc[q]
+            all_match = ok if all_match is None else (all_match & ok)
+            ai = tok_any[q] & inc[q]
+            any_inc = ai if any_inc is None else (any_inc | ai)
+            ae = tok_any[q] & exc[q]
+            any_exc = ae if any_exc is None else (any_exc | ae)
+        m = all_match & any_inc & ~any_exc & (fm_ref[:] > 0) & inb
+
+        if need_heavy:
+            heavy = None
+            for q in range(Q):
+                if exclude[q]:
+                    continue
+                for f in range(F):
+                    h = member[q][f] & \
+                        (((va[q * F + f] >> MA_HEAVY_SHIFT) & 1) > 0)
+                    heavy = h if heavy is None else (heavy | h)
+            if heavy is None:
+                heavy = jnp.zeros((SUBT, LANES), bool)
+            m_light = m & ~heavy
+        else:
+            m_light = m
+
+        # ---- typo costs / query_len ----
+        min_cost = []
+        for q in range(Q):
+            c = None
+            for f in range(F):
+                cf = jnp.where(member[q][f] & jnp.bool_(not exclude[q]),
+                               (va[q * F + f] >> MA_COST_SHIFT) & 63,
+                               jnp.int32(255))
+                c = cf if c is None else jnp.minimum(c, cf)
+            min_cost.append(c)
+        tc = jnp.zeros((SUBT, LANES), jnp.int32)
+        query_len = jnp.zeros((SUBT, LANES), jnp.int32)
+        for q in range(Q):
+            sel = tok_any[q] & inc[q]
+            tc = tc + jnp.where(sel, min_cost[q], jnp.int32(0))
+            query_len = query_len + sel.astype(jnp.int32)
+        n_inc = jnp.int32(0)
+        for q in range(Q):
+            n_inc = n_inc + jnp.where(tvs[q] & jnp.bool_(not exclude[q]),
+                                      jnp.int32(1), jnp.int32(0))
+
+        # ---- per-field proximity + packed score ----
+        bshi = jnp.zeros((SUBT, LANES), jnp.int32)
+        bslo = jnp.zeros((SUBT, LANES), jnp.int32)
+        bw = jnp.zeros((SUBT, LANES), jnp.int32)
+        if need_heavy:
+            ubshi = jnp.zeros((SUBT, LANES), jnp.int32)
+            ubslo = jnp.zeros((SUBT, LANES), jnp.int32)
+        for f in range(F):
+            mf = [member[q][f] & jnp.bool_(not exclude[q]) for q in range(Q)]
+            any_mf = None
+            uw = jnp.zeros((SUBT, LANES), jnp.int32)
+            for q in range(Q):
+                any_mf = mf[q] if any_mf is None else (any_mf | mf[q])
+                uw = uw + mf[q].astype(jnp.int32)
+            cntf = [((va[q * F + f] >> MA_CNT_SHIFT) & 3) + 1
+                    for q in range(Q)]
+            single = uw <= 1
+            if Q == 1:
+                wp = jnp.ones((SUBT, LANES), jnp.int32)
+                dist = jnp.zeros((SUBT, LANES), jnp.int32)
+            else:
+                pos = [[jnp.where(mf[q], va[q * F + f] & 0xFFF, MATCH_INF),
+                        jnp.where(mf[q] & (cntf[q] > 1),
+                                  vb[q * F + f] & 0xFFF, MATCH_INF),
+                        jnp.where(mf[q] & (cntf[q] > 2),
+                                  (vb[q * F + f] >> 12) & 0xFFF, MATCH_INF)]
+                       for q in range(Q)]
+                wp, dist = match_components_p4(pos)
+                wp = jnp.where(single, 1, wp)
+                dist = jnp.where(single, 0, dist)
+            total_off = jnp.zeros((SUBT, LANES), jnp.int32)
+            has_last = None
+            for q in range(Q):
+                total_off = total_off + \
+                    jnp.where(mf[q], cntf[q], jnp.int32(0))
+                hl = mf[q] & (((va[q * F + f] >> MA_LAST_SHIFT) & 1) > 0)
+                has_last = hl if has_last is None else (has_last | hl)
+            if prioritize_exact:
+                ftc_f = ftc_ref[f]
+                exact_multi = (has_last & (ftc_f == uw) &
+                               (((total_off == uw) & (dist == uw - 1)) |
+                                (dist < uw - 1)))
+                exact_single = (has_last & (ftc_f == 1) & (tc == 0) &
+                                (n_inc == 1))
+                # select in i32: a bool-operand select_n lowers to an
+                # unsupported i8->i1 trunci in mosaic
+                exact = jnp.where(single, exact_single.astype(jnp.int32),
+                                  exact_multi.astype(jnp.int32))
+            else:
+                exact = jnp.zeros((SUBT, LANES), jnp.int32)
+            zero = jnp.zeros((SUBT, LANES), jnp.int32)
+            one = jnp.ones((SUBT, LANES), jnp.int32)
+            fshi, fslo = pack_pair_field_score(wp, uw, tc, dist, exact,
+                                               zero, one)
+            fshi = jnp.where(any_mf, fshi, jnp.int32(0))
+            fslo = jnp.where(any_mf, fslo, jnp.int32(0))
+            w_f = wt_ref[f]
+            nhi, nlo, better = pair_max(bshi, bslo, fshi, fslo)
+            bw = jnp.where(better, w_f, bw)
+            bshi, bslo = nhi, nlo
+            if need_heavy:
+                u_hi, u_lo = pack_pair_field_score(
+                    uw, uw, tc, zero,
+                    jnp.full((SUBT, LANES), 1 if prioritize_exact else 0,
+                             jnp.int32),
+                    zero, one)
+                u_hi = jnp.where(any_mf, u_hi, jnp.int32(0))
+                u_lo = jnp.where(any_mf, u_lo, jnp.int32(0))
+                ubshi, ubslo, _ = pair_max(ubshi, ubslo, u_hi, u_lo)
+
+        if prioritize_num_fields:
+            nmf = jnp.zeros((SUBT, LANES), jnp.int32)
+            for f in range(F):
+                anyf = None
+                for q in range(Q):
+                    mq = member[q][f] & jnp.bool_(not exclude[q])
+                    anyf = mq if anyf is None else (anyf | mq)
+                nmf = nmf + anyf.astype(jnp.int32)
+        else:
+            nmf = jnp.zeros((SUBT, LANES), jnp.int32)
+        score_pos = (bshi > 0) | (bslo > 0)
+        ql = jnp.where(score_pos, jnp.minimum(query_len, 15), 0)
+        k0hi, k0lo = pack_pair_aggregated(ql, bshi, bslo, bw, nmf)
+        k0hi = jnp.where(m_light, k0hi, SENT_HI)
+        k0lo = jnp.where(m_light, k0lo, jnp.int32(0))
+        k0hi_ref[:] = k0hi
+        k0lo_ref[:] = k0lo
+
+        if need_heavy:
+            uql = jnp.where((ubshi > 0) | (ubslo > 0),
+                            jnp.minimum(query_len, 15), 0)
+            uhi, ulo = pack_pair_aggregated(
+                uql, ubshi, ubslo, jnp.full((SUBT, LANES), 127, jnp.int32),
+                jnp.full((SUBT, LANES), 7, jnp.int32))
+            mh = m & heavy
+            ubhi_ref[:] = jnp.where(mh, uhi, SENT_HI)
+            ublo_ref[:] = jnp.where(mh, ulo, jnp.int32(0))
+
+        # ---- per-block (SUBT-lane) lexicographic maxima of (hi, lo) ----
+        mh_hi = jnp.max(k0hi, axis=0)                           # (LANES,)
+        locmp = jnp.where(k0hi == mh_hi[None, :], k0lo ^ MIN32, MIN32)
+        mh_lo = jnp.max(locmp, axis=0) ^ MIN32
+        bmhi_ref[0, 0, :] = mh_hi
+        bmlo_ref[0, 0, :] = mh_lo
+
+        # ---- stats row: [found | facet histograms...] ----
+        io1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sv = jnp.where(io1 == 0, fsum(m), jnp.int32(0))
+        off = 1
+        for fa in range(n_facets):
+            col = fac_refs[fa][:]
+            for v in range(facet_sizes[fa]):
+                cnt = fsum(m & (col == v))
+                sv = sv + jnp.where(io1 == off, cnt, jnp.int32(0))
+                off += 1
+        st_ref[0, 0:1, :] = sv
+
+    return kernel
+
+
+def _tie_kernel_factory(SUBT, N, has_col):
+    """Stage-2 kernel: per-block max of (k1, doc-id) among exact ties of
+    the stage-1 threshold t0 (pack2 key semantics)."""
+    TN = SUBT * LANES
+
+    def kernel(*a):
+        with jax.enable_x64(False):   # see _scan_kernel_factory note
+            _kernel(*a)
+
+    def _kernel(tb, k0hi_ref, k0lo_ref, *rest):
+        if has_col:
+            col_ref = rest[0]
+            bmhi_ref, bmlo_ref = rest[1], rest[2]
+        else:
+            bmhi_ref, bmlo_ref = rest[0], rest[1]
+        i = pl.program_id(0)
+        sub_io = lax.broadcasted_iota(jnp.int32, (SUBT, LANES), 0)
+        lane_io = lax.broadcasted_iota(jnp.int32, (SUBT, LANES), 1)
+        gl = i * TN + sub_io * LANES + lane_io
+        hi = k0hi_ref[:]
+        tie = (hi == tb[0]) & (k0lo_ref[:] == tb[1]) & (hi != SENT_HI)
+        k1 = col_ref[:] if has_col else jnp.zeros((SUBT, LANES), jnp.int32)
+        k1m = jnp.where(tie, k1, MIN32)
+        mh = jnp.max(k1m, axis=0)
+        idm = jnp.where(tie & (k1m == mh[None, :]), gl, jnp.int32(-1))
+        mi = jnp.max(idm, axis=0)
+        bmhi_ref[0, 0, :] = mh
+        bmlo_ref[0, 0, :] = mi
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# jit wrapper: scatter phase (XLA) -> pallas scan -> XLA epilogue
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=512)
+def build_pallas_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
+                               SCBB: int, SSB: int, K: int, HC: int, P: int,
+                               iters: int, slot_kinds: tuple,
+                               slot_signs: tuple, prioritize_exact: bool,
+                               prioritize_num_fields: bool, n_facets: int,
+                               facet_sizes: tuple, exclude_flags: tuple,
+                               N: int, CAP_H: int = 1024,
+                               interpret: bool = False):
+    """Compile-cached fused dense2 kernel (pallas scan + XLA epilogue).
+    Same contract/result layout as kernels.build_dense2_kernel."""
+    exclude = tuple(bool(x) for x in exclude_flags) + \
+        (False,) * (Q - len(exclude_flags))
+    has_scatter = SCB > 0 or SCBB > 0
+    need_pos = Q > 1
+    need_heavy = Q > 1            # slot0 is TEXT by the support gate
+    HPFe = max(HPF, 1)
+    HSLOTS = Q * F * HPFe
+    N128 = -(-N // LANES) * LANES
+    NR = N128 // LANES
+    KT = min(K, N)
+    n_head_bufs = Q * F * HPFe * (2 if need_pos else 1)
+    SUBT = choose_subt(n_head_bufs, N128, KT)
+    assert SUBT > 0, "unsupported shape (gate should have caught this)"
+    TN = SUBT * LANES
+    T = -(-N128 // TN)
+    NB = T * LANES
+    has_col = slot_kinds[1] == SLOT_COLUMN
+    EMPTY32 = jnp.uint32(0xFFFFFFFF)
+
+    scan_kernel = _scan_kernel_factory(
+        Q, F, HPFe, n_facets, facet_sizes, exclude, prioritize_exact,
+        prioritize_num_fields, has_scatter, need_pos, need_heavy, SUBT, N,
+        slot_kinds)
+    tie_kernel = _tie_kernel_factory(SUBT, N, has_col)
+
+    def i32z():
+        return jnp.int32(0)
+
+    def _head_imap(slot):
+        return lambda i, s: (jnp.maximum(s[slot], i32z()), i, i32z())
+
+    def run_scan(pbuf, head_a3, head_b3, plane3, fmask32, ftc3, facet3,
+                 weights):
+        in_specs = []
+        args = []
+        for slot in range(HSLOTS):
+            in_specs.append(pl.BlockSpec((1, SUBT, LANES), _head_imap(slot)))
+            args.append(head_a3)
+        if need_pos:
+            for slot in range(HSLOTS):
+                in_specs.append(
+                    pl.BlockSpec((1, SUBT, LANES), _head_imap(slot)))
+                args.append(head_b3)
+        if has_scatter:
+            in_specs.append(pl.BlockSpec(
+                (Q * F, SUBT, LANES), lambda i, s: (i32z(), i, i32z())))
+            args.append(plane3)
+        in_specs.append(pl.BlockSpec((SUBT, LANES),
+                                     lambda i, s: (i, i32z())))
+        args.append(fmask32)
+        if prioritize_exact:
+            in_specs.append(pl.BlockSpec(
+                (F, SUBT, LANES), lambda i, s: (i32z(), i, i32z())))
+            args.append(ftc3)
+        for fa in range(n_facets):
+            in_specs.append(pl.BlockSpec((SUBT, LANES),
+                                         lambda i, s: (i, i32z())))
+            args.append(facet3[fa])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(weights)
+
+        out_shape = [jax.ShapeDtypeStruct((NR, LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((NR, LANES), jnp.int32)]
+        out_specs = [pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z())),
+                     pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z()))]
+        if need_heavy:
+            out_shape += [jax.ShapeDtypeStruct((NR, LANES), jnp.int32),
+                          jax.ShapeDtypeStruct((NR, LANES), jnp.int32)]
+            out_specs += [
+                pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z())),
+                pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z()))]
+        out_shape += [jax.ShapeDtypeStruct((T, 8, LANES), jnp.int32),
+                      jax.ShapeDtypeStruct((T, 8, LANES), jnp.int32),
+                      jax.ShapeDtypeStruct((T, 8, LANES), jnp.int32)]
+        out_specs += [
+            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, i32z(), i32z())),
+            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, i32z(), i32z())),
+            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, i32z(), i32z()))]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(T,), in_specs=in_specs,
+            out_specs=out_specs)
+        with jax.enable_x64(False):   # index-map/block-offset arithmetic
+            return pl.pallas_call(scan_kernel, grid_spec=grid_spec,
+                                  out_shape=out_shape,
+                                  interpret=interpret)(pbuf, *args)
+
+    def run_tie(t0buf, k0hi, k0lo, col3):
+        in_specs = [
+            pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z())),
+            pl.BlockSpec((SUBT, LANES), lambda i, s: (i, i32z()))]
+        args = [k0hi, k0lo]
+        if has_col:
+            in_specs.append(pl.BlockSpec((SUBT, LANES),
+                                         lambda i, s: (i, i32z())))
+            args.append(col3)
+        out_shape = [jax.ShapeDtypeStruct((T, 8, LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((T, 8, LANES), jnp.int32)]
+        out_specs = [
+            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, i32z(), i32z())),
+            pl.BlockSpec((1, 8, LANES), lambda i, s: (i, i32z(), i32z()))]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(T,), in_specs=in_specs,
+            out_specs=out_specs)
+        with jax.enable_x64(False):   # index-map/block-offset arithmetic
+            return pl.pallas_call(tie_kernel, grid_spec=grid_spec,
+                                  out_shape=out_shape,
+                                  interpret=interpret)(t0buf, *args)
+
+    def expand_blocks(blk):
+        """Block id (T*LANES domain: t*LANES + lane) -> its SUBT lane ids."""
+        t = blk // LANES
+        j = blk % LANES
+        return (t[:, None] * TN + jnp.arange(SUBT, dtype=jnp.int32)[None, :]
+                * LANES + j[:, None]).reshape(-1)
+
+    def gather_k0(k0hi_f, k0lo_f, lanes):
+        safe = jnp.clip(lanes, 0, N128 - 1)
+        hi = k0hi_f[safe].astype(jnp.int64)
+        lo = k0lo_f[safe].astype(jnp.int64) & 0xFFFFFFFF
+        return (hi << 32) | lo
+
+    @jax.jit
+    def kernel(post_doc_ids, post_meta, pos_offsets, positions,
+               field_token_counts, head_a, head_b, fmask, qbuf, pbuf,
+               col_p, ftc_p, facet_p, sort_col0, sort_col1, sort_col2,
+               heavy_ids):
+        # padded-plane tile views (free reshapes: row-major contiguous)
+        head_a3 = head_a.reshape(head_a.shape[0], NR, LANES)
+        head_b3 = head_b.reshape(head_b.shape[0], NR, LANES) \
+            if need_pos else None
+        ftc3 = ftc_p.reshape(F, NR, LANES) if prioritize_exact else None
+        col3 = col_p.reshape(NR, LANES) if has_col else None
+        facet3 = tuple(fp.reshape(NR, LANES) for fp in facet_p)
+        # ---- unpack qbuf (layout: kernels.pack_dense2_buf) ----
+        o = 0
+        sc_starts = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_lens = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_qf = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        sc_c = qbuf[o:o + SCB].astype(jnp.int32); o += SCB
+        n_sc = qbuf[o].astype(jnp.int32); o += 1
+        b_starts = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_lens = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_qf = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        b_c = qbuf[o:o + SCBB].astype(jnp.int32); o += SCBB
+        n_big = qbuf[o].astype(jnp.int32); o += 1
+        o += 2 * Q * F * HPF                 # hrow/hcost ride in pbuf
+        cand_starts = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
+        o += Q * F * C
+        cand_ends = qbuf[o:o + Q * F * C].reshape(Q, F, C).astype(jnp.int32)
+        o += Q * F * C
+        cand_costs = qbuf[o:o + Q * C].reshape(Q, C).astype(jnp.int32)
+        o += Q * C
+        token_valid = qbuf[o:o + Q].astype(bool); o += Q
+        field_weights = qbuf[o:o + F].astype(jnp.int32); o += F
+        HV = Q * F * C
+        hv_starts = qbuf[o:o + HV].astype(jnp.int32); o += HV
+        hv_lens = qbuf[o:o + HV].astype(jnp.int32); o += HV
+        hv_flag = qbuf[o:o + HV].astype(jnp.int32); o += HV
+
+        excl = jnp.asarray(exclude, bool)[:, None]
+        tv = token_valid[:, None] & ~excl
+        cc_flat = jnp.minimum(cand_costs, 14).reshape(-1)
+
+        # ---- phase 1 (XLA): scatter mid rows into meta32 planes ----
+        plane3 = None
+        if has_scatter:
+            SS = 2048
+            G = max(1, min((1 << 15) // SS, max(SCB, 1)))
+            ss_lane = jnp.arange(SS, dtype=jnp.int32)
+
+            def scatter_step(i, plane):
+                base = lax.dynamic_slice(sc_starts, (i * G,), (G,))
+                ln = lax.dynamic_slice(sc_lens, (i * G,), (G,))
+                qf = lax.dynamic_slice(sc_qf, (i * G,), (G,))
+                c = lax.dynamic_slice(sc_c, (i * G,), (G,))
+                idx = base[:, None] + ss_lane[None, :]
+                valid = ss_lane[None, :] < ln[:, None]
+                safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
+                docs = post_doc_ids[safe]
+                meta = post_meta[safe]
+                q = qf // F
+                cost = cc_flat[jnp.clip(q * C + c, 0, Q * C - 1)]
+                val = (cost.astype(jnp.uint32)[:, None] << 28) | meta
+                flat = jnp.where(valid, qf[:, None] * N128 + docs,
+                                 jnp.int32(Q * F * N128))
+                return plane.at[flat.reshape(-1)].min(val.reshape(-1),
+                                                      mode="drop")
+
+            plane = jnp.full((Q * F * N128,), EMPTY32, jnp.uint32)
+            if SCB > 0:
+                n_steps = (n_sc + G - 1) // G
+                plane = lax.fori_loop(0, n_steps, scatter_step, plane)
+            if SCBB > 0:
+                blane = jnp.arange(SSB, dtype=jnp.int32)
+                P_total = post_doc_ids.shape[0]
+
+                def big_step(i, plane):
+                    start = b_starts[i]
+                    blen = b_lens[i]
+                    actual = jnp.clip(start, 0, max(P_total - SSB, 0))
+                    offb = start - actual
+                    docs = lax.dynamic_slice(post_doc_ids, (actual,), (SSB,))
+                    meta = lax.dynamic_slice(post_meta, (actual,), (SSB,))
+                    valid = (blane >= offb) & (blane < offb + blen)
+                    q = b_qf[i] // F
+                    cost = cc_flat[jnp.clip(q * C + b_c[i], 0, Q * C - 1)]
+                    val = (cost.astype(jnp.uint32) << 28) | meta
+                    flat = jnp.where(valid, b_qf[i] * N128 + docs,
+                                     jnp.int32(Q * F * N128))
+                    return plane.at[flat].min(val, mode="drop")
+
+                plane = lax.fori_loop(0, n_big, big_step, plane)
+            plane3 = plane.reshape(Q * F, NR, LANES)
+
+        # filter mask -> padded int32 tile view
+        fmask32 = jnp.zeros((N128,), jnp.int32).at[:N].set(
+            fmask.astype(jnp.int32)).reshape(NR, LANES)
+
+        # ---- phase 2 (pallas): fused scan ----
+        outs = run_scan(pbuf, head_a3, head_b3, plane3, fmask32, ftc3,
+                        facet3, field_weights)
+        oix = 0
+        k0hi = outs[oix]; oix += 1
+        k0lo = outs[oix]; oix += 1
+        if need_heavy:
+            ubhi = outs[oix]; oix += 1
+            ublo = outs[oix]; oix += 1
+        bmhi = outs[oix]; oix += 1
+        bmlo = outs[oix]; oix += 1
+        stats = outs[oix]; oix += 1
+        k0hi_f = k0hi.reshape(-1)
+        k0lo_f = k0lo.reshape(-1)
+
+        # ---- phase 3 (XLA): stage-1 block selection ----
+        bm64 = ((bmhi[:, 0, :].reshape(-1).astype(jnp.int64) << 32)
+                | (bmlo[:, 0, :].reshape(-1).astype(jnp.int64)
+                   & 0xFFFFFFFF))
+        _, blk1 = lax.top_k(bm64, KT)
+        lanes1 = expand_blocks(blk1.astype(jnp.int32))
+        k0g = gather_k0(k0hi_f, k0lo_f, lanes1)
+        npool = lanes1.shape[0]
+        take1 = min(2 * KT, npool)
+        v1, i1 = lax.top_k(k0g, take1)
+        t0v = v1[KT - 1] if KT <= take1 else jnp.int64(KEY_MIN)
+        cand1 = lanes1[i1]
+
+        # ---- stage 2 (pallas): exact ties of t0 under (k1, id) ----
+        t0hi = (t0v >> 32).astype(jnp.int32)
+        t0lo = (t0v & 0xFFFFFFFF).astype(jnp.int32)
+        t0buf = jnp.stack([t0hi, t0lo])
+        bm2hi, bm2lo = run_tie(t0buf, k0hi, k0lo, col3)
+        col_f = col3.reshape(-1) if has_col else None
+        # block key: (k1 max, best doc id) — ids are unique so this pair
+        # ranks blocks exactly like the pack2 key
+        b2 = ((bm2hi[:, 0, :].reshape(-1).astype(jnp.int64) << 32)
+              | (bm2lo[:, 0, :].reshape(-1).astype(jnp.int64) & 0xFFFFFFFF))
+        _, blk2 = lax.top_k(b2, KT)
+        lanes2 = expand_blocks(blk2.astype(jnp.int32))
+        k0g2 = gather_k0(k0hi_f, k0lo_f, lanes2)
+        tie2 = k0g2 == t0v
+        if has_col:
+            k1g2 = col_f[jnp.clip(lanes2, 0, N128 - 1)].astype(jnp.int64)
+        else:
+            k1g2 = jnp.zeros(lanes2.shape[0], jnp.int64)
+        kp2 = jnp.where(tie2,
+                        (k1g2 << 22) | lanes2.astype(jnp.int64),
+                        jnp.int64(KEY_MIN))
+        take2 = min(2 * KT, lanes2.shape[0])
+        _, i2 = lax.top_k(kp2, take2)
+        cand2 = lanes2[i2]
+
+        cand = jnp.concatenate([cand1, cand2])
+        csafe = jnp.clip(cand, 0, N128 - 1)
+        ck0 = gather_k0(k0hi_f, k0lo_f, cand)
+        cvalid = k0hi_f[csafe] != SENT_HI
+        cid = jnp.where(cvalid, cand, -1)
+        ck0 = jnp.where(cvalid, ck0, KEY_MIN)
+        if has_col:
+            ck1 = jnp.where(cvalid, col_f[csafe].astype(jnp.int64), KEY_MIN)
+        else:
+            ck1 = jnp.where(cvalid, jnp.int64(0), KEY_MIN)
+        if slot_kinds[2] == SLOT_SEQ_ID:
+            ck2 = jnp.where(cvalid, cand.astype(jnp.int64), KEY_MIN)
+        else:
+            ck2 = jnp.where(cvalid, jnp.int64(0), KEY_MIN)
+
+        found_count = jnp.sum(stats[:, 0, 0].astype(jnp.int64))
+
+        # ---- phase 4 (XLA): heavy-doc exact rescore ----
+        if need_heavy:
+            ubhi_f = ubhi.reshape(-1)
+            ublo_f = ublo.reshape(-1)
+            cs = cand_starts.reshape(-1, 1)
+            ce = cand_ends.reshape(-1, 1)
+            cvalid_rows = (cand_costs < 255)[:, None, :, None]
+            HCT = min(HC, N)
+            hv_cum = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(hv_lens)])
+            total_hv = hv_cum[HV]
+            HEAVY_LEN = heavy_ids.shape[0]
+            SA = 8192
+            alane = jnp.arange(SA, dtype=jnp.int32)
+
+            def scanA(i, carry):
+                nh, buf = carry
+                g = i * SA + alane
+                inr = g < total_hv
+                row = jnp.sum(g[:, None] >= hv_cum[None, 1:],
+                              axis=1).astype(jnp.int32)
+                rs = jnp.clip(row, 0, HV - 1)
+                idx = hv_starts[rs] + (g - hv_cum[rs])
+                hp = heavy_ids[jnp.clip(idx, 0, HEAVY_LEN - 1)]
+                d = hp & ((1 << 30) - 1)
+                tier64 = (hp >> 30) & 1
+                use = jnp.where(hv_flag[rs] == 1, tier64 == 1, True)
+                ds = jnp.clip(d, 0, N128 - 1)
+                ubg = ((ubhi_f[ds].astype(jnp.int64) << 32)
+                       | (ublo_f[ds].astype(jnp.int64) & 0xFFFFFFFF))
+                keep = inr & use & (ubhi_f[ds] != SENT_HI) & (ubg >= t0v)
+                mi = keep.astype(jnp.int32)
+                out_idx = jnp.where(keep, nh + jnp.cumsum(mi) - mi,
+                                    jnp.int32(CAP_H))
+                buf = buf.at[out_idx].set(d, mode="drop")
+                return nh + jnp.sum(mi, dtype=jnp.int32), buf
+
+            n_a = (total_hv + SA - 1) // SA
+            nh, hbuf = lax.fori_loop(
+                0, n_a, scanA,
+                (jnp.int32(0), jnp.zeros((CAP_H,), jnp.int32)))
+
+            hlane = jnp.arange(HCT, dtype=jnp.int32)
+
+            def rescore_round(i, carry):
+                h0, h1, h2, hid = carry
+                g = i * HCT + hlane
+                ok = g < nh
+                d = jnp.where(ok, hbuf[jnp.clip(g, 0, CAP_H - 1)], 0)
+                x = d[None, :]
+                pidx = lower_bound_wide(
+                    post_doc_ids,
+                    jnp.broadcast_to(cs, (Q * F * C, HCT)),
+                    jnp.broadcast_to(ce, (Q * F * C, HCT)), x, iters)
+                safe = jnp.clip(pidx, 0, post_doc_ids.shape[0] - 1)
+                fnd = (pidx < ce) & (post_doc_ids[safe] == x)
+                fnd = fnd.reshape(Q, F, C, HCT) & cvalid_rows
+                pidx = pidx.reshape(Q, F, C, HCT)
+                tok_field = jnp.any(fnd, axis=2)
+                tok_any2 = jnp.any(tok_field, axis=1)
+                tok_field = tok_field & ~excl[:, :, None]
+                cost_qc = jnp.where(
+                    fnd, cand_costs[:, None, :, None].astype(jnp.int32),
+                    255)
+                mc = jnp.min(cost_qc, axis=(1, 2))
+                tch = jnp.sum(jnp.where(tok_any2 & tv, mc, 0), axis=0)
+                first_c = jnp.argmax(fnd, axis=2)
+                sp = jnp.take_along_axis(pidx, first_c[:, :, None, :],
+                                         axis=2)[:, :, 0, :]
+                h0, h1, h2, hid, _f, _a = _score_and_merge(
+                    (h0, h1, h2, hid, jnp.int64(0), tuple()),
+                    d, ok, tch, tok_field, tok_any2, sp, tv,
+                    post_meta, pos_offsets, positions, field_token_counts,
+                    field_weights, sort_col0, sort_col1, sort_col2, (), (),
+                    Q, F, HCT, K, P, slot_kinds, slot_signs,
+                    prioritize_exact, prioritize_num_fields, 0, (), (), (),
+                    gid=None, last_flag_mask=1 << 25, match_type=0,
+                    prioritize_token_position=False)
+                return (h0, h1, h2, hid)
+
+            init_h = (jnp.full((K,), KEY_MIN), jnp.full((K,), KEY_MIN),
+                      jnp.full((K,), KEY_MIN),
+                      jnp.full((K,), -1, jnp.int32))
+            n_b = (nh + HCT - 1) // HCT
+            h0, h1, h2, hid = lax.fori_loop(0, n_b, rescore_round, init_h)
+            cid = jnp.concatenate([cid, hid])
+            ck0 = jnp.concatenate([ck0, h0])
+            ck1 = jnp.concatenate([ck1, h1])
+            ck2 = jnp.concatenate([ck2, h2])
+
+        r0, r1, r2, rid = _dedup_sorted_ids(ck0, ck1, ck2,
+                                            cid.astype(jnp.int32), K)
+
+        out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
+        off = 1
+        for fa in range(n_facets):
+            cnt = jnp.sum(stats[:, 0, off:off + facet_sizes[fa]],
+                          axis=0).astype(jnp.int64)
+            out.append(cnt)
+            off += facet_sizes[fa]
+        return jnp.concatenate(out)
+
+    return kernel
+
+
+def pack_pbuf(hrow: np.ndarray, hcost: np.ndarray,
+              token_valid: np.ndarray) -> np.ndarray:
+    """Scalar-prefetch buffer for the scan kernel: head-plane rows, their
+    typo costs, and the runtime token-valid flags — all int32."""
+    return np.concatenate([
+        hrow.astype(np.int64), hcost.astype(np.int64),
+        token_valid.astype(np.int64)]).astype(np.int32)
