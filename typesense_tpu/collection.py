@@ -456,6 +456,28 @@ class Collection:
                 log(f"warmup {self.name} {mix.get('q', '')!r} "
                     f"typos={mix.get('num_typos')} "
                     f"{_t.time() - t0:.1f}s")
+        # dense2 matched-lane compaction tiers (CAP_M buckets): each tier is
+        # a distinct compile shape; force the grid for the multi-token mixes
+        # so real queries of any intersection size start warm. _force_capm
+        # is a boot-time knob — warmup runs before traffic in server boot.
+        import os as _os
+        tiers = [t for t in (1 << 14, 1 << 16, 1 << 18, 1 << 20)
+                 if t < eng.N] if \
+            _os.environ.get("TS_DENSE2_COMPACT") == "1" else []
+        if tiers and len(terms) >= 2:
+            try:
+                for mix in (mixes[1], mixes[2]):
+                    for t in tiers:
+                        t0 = _t.time()
+                        eng._force_capm = t
+                        self.search({**base, **mix})
+                        if log is not None:
+                            log(f"warmup {self.name} capm={t} "
+                                f"q={mix['q']!r} {_t.time() - t0:.1f}s")
+            except Exception:  # noqa: BLE001
+                pass
+            finally:
+                eng._force_capm = None
         return _t.time() - t_all
 
     @staticmethod

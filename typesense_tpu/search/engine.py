@@ -482,12 +482,45 @@ class IndexEngine:
         total_hv = int(hv_lens.sum())
         CAP_H = force.get("CAP_H") or bucket4(max(total_hv, 1), lo=1024,
                                               hi=1 << 22)
+        # matched-lane compaction bucket: every doc in the matched set m
+        # carries EVERY included token, so |m| <= min over included tokens
+        # of that token's total candidate postings (head rows included —
+        # row_lens covers them). Proximity scoring then runs on CAP_M
+        # compacted lanes instead of N (kernels.dense2_kernel_body).
+        # OPT-IN (TS_DENSE2_COMPACT=1): measured on the axon v5e, the
+        # compacted gather (va/vb at ~1M random indices for CAP_M=256K)
+        # costs more than the whole-N proximity it saves — this rig's
+        # gather throughput is ~50M/s. Kept for gather-fast targets.
+        import os as _os
+        CAP_M = 0
+        if mode == "dense2" and Q > 1 and \
+                _os.environ.get("TS_DENSE2_COMPACT") == "1":
+            bound = None
+            for q in range(Q):
+                if not token_valid[q]:
+                    continue
+                if q < len(exclude_flags) and exclude_flags[q]:
+                    continue
+                bq = 0
+                for f in range(Fq):
+                    for c in range(C):
+                        if cand_costs[q, c] < 255:
+                            bq += int(row_lens[q, f, c])
+                bound = bq if bound is None else min(bound, bq)
+            if bound is not None and 0 < bound < self.N:
+                CAP_M = bucket4(max(bound, 1), lo=1 << 14, hi=1 << 22)
+                if CAP_M >= self.N:
+                    CAP_M = 0
+        if force.get("CAP_M") is not None:
+            CAP_M = force["CAP_M"]
+        if getattr(self, "_force_capm", None) is not None:
+            CAP_M = self._force_capm     # tests/benchmarks A/B the paths
         prep = {"Q": Q, "Fq": Fq, "C": C, "S": S, "SS": SS, "SCB": SCB,
                 "CAP": CAP, "SB": SB, "mode": mode, "SCBB": SCBB,
                 "SSB": SSB, "n_big": n_big, "HPF": HPF, "CAP_H": CAP_H,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total,
-                "fis": tuple(fis)}
+                "fis": tuple(fis), "CAP_M": CAP_M}
         if mode == "dense2":
             # the pallas fused path carries these as a separate int32
             # scalar-prefetch buffer (search/pallas_scan.pack_pbuf)
@@ -565,7 +598,7 @@ class IndexEngine:
                 tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                 prioritize_num_fields, len(facet_fields), f_sizes,
                 tuple(exclude_flags), self.N, pack2, match_type,
-                prioritize_token_position, prep["CAP_H"])
+                prioritize_token_position, prep["CAP_H"], prep["CAP_M"])
             buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
                        self.dev.pos_offsets, self.dev.positions,
                        ftc_dev, self.dev.head_a,

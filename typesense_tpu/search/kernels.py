@@ -666,7 +666,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                         exclude_flags: tuple, N: int, pack2: bool,
                         match_type: int = 0,
                         prioritize_token_position: bool = False,
-                        CAP_H: int = 1024):
+                        CAP_H: int = 1024, CAP_M: int = 0):
     """Dense whole-corpus keyword kernel — the TPU-native path for
     high-volume queries (common tokens, large intersections).
 
@@ -718,7 +718,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             post_doc_ids, post_meta, pos_offsets, positions,
             field_token_counts, head_a, head_b, filter_mask, qbuf,
             sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base,
-            heavy_ids=heavy_ids, CAP_H=CAP_H)
+            heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M)
 
     return kernel
 
@@ -731,7 +731,8 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                        post_doc_ids, post_meta, pos_offsets, positions,
                        field_token_counts, head_a, head_b, filter_mask,
                        qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
-                       doc_base=None, heavy_ids=None, CAP_H: int = 1024):
+                       doc_base=None, heavy_ids=None, CAP_H: int = 1024,
+                       CAP_M: int = 0):
     """Traceable dense2 program shared by the single-chip jit wrapper
     (build_dense2_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per doc shard and merges the
@@ -909,36 +910,42 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         # cannot reach the stage-1 threshold (the rescore loop measured
         # ~6.6 ms of a 19.6 ms 2-token query before this gate)
         need_ub = need_heavy and slot_kinds[0] == SLOT_TEXT
-        if need_text:
+
+        def text_score_lanes(va_l, vb_l, incm_l, tc_l, qlen_l, ftc_l):
+            """Packed text_match (+ ub when need_heavy) for L lanes.
+            va_l/vb_l (Q, F, L), incm_l (Q, F, L) bool, tc_l/qlen_l (L,),
+            ftc_l (L, F). L is either N (whole-corpus) or CAP_M (compacted
+            matched lanes) — the proximity/packing math is identical."""
+            L = va_l.shape[-1]
             from typesense_tpu.ops.match import (INF as MATCH_INF,
                                                  match_components_p4)
-            best_score = jnp.zeros(N, jnp.int64)
-            best_weight = jnp.zeros(N, jnp.int64)
-            best_ub = jnp.zeros(N, jnp.int64)
+            best_score = jnp.zeros(L, jnp.int64)
+            best_weight = jnp.zeros(L, jnp.int64)
+            best_ub = jnp.zeros(L, jnp.int64)
             for f in range(F):
-                mf = inc_member[:, f]                          # (Q, N)
-                cntf = ((va[:, f] >> MA_CNT_SHIFT) & 3) + 1
+                mf = incm_l[:, f]                              # (Q, L)
+                cntf = ((va_l[:, f] >> MA_CNT_SHIFT) & 3) + 1
                 uw = jnp.sum(mf, axis=0).astype(jnp.int32)
                 single = uw <= 1
-                moff = jnp.zeros(N, jnp.int32)
+                moff = jnp.zeros(L, jnp.int32)
                 if Q == 1:
-                    wp = jnp.ones(N, jnp.int32)
-                    dist = jnp.zeros(N, jnp.int32)
+                    wp = jnp.ones(L, jnp.int32)
+                    dist = jnp.zeros(L, jnp.int32)
                     if ptp:
                         # last occurrence from the meta positions
                         # (cnt > 3 is heavy -> exact rescore)
-                        p0 = va[0, f] & 0xFFF
-                        p1 = vb[0, f] & 0xFFF
-                        p2 = (vb[0, f] >> 12) & 0xFFF
+                        p0 = va_l[0, f] & 0xFFF
+                        p1 = vb_l[0, f] & 0xFFF
+                        p2 = (vb_l[0, f] >> 12) & 0xFFF
                         last = jnp.where(cntf[0] > 2, p2,
                                          jnp.where(cntf[0] > 1, p1, p0))
                         moff = jnp.where(mf[0], jnp.minimum(last, 255), 0)
                 else:
-                    pos = [[jnp.where(mf[q], va[q, f] & 0xFFF, MATCH_INF),
+                    pos = [[jnp.where(mf[q], va_l[q, f] & 0xFFF, MATCH_INF),
                             jnp.where(mf[q] & (cntf[q] > 1),
-                                      vb[q, f] & 0xFFF, MATCH_INF),
+                                      vb_l[q, f] & 0xFFF, MATCH_INF),
                             jnp.where(mf[q] & (cntf[q] > 2),
-                                      (vb[q, f] >> 12) & 0xFFF, MATCH_INF)]
+                                      (vb_l[q, f] >> 12) & 0xFFF, MATCH_INF)]
                            for q in range(Q)]
                     if ptp:
                         wp, dist, moff = match_components_p4(
@@ -950,32 +957,32 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 total_off = jnp.sum(jnp.where(mf, cntf, 0),
                                     axis=0).astype(jnp.int32)
                 has_last = jnp.any(
-                    mf & ((va[:, f] >> MA_LAST_SHIFT) & 1).astype(bool),
+                    mf & ((va_l[:, f] >> MA_LAST_SHIFT) & 1).astype(bool),
                     axis=0)
-                ftc_f = field_token_counts[:, f]
+                ftc_f = ftc_l[:, f]
                 if prioritize_exact:
                     exact_multi = (has_last & (ftc_f == uw) &
                                    (((total_off == uw) & (dist == uw - 1)) |
                                     (dist < uw - 1)))
-                    exact_single = (has_last & (ftc_f == 1) & (tc == 0) &
+                    exact_single = (has_last & (ftc_f == 1) & (tc_l == 0) &
                                     (jnp.sum(tv) == 1))
                     exact = jnp.where(single, exact_single,
                                       exact_multi).astype(jnp.int32)
                 else:
-                    exact = jnp.zeros(N, jnp.int32)
+                    exact = jnp.zeros(L, jnp.int32)
                 off_sc = (255 - jnp.clip(moff, 0, 255)) if ptp else \
-                    jnp.zeros(N, jnp.int32)
-                fs = pack_field_score(wp, uw, tc, dist, exact,
-                                      off_sc, jnp.ones(N, jnp.int32))
+                    jnp.zeros(L, jnp.int32)
+                fs = pack_field_score(wp, uw, tc_l, dist, exact,
+                                      off_sc, jnp.ones(L, jnp.int32))
                 fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
                 w64 = field_weights[f].astype(jnp.int64)
                 if need_ub:
                     fs_ub = pack_field_score(
-                        uw, uw, tc, jnp.zeros(N, jnp.int32),
-                        jnp.full(N, 1 if prioritize_exact else 0,
+                        uw, uw, tc_l, jnp.zeros(L, jnp.int32),
+                        jnp.full(L, 1 if prioritize_exact else 0,
                                  jnp.int32),
-                        jnp.full(N, 255 if ptp else 0, jnp.int32),
-                        jnp.ones(N, jnp.int32))
+                        jnp.full(L, 255 if ptp else 0, jnp.int32),
+                        jnp.ones(L, jnp.int32))
                     fs_ub = jnp.where(jnp.any(mf, axis=0), fs_ub, 0)
                 if match_type == 1:
                     better = (fs > 0) & (w64 > best_weight)
@@ -994,18 +1001,61 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                     if need_ub:
                         best_ub = jnp.maximum(best_ub, fs_ub)
             if prioritize_num_fields:
-                nmf = jnp.sum(jnp.any(inc_member, axis=0),
+                nmf = jnp.sum(jnp.any(incm_l, axis=0),
                               axis=0).astype(jnp.int32)
             else:
-                nmf = jnp.zeros(N, jnp.int32)
-            ql = jnp.where(best_score > 0, jnp.minimum(query_len, 15), 0)
-            text_match = pack_aggregated_score(ql, best_score, best_weight,
-                                               nmf, match_type)
+                nmf = jnp.zeros(L, jnp.int32)
+            ql = jnp.where(best_score > 0, jnp.minimum(qlen_l, 15), 0)
+            tm = pack_aggregated_score(ql, best_score, best_weight,
+                                       nmf, match_type)
             if need_ub:
                 # weight/nmf forced to max so ub >= any exact packing
-                text_ub = pack_aggregated_score(
-                    ql, best_ub, jnp.full(N, 127, jnp.int64),
-                    jnp.full(N, 7, jnp.int32), match_type)
+                ub = pack_aggregated_score(
+                    ql, best_ub, jnp.full(L, 127, jnp.int64),
+                    jnp.full(L, 7, jnp.int32), match_type)
+            else:
+                ub = None
+            return tm, ub
+
+        # MATCHED-LANE COMPACTION: proximity + int64 packing are the VPU
+        # bottleneck of this kernel (measured ~15 ms of a ~20 ms 2-token
+        # query at 2.2M docs; membership min-merge is HBM-bound and cheap).
+        # The matched set m is bounded by the smallest included token's
+        # candidate postings (engine computes the bound host-side and picks
+        # the CAP_M bucket), so scoring runs on a cumsum-compacted gather of
+        # the matched lanes — typically 10-100x fewer than N — and the
+        # packed scores scatter back for the unchanged whole-N selection
+        # cascade. CAP_M == 0 disables (bound >= N, or single-token queries
+        # whose scoring is already trivial).
+        use_compact = CAP_M > 0 and CAP_M < N and need_text and need_pos
+        if need_text and use_compact:
+            mi32 = m.astype(jnp.int32)
+            cpos = jnp.cumsum(mi32) - mi32
+            lane_ids = jnp.arange(N, dtype=jnp.int32)
+            tgt = jnp.where(m, cpos, CAP_M)
+            cbuf = jnp.full((CAP_M,), N, jnp.int32).at[tgt].set(
+                lane_ids, mode="drop")
+            nm = jnp.sum(mi32)
+            valid_c = jnp.arange(CAP_M, dtype=jnp.int32) < nm
+            safe_c = jnp.clip(cbuf, 0, N - 1)
+            va_c = va[:, :, safe_c]
+            vb_c = vb[:, :, safe_c]
+            incm_c = inc_member[:, :, safe_c] & valid_c[None, None, :]
+            tm_c, ub_c = text_score_lanes(
+                va_c, vb_c, incm_c, tc[safe_c], query_len[safe_c],
+                field_token_counts[safe_c, :])
+            back = jnp.where(valid_c, cbuf, N)
+            text_match = jnp.zeros(N, jnp.int64).at[back].set(
+                jnp.where(valid_c, tm_c, 0), mode="drop")
+            if need_ub:
+                text_ub = jnp.zeros(N, jnp.int64).at[back].set(
+                    jnp.where(valid_c, ub_c, 0), mode="drop")
+        elif need_text:
+            text_match, _ub = text_score_lanes(va, vb, inc_member, tc,
+                                               query_len,
+                                               field_token_counts)
+            if need_ub:
+                text_ub = _ub
         else:
             text_match = jnp.zeros(N, jnp.int64)
 
