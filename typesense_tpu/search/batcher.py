@@ -1,0 +1,183 @@
+"""Concurrent-query micro-batching for whole-corpus kernels.
+
+The reference fans every search out across a thread pool and scales with
+vCPUs (src/index.cpp:6653-6655 parallel posting intersection). On TPU the
+equivalent resource is the single device pipeline: each in-flight query
+dispatches ONE whole-corpus program, and at saturation throughput is
+1000/kernel_ms. The kernels are HBM-latency-bound (plane passes stream at
+~7-20 GB/s of the chip's 85 GB/s), so a batch of B same-shape queries
+vmapped over the query buffer costs far less than B serial dispatches —
+queries are just another batch dimension on TPU (SURVEY.md §2.4).
+
+This module coalesces concurrent searches that hit the SAME compiled
+kernel signature into one batched dispatch:
+
+- callers enqueue their query buffer; the first arrival becomes the
+  dispatcher, waits a short straggler window, takes up to the largest
+  READY batch tier, pads to the tier width, and runs one program
+- batch-tier kernels (B in TIERS) compile in a BACKGROUND thread the
+  first time a signature shows concurrent demand; until a tier is ready
+  every query serves solo (no added compile stall on the query path)
+- while one batch occupies the device the next dispatcher keeps
+  collecting, so batches pipeline back-to-back
+
+A lone query pays only the straggler window (WINDOW_S) once tiers exist;
+with no tiers compiled the path is exactly the solo dispatch.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+# batch tiers: powers of two keep the compile grid small. Each tier is one
+# background compile (~40-90 s through this toolchain) per signature, so
+# the grid stays minimal; 8 already amortizes the latency-bound plane
+# passes well below 1x-per-query.
+TIERS = (4, 8)
+WINDOW_S = 0.004          # straggler-collection window
+MIN_DEMAND = 2            # waiters present at once before tiers compile
+
+
+class _Slot:
+    __slots__ = ("qbuf", "event", "result", "error")
+
+    def __init__(self, qbuf):
+        self.qbuf = qbuf
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class _SigState:
+    """Per-kernel-signature queue + tier cache."""
+
+    __slots__ = ("queue", "tiers", "tier_building", "tiers_done", "lock",
+                 "dispatching", "inflight")
+
+    def __init__(self):
+        self.queue: list[_Slot] = []
+        self.tiers: dict[int, object] = {}       # B -> compiled batched fn
+        self.tier_building = False
+        self.tiers_done = False
+        self.lock = threading.Lock()
+        self.dispatching = False
+        self.inflight = 0                        # concurrent run() callers
+
+
+class QueryBatcher:
+    """Coalesces same-signature kernel dispatches into batched programs."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._sigs: dict[object, _SigState] = {}
+        self._glock = threading.Lock()
+
+    def _sig(self, key) -> _SigState:
+        with self._glock:
+            st = self._sigs.get(key)
+            if st is None:
+                st = self._sigs[key] = _SigState()
+            return st
+
+    def run(self, key, qbuf, solo_call, build_batched, batched_call):
+        """Execute one query, possibly as part of a coalesced batch.
+
+        solo_call(qbuf) -> result for one query.
+        build_batched(B) -> batched kernel for tier B (called off-thread).
+        batched_call(fn, qbufs) -> list of per-query results, len(qbufs).
+        """
+        if not self.enabled:
+            return solo_call(qbuf)
+        st = self._sig(key)
+        with st.lock:
+            st.inflight += 1
+            if (not st.tier_building and st.inflight >= MIN_DEMAND):
+                st.tier_building = True
+                threading.Thread(
+                    target=self._compile_tiers,
+                    args=(st, build_batched), daemon=True).start()
+            ready = bool(st.tiers)
+            if ready:
+                slot = _Slot(qbuf)
+                st.queue.append(slot)
+                dispatcher = not st.dispatching
+                if dispatcher:
+                    st.dispatching = True
+        try:
+            if not ready:
+                return solo_call(qbuf)
+            if dispatcher:
+                self._dispatch(st, solo_call, batched_call)
+            slot.event.wait()
+            if slot.error is not None:
+                raise slot.error
+            return slot.result
+        finally:
+            with st.lock:
+                st.inflight -= 1
+
+    # -- internals --------------------------------------------------------
+
+    def _compile_tiers(self, st: _SigState, build_batched):
+        try:
+            for b in TIERS:
+                fn = build_batched(b)
+                with st.lock:
+                    st.tiers[b] = fn
+        except Exception:  # noqa: BLE001 — tier stays absent; solo serves
+            pass
+        finally:
+            st.tiers_done = True
+
+    def wait_tiers(self, timeout: float = 1200.0) -> bool:
+        """Block until every signature that started tier compilation has
+        finished (warmup hook: boot fires concurrent searches, then waits
+        here so first real traffic finds batch tiers ready)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._glock:
+                busy = any(st.tier_building and not st.tiers_done
+                           for st in self._sigs.values())
+            if not busy:
+                return True
+            time.sleep(0.25)
+        return False
+
+    def _dispatch(self, st: _SigState, solo_call, batched_call):
+        """Serve one coalesced batch; hand leftovers to a fresh dispatcher."""
+        time.sleep(WINDOW_S)
+        with st.lock:
+            tiers = sorted(st.tiers)
+            cap = tiers[-1] if tiers else 1
+            take = st.queue[:cap]
+            rest = st.queue[cap:]
+            st.queue = rest
+            if rest:
+                # keep the pipeline full: a helper continues dispatching
+                threading.Thread(
+                    target=self._dispatch,
+                    args=(st, solo_call, batched_call), daemon=True).start()
+            else:
+                st.dispatching = False
+        if not take:
+            return
+        try:
+            if len(take) == 1 or not tiers:
+                for s in take:
+                    s.result = solo_call(s.qbuf)
+                    s.event.set()
+                return
+            tier = next((b for b in tiers if b >= len(take)), tiers[-1])
+            qbufs = [s.qbuf for s in take]
+            qbufs += [qbufs[-1]] * (tier - len(qbufs))
+            results = batched_call(st.tiers[tier], qbufs)
+            for s, r in zip(take, results):
+                s.result = r
+                s.event.set()
+        except Exception as e:  # noqa: BLE001
+            for s in take:
+                if not s.event.is_set():
+                    s.error = e
+                    s.event.set()

@@ -122,7 +122,10 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
             for pid, pc in zip(pids, pcosts):
                 if pid != exact_id:
                     ids.append(int(pid))
-                    costs.append(int(pc))
+                    # next_suggestion2 (index.cpp:7234): actual_cost =
+                    # 2*typo_cost + is_prefix_searched — a strict prefix
+                    # extension ranks below the verbatim token
+                    costs.append(2 * int(pc) + 1)
                     kinds.append(1)
 
         cost_budget = bounded_typo_cost(max_typos, len(tok), typo_opts[0],
@@ -146,6 +149,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
             # blast radius via its 10/10,000 cost-combination caps,
             # index.cpp:4860-4870)
             budget = TYPO_POSTINGS_BUDGET
+            terms = _sorted_terms(engine)
+            tok_len = len(_tok)
             for fid, fc in zip(fids, fcosts):
                 fid = int(fid)
                 if fid in seen:
@@ -155,7 +160,12 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                     continue
                 budget -= row_len
                 ids.append(fid)
-                costs.append(int(fc))
+                # next_suggestion2 (index.cpp:7230-7236): 2*typo_cost plus
+                # 1 when the candidate extends past the token's typo reach
+                # (found via prefix traversal)
+                pfx = 1 if (_p and len(terms[fid]) > tok_len + int(fc)) \
+                    else 0
+                costs.append(2 * int(fc) + pfx)
                 kinds.append(2)
 
     out = []

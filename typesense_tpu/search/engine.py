@@ -20,6 +20,7 @@ from typesense_tpu.core.errors import BadRequest
 from typesense_tpu.index.artifacts import SegmentArrays, to_device
 from typesense_tpu.schema.field import Field
 from typesense_tpu.search import kernels
+from typesense_tpu.search.batcher import QueryBatcher
 from typesense_tpu.utils.buckets import bucket, bucket4
 
 MAX_QUERY_TOKENS = 10   # proximity window is capped at WINDOW_SIZE anyway
@@ -27,6 +28,11 @@ MAX_POS_PER_POSTING = 16
 TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
 SCORE_CHUNK_MAX = 8192
 SCORE_CHUNK_WIDE = 32768
+
+# process-wide query coalescer: concurrent same-signature dense2 dispatches
+# ride one batched program (TS_BATCH=0 disables)
+import os as _os
+QUERY_BATCHER = QueryBatcher(enabled=_os.environ.get("TS_BATCH", "1") != "0")
 
 
 @jax.jit
@@ -67,6 +73,8 @@ class SortSpec:
     custom_col: object = None  # precomputed device column (geo/_eval/_rand/missing)
     geo_field: str | None = None   # set for geo-distance sorts (response needs meters)
     geo_target: tuple | None = None  # (lat, lng)
+    buckets: int = 0           # _text_match/_vector_distance(buckets: N)
+    bucket_size: int = 0       # ...(bucket_size: N) — collection.cpp:2895
 
 
 @dataclass
@@ -234,8 +242,11 @@ class IndexEngine:
                     else field_num_typos[-1]
                 for qi in range(Q):
                     for ci in range(C):
+                        # cand_costs hold next_suggestion2's actual_cost
+                        # (2*typos + prefix bit); the per-field num_typos
+                        # budget gates TYPO count only
                         if cand_costs[qi, ci] < 255 and \
-                                cand_costs[qi, ci] > budget:
+                                (cand_costs[qi, ci] >> 1) > budget:
                             cand_rows[qi, fslot, ci] = -1
         if field_prefixes is not None and not all(field_prefixes):
             # prefix=true,false maps onto query_by fields: prefix-derived
@@ -592,20 +603,43 @@ class IndexEngine:
                 prioritize_token_position, exclude_flags, k)
             if res is not None:
                 return res
-            kern = kernels.build_dense2_kernel(
-                Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
-                K, 1024, MAX_POS_PER_POSTING, self._iters,
-                tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
-                prioritize_num_fields, len(facet_fields), f_sizes,
-                tuple(exclude_flags), self.N, pack2, match_type,
-                prioritize_token_position, prep["CAP_H"], prep["CAP_M"])
-            buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
-                       self.dev.pos_offsets, self.dev.positions,
-                       ftc_dev, self.dev.head_a,
-                       self.dev.head_b,
-                       fmask, jnp.asarray(prep["qbuf"]),
-                       cols[0], cols[1], cols[2], f_single,
-                       heavy_ids=self.dev.heavy_ids)
+            static = (Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
+                      K, 1024, MAX_POS_PER_POSTING, self._iters,
+                      tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
+                      prioritize_num_fields, len(facet_fields), f_sizes,
+                      tuple(exclude_flags), self.N, pack2, match_type,
+                      prioritize_token_position, prep["CAP_H"],
+                      prep["CAP_M"])
+            kern = kernels.build_dense2_kernel(*static)
+            pre = (self.dev.post_doc_ids, self.dev.post_meta,
+                   self.dev.pos_offsets, self.dev.positions, ftc_dev,
+                   self.dev.head_a, self.dev.head_b, fmask)
+            post = (cols[0], cols[1], cols[2], f_single)
+            heavy = self.dev.heavy_ids
+
+            def solo_call(qb):
+                return kern(*pre, jnp.asarray(qb), *post, heavy_ids=heavy)
+
+            def build_batched(B):
+                bk = kernels.build_dense2_batched_kernel(*static)
+                warm = jnp.stack([jnp.asarray(prep["qbuf"])] * B)
+                jax.block_until_ready(
+                    bk(*pre, warm, *post, heavy_ids=heavy))
+                return bk
+
+            def batched_call(fn, qbufs):
+                stacked = jnp.stack([jnp.asarray(q) for q in qbufs])
+                out = fn(*pre, stacked, *post, heavy_ids=heavy)
+                return [out[i] for i in range(len(qbufs))]
+
+            # same-signature concurrent queries coalesce into one batched
+            # dispatch; arrays ride by identity (index-cached objects), so
+            # the key only needs the static tuple + their ids
+            bkey = static + tuple(id(a) for a in pre) + \
+                tuple(id(a) for a in post[:3]) + \
+                tuple(id(a) for a in f_single) + (id(heavy),)
+            buf = QUERY_BATCHER.run(bkey, prep["qbuf"], solo_call,
+                                    build_batched, batched_call)
             rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
                 buf, K, f_sizes)
             return self._collect(rid, r0, r1, r2, found, f_acc,

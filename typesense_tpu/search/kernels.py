@@ -723,6 +723,45 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     return kernel
 
 
+def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
+                                SCBB: int, SSB: int, K: int, HC: int,
+                                P: int, iters: int, slot_kinds: tuple,
+                                slot_signs: tuple, prioritize_exact: bool,
+                                prioritize_num_fields: bool, n_facets: int,
+                                facet_sizes: tuple, exclude_flags: tuple,
+                                N: int, pack2: bool, match_type: int = 0,
+                                prioritize_token_position: bool = False,
+                                CAP_H: int = 1024, CAP_M: int = 0):
+    """Batched dense2: B same-signature queries vmapped over the query
+    buffer in ONE whole-corpus program. The index planes (head planes,
+    postings, sort/facet columns, filter mask) are shared across the batch,
+    so their HBM reads amortize B-fold — on this rig the plane passes are
+    latency/bandwidth-bound at ~7-20 GB/s while per-lane compute is nearly
+    free, making a batch of B cost far less than B serial dispatches
+    (SURVEY §2.4: the reference fans a query across vCPUs,
+    /root/reference/src/index.cpp:6653-6655; on TPU concurrent queries are
+    just another batch dimension). qbufs has a leading batch dim; the
+    result is the stacked per-query packed buffer."""
+    @jax.jit
+    def kernel(post_doc_ids, post_meta, pos_offsets, positions,
+               field_token_counts, head_a, head_b, filter_mask, qbufs,
+               sort_col0, sort_col1, sort_col2, facet_cols,
+               heavy_ids=None):
+        def one(qbuf):
+            return dense2_kernel_body(
+                Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
+                slot_signs, prioritize_exact, prioritize_num_fields,
+                n_facets, facet_sizes, exclude_flags, N, pack2, match_type,
+                prioritize_token_position,
+                post_doc_ids, post_meta, pos_offsets, positions,
+                field_token_counts, head_a, head_b, filter_mask, qbuf,
+                sort_col0, sort_col1, sort_col2, facet_cols,
+                heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M)
+        return jax.vmap(one)(qbufs)
+
+    return kernel
+
+
 def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                        slot_kinds, slot_signs, prioritize_exact,
                        prioritize_num_fields, n_facets, facet_sizes,
@@ -1180,43 +1219,26 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             ub0 = text_ub if need_ub else k0
             eligible = m & (ub0 >= t0)       # gathered per candidate below
 
-            hv_cum = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(hv_lens)])
-            total_hv = hv_cum[HV]
-            HEAVY_LEN = heavy_ids.shape[0] if heavy_ids is not None else 1
-            hids = heavy_ids if heavy_ids is not None else \
-                jnp.zeros((1,), jnp.int32)
-
-            # phase 4a: stream heavy slices, keep docs that matched the
-            # query AND are plane-heavy under their row's tier
-            SA = 8192
-            alane = jnp.arange(SA, dtype=jnp.int32)
-
-            def scanA(i, carry):
-                nh, buf = carry
-                g = i * SA + alane
-                inr = g < total_hv
-                row = jnp.sum(g[:, None] >= hv_cum[None, 1:],
-                              axis=1).astype(jnp.int32)
-                rs = jnp.clip(row, 0, HV - 1)
-                idx = hv_starts[rs] + (g - hv_cum[rs])
-                hp = hids[jnp.clip(idx, 0, HEAVY_LEN - 1)]
-                d = hp & ((1 << 30) - 1)
-                tier64 = (hp >> 30) & 1
-                # head-path rows only rescore meta64-heavy postings
-                use = jnp.where(hv_flag[rs] == 1, tier64 == 1, True)
-                dsafe2 = jnp.clip(d, 0, N - 1)
-                keep = inr & use & eligible[dsafe2] & heavy[dsafe2]
-                mi = keep.astype(jnp.int32)
-                out_idx = jnp.where(keep, nh + jnp.cumsum(mi) - mi,
-                                    jnp.int32(CAP_H))
-                buf = buf.at[out_idx].set(d, mode="drop")
-                return nh + jnp.sum(mi, dtype=jnp.int32), buf
-
-            n_a = (total_hv + SA - 1) // SA
-            nh, hbuf = lax.fori_loop(
-                0, n_a, scanA,
-                (jnp.int32(0), jnp.zeros((CAP_H,), jnp.int32)))
+            # phase 4a: rank the eligible heavy lanes by cumsum; each
+            # rescore round recovers its lane ids by lower_bound into the
+            # cumsum (the k-th eligible lane is the first index with
+            # ecum >= k+1). Every vector the selection needs (m, heavy, ub,
+            # t0) is already whole-N resident, so eligibility is exactly
+            # m & heavy & (ub >= t0) — no heavy posting-stream walk (the
+            # previous scanA cost ~8 ms of a 20 ms two-head-token query at
+            # 2.2M docs: ~3 random gathers per heavy posting entry), and no
+            # N-source compaction scatter (measured ~13 ms at 2.2M — this
+            # rig serializes scatters per source element). The per-round
+            # cumsum search rides the SAME wide-fanout machinery as the
+            # round's posting lower_bound, so a typical single-round query
+            # pays one extra wide search (~12 throughput-bound gather
+            # steps), not a stream walk.
+            eligible_h = eligible & heavy
+            ei32 = eligible_h.astype(jnp.int32)
+            ecum = jnp.cumsum(ei32)                   # inclusive, (N,)
+            nh = ecum[N - 1]
+            import math as _math
+            ecum_iters = max(2, _math.ceil(_math.log2(max(N, 2))) + 1)
 
             # phase 4b: exact CSR rescore of survivors in HCT chunks
             hlane = jnp.arange(HCT, dtype=jnp.int32)
@@ -1225,7 +1247,8 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 h0, h1, h2, hid = carry
                 g = i * HCT + hlane
                 ok = g < nh
-                d = jnp.where(ok, hbuf[jnp.clip(g, 0, CAP_H - 1)], 0)
+                lanes = lower_bound_wide(ecum, 0, N, g + 1, ecum_iters)
+                d = jnp.where(ok, jnp.clip(lanes, 0, N - 1), 0)
                 x = d[None, :]
                 pidx = lower_bound_wide(post_doc_ids,
                                    jnp.broadcast_to(cs, (Q * F * C, HCT)),

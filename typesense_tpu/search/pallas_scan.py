@@ -770,39 +770,24 @@ def build_pallas_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             ce = cand_ends.reshape(-1, 1)
             cvalid_rows = (cand_costs < 255)[:, None, :, None]
             HCT = min(HC, N)
-            hv_cum = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(hv_lens)])
-            total_hv = hv_cum[HV]
-            HEAVY_LEN = heavy_ids.shape[0]
-            SA = 8192
-            alane = jnp.arange(SA, dtype=jnp.int32)
-
-            def scanA(i, carry):
-                nh, buf = carry
-                g = i * SA + alane
-                inr = g < total_hv
-                row = jnp.sum(g[:, None] >= hv_cum[None, 1:],
-                              axis=1).astype(jnp.int32)
-                rs = jnp.clip(row, 0, HV - 1)
-                idx = hv_starts[rs] + (g - hv_cum[rs])
-                hp = heavy_ids[jnp.clip(idx, 0, HEAVY_LEN - 1)]
-                d = hp & ((1 << 30) - 1)
-                tier64 = (hp >> 30) & 1
-                use = jnp.where(hv_flag[rs] == 1, tier64 == 1, True)
-                ds = jnp.clip(d, 0, N128 - 1)
-                ubg = ((ubhi_f[ds].astype(jnp.int64) << 32)
-                       | (ublo_f[ds].astype(jnp.int64) & 0xFFFFFFFF))
-                keep = inr & use & (ubhi_f[ds] != SENT_HI) & (ubg >= t0v)
-                mi = keep.astype(jnp.int32)
-                out_idx = jnp.where(keep, nh + jnp.cumsum(mi) - mi,
-                                    jnp.int32(CAP_H))
-                buf = buf.at[out_idx].set(d, mode="drop")
-                return nh + jnp.sum(mi, dtype=jnp.int32), buf
-
-            n_a = (total_hv + SA - 1) // SA
-            nh, hbuf = lax.fori_loop(
-                0, n_a, scanA,
-                (jnp.int32(0), jnp.zeros((CAP_H,), jnp.int32)))
+            # one cumsum compaction of the eligible heavy lanes (mirrors
+            # kernels.dense2_kernel_body phase 4a): the ub planes already
+            # carry SENT_HI for non-heavy/non-matched lanes, so eligibility
+            # is an int32-pair lexicographic compare vs t0 — no heavy
+            # posting-stream walk, no per-entry random gathers
+            # rank eligible heavy lanes by cumsum; rounds recover lane ids
+            # via lower_bound into the cumsum (mirrors kernels phase 4a —
+            # N-source compaction scatters measure ~13 ms at 2.2M here)
+            ub_ge = (ubhi_f > t0hi) | ((ubhi_f == t0hi) &
+                                       ((ublo_f ^ MIN32) >=
+                                        (t0lo ^ MIN32)))
+            inb_f = jnp.arange(N128, dtype=jnp.int32) < N
+            eligible_h = (ubhi_f != SENT_HI) & ub_ge & inb_f
+            ei32 = eligible_h.astype(jnp.int32)
+            ecum = jnp.cumsum(ei32)
+            nh = ecum[N128 - 1]
+            import math as _math
+            ecum_iters = max(2, _math.ceil(_math.log2(max(N128, 2))) + 1)
 
             hlane = jnp.arange(HCT, dtype=jnp.int32)
 
@@ -810,7 +795,8 @@ def build_pallas_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 h0, h1, h2, hid = carry
                 g = i * HCT + hlane
                 ok = g < nh
-                d = jnp.where(ok, hbuf[jnp.clip(g, 0, CAP_H - 1)], 0)
+                lanes = lower_bound_wide(ecum, 0, N128, g + 1, ecum_iters)
+                d = jnp.where(ok, jnp.clip(lanes, 0, N128 - 1), 0)
                 x = d[None, :]
                 pidx = lower_bound_wide(
                     post_doc_ids,
