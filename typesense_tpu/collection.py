@@ -14,6 +14,7 @@ just do it per commit) plus the host doc store for hydration.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import numpy as np
@@ -92,6 +93,22 @@ class Collection:
                  voice_query_model: dict | None = None):
         self.name = name
         self.fields = fields
+        # schema guards (collection_manager.cpp create_collection):
+        # duplicate names rejected unless one side is a wildcard/dynamic
+        # pattern resolving the other; `id` is reserved
+        seen: set[str] = set()
+        for f in fields:
+            if f.name == "id":
+                raise BadRequest("Invalid schema: field name `id` is "
+                                 "reserved.")
+            if f.name in seen and not any(
+                    g.name == f.name and (("*" in g.type) or ("*" in f.type)
+                                          or getattr(g, "is_dynamic", False)
+                                          or getattr(f, "is_dynamic", False))
+                    for g in fields if g is not f):
+                raise BadRequest(
+                    "There are duplicate field names in the schema.")
+            seen.add(f.name)
         self.field_map = {f.name: f for f in fields}
         self.default_sorting_field = default_sorting_field
         self.store = store
@@ -127,6 +144,17 @@ class Collection:
         self._delta_engine: IndexEngine | None = None
         self._delta_dirty = False
         self._deleted_since_build: set[int] = set()
+        # write/build concurrency: HTTP handlers run on a thread pool and
+        # the boot precompile + replication catch-up threads write/search
+        # concurrently. _mutate_lock serializes document mutations (the
+        # reference funnels writes through a per-collection batched indexer,
+        # batched_indexer.h); _build_lock serializes index builds, and
+        # builds install only if _write_version is unchanged since their
+        # docs snapshot — otherwise a mid-build write would be silently
+        # pinned out of the index (the delta window [_delta_start, ...)
+        # would skip it forever).
+        self._mutate_lock = threading.RLock()
+        self._build_lock = threading.RLock()
         self.manager = None                     # set by CollectionManager
 
         # apply per-collection symbols to string fields lacking their own
@@ -146,6 +174,11 @@ class Collection:
 
     def add(self, doc: dict, operation: str = "create",
             dirty_values: str = COERCE_OR_REJECT) -> dict:
+        with self._mutate_lock:
+            return self._add_locked(doc, operation, dirty_values)
+
+    def _add_locked(self, doc: dict, operation: str,
+                    dirty_values: str) -> dict:
         if not isinstance(doc, dict):
             raise BadRequest("Document is not a valid JSON object.")
         doc_id = doc.get("id")
@@ -250,6 +283,10 @@ class Collection:
         return self.docs[seq]
 
     def remove(self, doc_id: str) -> dict:
+        with self._mutate_lock:
+            return self._remove_locked(doc_id)
+
+    def _remove_locked(self, doc_id: str) -> dict:
         seq = self.id_to_seq.pop(doc_id, None)
         if seq is None:
             raise NotFound(f"Could not find a document with id: {doc_id}")
@@ -387,20 +424,30 @@ class Collection:
                     self.docs[seq][f.name] = [float(x) for x in vec]
 
     def _ensure_index(self) -> IndexEngine:
-        if self._engine is None or self._dirty:
-            self._auto_embed()
-            num_docs = max(self.next_seq_id, 1)
-            items = sorted(self.docs.items())
-            if self._needs_flatten():
-                items = [(s, self._flat_doc(d)) for s, d in items]
-            seg = build_segment(items, self.fields, num_docs)
-            self._engine = IndexEngine(seg, self.fields)
-            self._dirty = False
-            # full build compacts the delta (checkpoint/rebuild, SURVEY §5)
-            self._delta_start = self.next_seq_id
-            self._delta_engine = None
-            self._delta_dirty = False
-            self._deleted_since_build.clear()
+        if self._engine is not None and not self._dirty:
+            return self._engine
+        with self._build_lock:
+            # another searcher may have finished the build while we waited
+            while self._engine is None or self._dirty:
+                self._auto_embed()
+                with self._mutate_lock:
+                    ver = self._write_version
+                    snap_next = self.next_seq_id
+                    items = sorted(self.docs.items())
+                if self._needs_flatten():
+                    items = [(s, self._flat_doc(d)) for s, d in items]
+                seg = build_segment(items, self.fields, max(snap_next, 1))
+                eng = IndexEngine(seg, self.fields)
+                with self._mutate_lock:
+                    if self._write_version != ver:
+                        continue  # a write landed mid-build — go again
+                    self._engine = eng
+                    self._dirty = False
+                    # full build compacts the delta (checkpoint/rebuild, §5)
+                    self._delta_start = snap_next
+                    self._delta_engine = None
+                    self._delta_dirty = False
+                    self._deleted_since_build.clear()
         return self._engine
 
     def warmup(self, log=None) -> float:
@@ -456,6 +503,28 @@ class Collection:
                 log(f"warmup {self.name} {mix.get('q', '')!r} "
                     f"typos={mix.get('num_typos')} "
                     f"{_t.time() - t0:.1f}s")
+        # batch tiers: fire concurrent same-signature searches so the query
+        # coalescer starts its background tier compiles, then wait — first
+        # real concurrent traffic then finds batched programs ready (the
+        # persistent compilation cache makes this a fast load after the
+        # first-ever boot)
+        from typesense_tpu.search import engine as _eng
+        if _eng.QUERY_BATCHER.enabled and eng.N > 100_000:
+            import concurrent.futures as _cf
+            t0 = _t.time()
+            try:
+                with _cf.ThreadPoolExecutor(4) as ex:
+                    for mix in mixes[:2]:
+                        list(ex.map(
+                            lambda _m: self.search({**base, **_m}),
+                            [mix] * 4))
+                _eng.QUERY_BATCHER.wait_tiers(timeout=1800)
+                if log is not None:
+                    log(f"warmup {self.name} batch tiers "
+                        f"{_t.time() - t0:.1f}s")
+            except Exception:  # noqa: BLE001 — warmup must never break boot
+                pass
+
         # dense2 matched-lane compaction tiers (CAP_M buckets): each tier is
         # a distinct compile shape; force the grid for the multi-token mixes
         # so real queries of any intersection size start warm. _force_capm
@@ -496,17 +565,32 @@ class Collection:
         main = self._ensure_index()
         if self._delta_start >= self.next_seq_id:
             return [main]
-        if self._delta_engine is None or self._delta_dirty:
-            self._auto_embed()
-            items = [(s, d) for s, d in sorted(self.docs.items())
-                     if s >= self._delta_start]
-            if self._needs_flatten():
-                items = [(s, self._flat_doc(d)) for s, d in items]
-            seg = build_segment(items, self.fields, max(self.next_seq_id, 1),
-                                str_sort_dicts=main.seg.str_sort_dicts)
-            self._delta_engine = IndexEngine(seg, self.fields)
-            self._delta_dirty = False
-        return [main, self._delta_engine]
+        if self._delta_engine is not None and not self._delta_dirty:
+            return [main, self._delta_engine]
+        with self._build_lock:
+            while True:
+                main = self._ensure_index()
+                if self._delta_start >= self.next_seq_id:
+                    return [main]
+                if self._delta_engine is not None and not self._delta_dirty:
+                    return [main, self._delta_engine]
+                self._auto_embed()
+                with self._mutate_lock:
+                    ver = self._write_version
+                    snap_next = self.next_seq_id
+                    items = [(s, d) for s, d in sorted(self.docs.items())
+                             if s >= self._delta_start]
+                if self._needs_flatten():
+                    items = [(s, self._flat_doc(d)) for s, d in items]
+                seg = build_segment(items, self.fields, max(snap_next, 1),
+                                    str_sort_dicts=main.seg.str_sort_dicts)
+                deng = IndexEngine(seg, self.fields)
+                with self._mutate_lock:
+                    if self._write_version != ver:
+                        continue  # mid-build write — rebuild the delta
+                    self._delta_engine = deng
+                    self._delta_dirty = False
+                    return [main, self._delta_engine]
 
     # ------------------------------------------------------------------
     # mesh serving path (opt-in): TS_MESH=1 with >1 visible device routes
@@ -1004,6 +1088,9 @@ class Collection:
             raws.append(raw_e)
             vec_dist_map.update(vdm_e)
         raw = raws[0] if len(raws) == 1 else self._merge_segments(raws)
+
+        # _text_match(buckets)/_vector_distance(buckets) re-ranking
+        raw = self._apply_score_buckets(raw, sort_slots)
 
         # apply curation pins/hides; filter_curated_hits=true also applies
         # filter_by to pinned docs (collection.h filter_curated_hits)
@@ -1535,12 +1622,14 @@ class Collection:
                 name = base.strip()
 
             if name == "_text_match":
-                slots.append(SortSpec(kernels.SLOT_TEXT, sign))
+                slots.append(self._bucketed_slot(
+                    kernels.SLOT_TEXT, sign, args, "_text_match"))
                 found_text_match = True
             elif name == "_seq_id" or name == "id":
                 slots.append(SortSpec(kernels.SLOT_SEQ_ID, sign))
             elif name == "_vector_distance":
-                slots.append(SortSpec(kernels.SLOT_VECTOR, -sign))
+                slots.append(self._bucketed_slot(
+                    kernels.SLOT_VECTOR, -sign, args, "_vector_distance"))
             elif name == "_rand":
                 seed = int(args) if args and args.strip() else 42
                 col = engine.rand_column(seed) if engine is not None else None
@@ -1668,6 +1757,60 @@ class Collection:
             col = engine.decay_sort_column(name, func, origin, scale, offset,
                                            decay, sign)
         return SortSpec(kernels.SLOT_COLUMN, sign, custom_col=col)
+
+    @staticmethod
+    def _bucketed_slot(kind: int, sign: int, args, which: str) -> SortSpec:
+        """`_text_match(buckets: N)` / `(bucket_size: N)` sort config
+        (collection.cpp:1295-1315; same grammar for _vector_distance)."""
+        spec = SortSpec(kind, sign)
+        if args is None or not args.strip():
+            return spec
+        parts = args.split(":")
+        key = parts[0].strip()
+        if len(parts) != 2 or key not in ("buckets", "bucket_size"):
+            raise BadRequest(
+                f"Invalid sorting parameter passed for {which}.")
+        val = parts[1].strip()
+        if not val.isdigit():
+            raise BadRequest(f"Invalid value passed for {which} `buckets` "
+                             f"or `bucket_size` configuration.")
+        if key == "buckets":
+            spec.buckets = int(val)
+        else:
+            spec.bucket_size = int(val)
+        return spec
+
+    def _apply_score_buckets(self, raw: RawResult,
+                             sort_slots: list[SortSpec]) -> RawResult:
+        """Re-rank the top <=250 results with the text-match / vector
+        scores collapsed into bucket sequence numbers, then restore the
+        original scores (collection.cpp:2885-2933). Later sort components
+        break ties within a bucket."""
+        import math
+        for si, s in enumerate(sort_slots):
+            if not (s.buckets or s.bucket_size):
+                continue
+            n = min(250, len(raw.doc_ids))
+            if n == 0:
+                continue
+            if not ((s.buckets > 0 and n >= s.buckets) or
+                    (s.bucket_size > 0 and n >= s.bucket_size)):
+                continue
+            block = math.ceil(n / s.buckets) if s.buckets > 0 \
+                else s.bucket_size
+            scores = raw.scores.copy()
+            orig = scores[:n, si].copy()
+            for i in range(0, n, block):
+                scores[i:i + block, si] = -i
+            order = sorted(range(n),
+                           key=lambda i: tuple(scores[i]), reverse=True)
+            ids = raw.doc_ids.copy()
+            ids[:n] = raw.doc_ids[order]
+            scores[:n] = raw.scores[order]
+            scores[:n, si] = orig[order]
+            raw = RawResult(ids, scores, raw.found, raw.facet_counts,
+                            raw.out_of)
+        return raw
 
     def _eval_sort_slot(self, engine, args: str, sign: int) -> SortSpec:
         """`_eval(filter)` -> 1/0; `_eval([(f1):3, (f2):1])` -> weighted sum

@@ -22,6 +22,30 @@ if _env_platforms and _env_platforms != (jax.config.jax_platforms or ""):
 # Persistent compilation cache: search kernels are compiled per shape bucket;
 # cache them across processes (tests, server restarts, bench runs).
 _cache_dir = os.environ.get("TS_JAX_CACHE_DIR", "/tmp/ts_jax_cache")
+
+
+def _cpu_fingerprint() -> str:
+    """Hash of the host's CPU feature flags. XLA:CPU persists AOT-compiled
+    machine code in the cache; this VM migrates across host CPU types
+    between sessions, and loading an entry compiled for another host's
+    features can SIGILL/segfault (observed: segv in
+    backend_compile_and_load loading avx512/amx entries). Segregating the
+    CPU-primary cache by feature set makes stale entries unreachable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nofp"
+
+
+_plats = (_env_platforms or jax.config.jax_platforms or "")
+if _cache_dir and _plats.split(",")[0].strip() == "cpu":
+    _cache_dir = f"{_cache_dir}_cpu_{_cpu_fingerprint()}"
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

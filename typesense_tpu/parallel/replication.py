@@ -30,8 +30,10 @@ implements the same observable semantics with an HTTP control plane:
 from __future__ import annotations
 
 import json
+import sys
 import threading
 import time
+import traceback
 import urllib.request
 
 OPLOG_PREFIX = "$OL"
@@ -97,6 +99,7 @@ class ReplicationState:
         self.voted_for: str | None = None
         self._lease_until = 0.0
         self._last_heartbeat = time.time()
+        self._last_catchup_err = 0.0
         self.data_store = data_store  # main doc store (snapshot shipping)
         self.reload_fn = reload_fn    # () -> None; rebuild after install
         self._lock = threading.RLock()
@@ -413,11 +416,13 @@ class ReplicationState:
             self.install_snapshot()
             return 1
         n = 0
+        first_seq = ops[0]["_seq"] if ops else None
         with self._lock:
             for op in ops:
                 seq = op.pop("_seq")
                 if seq != self.applied_seq + 1:
                     continue  # out-of-order slice — wait for next round
+                # (a sustained mismatch is surfaced by the n==0 check below)
                 self._persist_op(seq, op)
                 if seq in self.skip_seqs:
                     # poison op: advance past it without re-applying
@@ -433,6 +438,13 @@ class ReplicationState:
                 self.applied_seq = seq
                 self.next_seq = seq + 1
                 n += 1
+        if n == 0 and ops:
+            now = time.time()
+            if now - self._last_catchup_err > 10.0:
+                self._last_catchup_err = now
+                print(f"[replication] catch-up stalled: leader ops "
+                      f"[{first_seq}..] vs applied_seq="
+                      f"{self.applied_seq}", file=sys.stderr)
         return n
 
     # -- snapshot ship / install (on_snapshot_save/load, raft_server.cpp) --
@@ -562,7 +574,12 @@ class ReplicationState:
                     try:
                         self.catch_up_once()
                     except Exception:  # noqa: BLE001
-                        pass
+                        # network errors are routine (leader down); apply
+                        # errors are not — surface both, throttled, instead
+                        # of stalling silently at a fixed applied_seq
+                        if now - self._last_catchup_err > 10.0:
+                            self._last_catchup_err = now
+                            traceback.print_exc(file=sys.stderr)
                 # election timeout: the leader went silent
                 if (self.leader != self.self_addr and
                         now - self._last_heartbeat >
