@@ -16,6 +16,18 @@ import typesense_tpu.core.jaxcfg  # noqa: F401,E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_executable_accumulation():
+    """XLA:CPU segfaults inside backend_compile_and_load after ~600
+    compile-heavy tests in one process (jaxlib 0.9; reproduced twice at the
+    same suite position, passes in either half alone). Dropping compiled
+    executables between modules keeps the process under the crash
+    threshold; the persistent compilation cache makes re-tracing cheap."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def tmp_store(tmp_path):
     from typesense_tpu.core.store import Store

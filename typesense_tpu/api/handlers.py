@@ -815,6 +815,21 @@ def del_personalization_model(server, req):
     return server.pers_models.delete(req.params["id"])
 
 
+def post_personalization_model_train(server, req):
+    """Fit the tyrec-equivalent tower on per-user event histories (body:
+    {"histories": [[event text, ... newest last], ...], "steps", "lr"}).
+    The reference ships pretrained ONNX (personalization_model.h); training
+    on the serving accelerator is the TPU-native equivalent."""
+    body = req.json()
+    hists = body.get("histories")
+    if not isinstance(hists, list):
+        raise BadRequest("Property `histories` must be a list of event "
+                         "text lists.")
+    return server.pers_models.train(
+        req.params["id"], hists, steps=int(body.get("steps", 200)),
+        lr=float(body.get("lr", 1e-3)))
+
+
 # ---------------------------------------------------------------------------
 # replication control plane
 # ---------------------------------------------------------------------------

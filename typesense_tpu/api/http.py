@@ -250,6 +250,7 @@ class HttpServer:
         r("GET", "/personalization/models/:id", h.get_personalization_model, "personalization:get")
         r("PUT", "/personalization/models/:id", h.put_personalization_model, "personalization:upsert")
         r("DELETE", "/personalization/models/:id", h.del_personalization_model, "personalization:delete")
+        r("POST", "/personalization/models/:id/train", h.post_personalization_model_train, "personalization:upsert")
         # stemming dictionaries (typesense_server.cpp:101-104)
         r("POST", "/stemming/dictionaries/import", h.post_import_stemming_dictionary, "stemming:create")
         r("GET", "/stemming/dictionaries", h.get_stemming_dictionaries, "stemming:list")

@@ -62,8 +62,11 @@ def parse_query_text(q: str, field: Field):
     tokens: list[str] = []
     excludes: list[bool] = []
     pairs: list[tuple[int, int]] = []
+    # `-` listed in symbols_to_index is a real token character, not the
+    # exclusion operator (collection_specific_more_test.cpp:1156)
+    minus_indexed = "-" in (field.symbols_to_index or [])
     for seg in _QSEG_RE.findall(q):
-        neg = seg.startswith("-") and len(seg) > 1
+        neg = (not minus_indexed) and seg.startswith("-") and len(seg) > 1
         if neg:
             seg = seg[1:]
         if len(seg) >= 2 and seg[0] == '"' and seg[-1] == '"':
@@ -764,6 +767,9 @@ class Collection:
         search_fields: list[str] = []
         embed_fields: list[str] = []
         for fname in raw_query_by:
+            if fname == "id":
+                # collection.cpp:1822 validate_and_standardize_sort_fields
+                raise BadRequest("Cannot use `id` as a query by field.")
             f = self.field_map.get(fname)
             if f is None:
                 raise NotFound(f"Could not find a field named `{fname}` in the schema.")
@@ -1272,6 +1278,19 @@ class Collection:
                         typo_tokens=mask3, typo_opts=typo_opts)
                     raw = dispatch(cands) or raw
             raw = raw if raw is not None else empty_raw
+            if raw.found > 0 and len(tokens) < len(q_tokens):
+                # dropped tokens still present in a hit count toward its
+                # text score (compute_aggregated_score walks
+                # dropped_token_its, index.cpp:5271-5290) — a doc matching
+                # more of the ORIGINAL query outranks one that only matches
+                # the reduced query
+                from collections import Counter
+                dropped = list((Counter(list(q_tokens)) -
+                                Counter(tokens)).elements())
+                raw = self._boost_dropped_token_hits(
+                    engine, raw, dropped, search_fields, sort_slots,
+                    weights=weights, cands=cands, tokens=tokens,
+                    match_type=match_type)
             results.append(raw)
             both_sides = drop_tokens_mode.startswith("both_sides") and \
                 len(q_tokens) <= self._drop_tokens_limit(drop_tokens_mode)
@@ -1299,6 +1318,137 @@ class Collection:
                 if raw.found > 0:
                     return raw
         return merged
+
+    @staticmethod
+    def _boost_dropped_token_hits(engine, raw: RawResult,
+                                  dropped: list[str],
+                                  search_fields: list[str],
+                                  sort_slots, weights=None, cands=None,
+                                  tokens=None, match_type: int = 0
+                                  ) -> RawResult:
+        """Host rescore of a drop-pass page: dropped query tokens still
+        present in a hit join its Match — tokens_matched, the field score's
+        words/cost/proximity, everything (compute_aggregated_score walks
+        dropped_token_its, index.cpp:5271-5290). The hit set is tiny (<=K),
+        so this is host binary searches into the per-(field,term) posting
+        rows + the positions CSR; no device round trip. Dropped tokens
+        match exact-term only (their expansions were never searched)."""
+        from typesense_tpu.ops.match import WINDOW_SIZE
+        if not dropped or raw.found == 0:
+            return raw
+        ti = next((i for i, s in enumerate(sort_slots)
+                   if s.kind == kernels.SLOT_TEXT and s.sign == 1), None)
+        if ti is None:
+            return raw
+        seg = engine.seg
+        fis = [engine.field_idx.get(fn, -1) for fn in search_fields]
+        if weights is None:
+            weights = [max(1, 8 - i) for i in range(len(search_fields))]
+
+        def row_positions(row: int, doc: int):
+            """Sorted positions of a (field,term) row in doc, or None."""
+            s0, e0 = int(seg.post_offsets[row]), int(seg.post_offsets[row + 1])
+            if e0 <= s0:
+                return None
+            rowids = seg.post_doc_ids[s0:e0]
+            j = int(np.searchsorted(rowids, doc))
+            if j >= e0 - s0 or int(rowids[j]) != doc:
+                return None
+            p0 = int(seg.pos_offsets[s0 + j])
+            p1 = int(seg.pos_offsets[s0 + j + 1])
+            return np.sort(seg.positions[p0:p1].astype(np.int64)) \
+                if p1 > p0 else np.zeros(1, np.int64)
+
+        def host_match(pos_lists):
+            """Mirror of ops/match.match_components (Match semantics)."""
+            arrs = [a for a in pos_lists if a is not None and len(a)]
+            if len(arrs) < 2:
+                return 1, 0, 0
+            anchors = np.sort(np.concatenate(arrs))
+            bestkey, best = -1, (1, 0, 0)
+            for a in anchors:
+                nxt = []
+                for arr in arrs:
+                    j = int(np.searchsorted(arr, a))
+                    if j < len(arr):
+                        nxt.append(int(arr[j]))
+                if len(nxt) < 2:
+                    continue
+                in_win = [x for x in nxt if x - a <= WINDOW_SIZE]
+                words = len(in_win)
+                disp = (max(in_win) - a) if in_win else 0
+                key = words * (1 << 32) - disp
+                if key > bestkey:
+                    bestkey = key
+                    best = (words, disp, min(max(nxt), 255))
+            return best
+
+        dropped_tids = [(t, seg.term_to_id.get(t)) for t in set(dropped)]
+        scores = raw.scores.copy()
+        for hi, did in enumerate(raw.doc_ids):
+            doc = int(did)
+            matched_q = set()       # query token keys matched anywhere
+            best_fs, best_w, nmf = 0, 0, 0
+            sum_fs = 0
+            for fslot, fi in enumerate(fis):
+                if fi < 0:
+                    continue
+                pos_lists, costs = [], []
+                # reduced-pass tokens via their candidate expansions
+                if cands is not None and tokens is not None:
+                    for qi, tok in enumerate(tokens):
+                        tids, tcosts = cands[qi][0], cands[qi][1]
+                        got = None
+                        for tid, cost in zip(tids, tcosts):
+                            if tid < 0:
+                                continue
+                            p = row_positions(fi * engine.T + int(tid), doc)
+                            if p is not None and \
+                                    (got is None or cost < got[1]):
+                                got = (p, int(cost))
+                        if got is not None:
+                            pos_lists.append(got[0])
+                            costs.append(got[1])
+                            matched_q.add(("r", qi))
+                # dropped tokens: exact term, cost 0
+                for tok, tid in dropped_tids:
+                    if tid is None:
+                        continue
+                    p = row_positions(fi * engine.T + int(tid), doc)
+                    if p is not None:
+                        pos_lists.append(p)
+                        costs.append(0)
+                        matched_q.add(("d", tok))
+                if not pos_lists:
+                    continue
+                nmf += 1
+                words, dist, max_off = host_match(pos_lists)
+                uw = len(pos_lists)
+                tc = sum(costs)
+                fs = ((min(words, 255) << 40) | (min(uw, 255) << 32) |
+                      (max(0, 255 - tc) << 24) |
+                      ((100 - min(dist, 100)) << 16) |
+                      ((255 - min(max_off, 255)) << 4))
+                w = weights[fslot] if fslot < len(weights) else 1
+                sum_fs += fs * w
+                if (fs, w) > (best_fs, best_w) if match_type != 1 else \
+                        (w, fs) > (best_w, best_fs):
+                    best_fs, best_w = fs, w
+            if not matched_q:
+                continue
+            ql = min(len(matched_q), 15)
+            if match_type == 1:
+                agg = (ql << 59) | (min(best_w, 127) << 51) | \
+                    (best_fs << 3) | min(nmf, 7)
+            elif match_type == 2:
+                agg = (ql << 59) | (min(sum_fs, (1 << 56) - 1) << 3) | \
+                    min(nmf, 7)
+            else:
+                agg = (ql << 59) | (best_fs << 11) | \
+                    (min(best_w, 127) << 3) | min(nmf, 7)
+            scores[hi, ti] = max(int(scores[hi, ti]), agg)
+        return RawResult(raw.doc_ids, scores, raw.found, raw.facet_counts,
+                         raw.out_of)
 
     @staticmethod
     def _split_join_alternatives(engine, tokens: list[str]) -> list[list[str]]:
@@ -1951,7 +2101,7 @@ class Collection:
         facet_counts = self._assemble_facets(raw, facet_fields, max_facet_values,
                                              params, facet_specs)
 
-        return {
+        resp = {
             "facet_counts": facet_counts,
             "found": raw.found,
             "hits": hits,
@@ -1965,6 +2115,11 @@ class Collection:
             },
             "search_cutoff": False,
         }
+        if "out_of" in exclude_fields:
+            # exclude_fields also hides top-level meta keys
+            # (collection_specific_more_test.cpp MustExcludeOutOf)
+            resp.pop("out_of")
+        return resp
 
     def _build_grouped_response(self, raw: RawResult, q, q_tokens, search_fields,
                                 params, page, per_page, start, facet_fields,

@@ -400,16 +400,88 @@ class PersonalizationModelManager:
             self.store.batch_write({}, deletes=[f"$PSM_{mid}"])
         return m
 
+    # -- tyrec-equivalent tower (models/personalization.py) ---------------
+
+    def _tower_params(self, m: dict):
+        """Load (and cache) trained tower params for a model; None when the
+        model has no checkpoint (falls back to mean pooling)."""
+        ckpt = m.get("checkpoint")
+        if not ckpt:
+            return None
+        cache = getattr(self, "_tower_cache", None)
+        if cache is None:
+            cache = self._tower_cache = {}
+        hit = cache.get(m["id"])
+        if hit is not None and hit[0] == ckpt:
+            return hit[1]
+        from typesense_tpu.models import personalization as P
+        try:
+            params, _dim = P.load_npz(ckpt)
+        except OSError:
+            return None
+        cache[m["id"]] = (ckpt, params)
+        return params
+
+    def _embed_events(self, m: dict, event_texts: list[str]):
+        enc = self.embedders.get({"model_name":
+                                  m.get("model_name", "ts/all-MiniLM-L6-v2")})
+        return enc.embed_batch(event_texts)
+
     def user_vector(self, mid: str, event_texts: list[str]):
-        """Embed user event history into one query vector (mean of event
-        embeddings, L2 normalized) — runs on the TPU."""
+        """Embed user event history into one query vector. With a trained
+        checkpoint the tyrec-equivalent tower runs (recency-positional
+        transformer + attention pooling, personalization_model.h:30
+        embed_recommendations); otherwise mean-of-history, L2-normalized."""
         import numpy as np
         m = self.get(mid)
         if self.embedders is None or not event_texts:
             raise BadRequest("No embedder or events available.")
-        enc = self.embedders.get({"model_name":
-                                  m.get("model_name", "ts/all-MiniLM-L6-v2")})
-        vecs = enc.embed_batch(event_texts)
+        vecs = self._embed_events(m, event_texts)
+        params = self._tower_params(m)
+        if params is not None:
+            from typesense_tpu.models import personalization as P
+            hist, mask = P.pad_history(list(vecs), vecs.shape[1])
+            u = P.embed_recommendations(params, hist[None], mask[None])[0]
+            return [float(x) for x in np.asarray(u)]
         v = vecs.mean(axis=0)
         n = float(np.linalg.norm(v))
         return (v / n if n > 0 else v).tolist()
+
+    def train(self, mid: str, user_histories: list[list[str]],
+              steps: int = 200, lr: float = 1e-3) -> dict:
+        """Fit the tower on per-user event histories (newest last) with the
+        InfoNCE next-item objective, persist the checkpoint, and switch the
+        model to the trained tower. The reference ships pretrained ONNX;
+        training in-process on the serving accelerator is the TPU-native
+        equivalent (same arrays serve and train)."""
+        import os
+        import numpy as np
+        m = self.get(mid)
+        if self.embedders is None:
+            raise BadRequest("No embedder available.")
+        hs = [h for h in user_histories if len(h) >= 2]
+        if len(hs) < 4:
+            raise BadRequest("Need at least 4 users with >=2 events each.")
+        from typesense_tpu.models import personalization as P
+        dim = None
+        hist_arr, mask_arr = [], []
+        for h in hs:
+            vecs = self._embed_events(m, h[-(P.MAX_HIST + 1):])
+            dim = vecs.shape[1]
+            # newest LAST in input -> pad_history flips to newest-first
+            hist, mask = P.pad_history(list(vecs), dim)
+            hist_arr.append(hist)
+            mask_arr.append(mask)
+        params = self._tower_params(m) or P.init_params(dim)
+        params, losses = P.fit(params, np.stack(hist_arr),
+                               np.stack(mask_arr), steps=steps, lr=lr)
+        out_dir = m.get("model_dir") or os.environ.get(
+            "TYPESENSE_MODEL_DIR") or "/tmp/ts_models"
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"pers_{mid}.npz")
+        P.save_npz(path, params, dim)
+        getattr(self, "_tower_cache", {}).pop(mid, None)
+        self.update(mid, {"checkpoint": path})
+        return {"id": mid, "checkpoint": path, "users": len(hs),
+                "steps": steps, "loss_start": round(losses[0], 4),
+                "loss_end": round(losses[-1], 4)}

@@ -216,8 +216,14 @@ class IndexEngine:
             return None
 
         Q = max(Qn, 1)
+        # C tops out at 256: the default expansion is max_candidates=4 and
+        # typo/prefix posting budgets keep real queries far below 64; only
+        # an explicit max_candidates/exhaustive_search request reaches the
+        # 256 shape (collection.h:928 allows up to 10000 — candidates beyond
+        # 256 are frequency-ranked away in candidates.prefix_candidates)
         C = force.get("C") or bucket4(
-            max((len(tc[0]) for tc in token_candidates), default=1), lo=1, hi=64)
+            max((len(tc[0]) for tc in token_candidates), default=1),
+            lo=1, hi=256)
 
         cand_rows = np.full((Q, Fq, C), -1, dtype=np.int64)
         cand_costs = np.full((Q, C), 255, dtype=np.int32)
