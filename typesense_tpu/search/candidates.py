@@ -105,7 +105,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         if memo is not None and mkey in memo:
             partial.append(None)  # filled from memo at the end
             continue
-        exact_id = engine.seg.term_to_id.get(tok, -1)
+        from typesense_tpu.index.artifacts import MAX_TERM_LEN
+        exact_id = engine.seg.term_to_id.get(tok[:MAX_TERM_LEN], -1)
         ids: list[int] = []
         costs: list[int] = []
         kinds: list[int] = []          # 0 exact, 1 prefix, 2 typo

@@ -186,7 +186,9 @@ def _parse_leaf(expr: str) -> FilterNode:
         # filter.cpp:677 default str_comparator), equality for numerics
         # (evaluators map it by field type)
         op = "contains"
-    if not rhs:
+    if not rhs or rhs.startswith(","):
+        # `name:,hello` parses as an empty first value in the reference
+        # (HandleBadlyFormedFilterQuery, collection_filtering_test.cpp:651)
         raise BadRequest(f"Error with filter field `{fname}`: "
                          f"Filter value cannot be empty.")
 
@@ -277,7 +279,10 @@ def string_filter_doc_ids(seg, f: Field, value: str, op: str) -> np.ndarray:
                 np.empty(0, np.int32)
             tids.append(-1)
         else:
-            tid = seg.term_to_id.get(tok, -1)
+            # index-time terms truncate to MAX_TERM_LEN (builder.py:233);
+            # long filter tokens must truncate the same way
+            from typesense_tpu.index.artifacts import MAX_TERM_LEN
+            tid = seg.term_to_id.get(tok[:MAX_TERM_LEN], -1)
             if tid < 0:
                 return np.empty(0, np.int64)
             docs, _ = _field_row_slice(seg, field_pos, tid)
@@ -440,14 +445,28 @@ class DeviceFilterEvaluator:
         if f.is_numeric or f.is_bool:
             node = _normalize_numeric_op(node)
             coerce = FilterEvaluator(self.seg, self.fields)._coerce_num
-            vals = [coerce(f, s) for s in node.values]
+            if node.op in ("in", "not_in"):
+                # per-element comparators: `age: [24, >32]`
+                terms = [(vop, coerce(f, s))
+                         for vop, s in _numeric_list_terms(node.values)]
+            else:
+                vals = [coerce(f, s) for s in node.values]
+
+            def cmp_col(col):
+                if node.op in ("in", "not_in"):
+                    m = jnp.zeros(col.shape, bool)
+                    for vop, x in terms:
+                        m = m | _cmp_jnp(col, vop, [x])
+                    return ~m if node.op == "not_in" else m
+                return _cmp_jnp(col, node.op, vals)
+
             if f.is_array:
                 mi = eng._multi_idx.get(f.name)
                 if mi is None:
                     return jnp.zeros(N, bool)
                 evals = eng.dev.num_multi_vals[mi]
                 edocs = eng.dev.num_multi_docs[mi]
-                em = _cmp_jnp(evals, node.op, vals)
+                em = cmp_col(evals)
                 return jnp.zeros(N, bool).at[edocs].max(em, mode="drop")
             ci = eng._num_col_idx.get(f.name)
             if ci is None:
@@ -457,7 +476,7 @@ class DeviceFilterEvaluator:
                 missing = jnp.isnan(col)
             else:
                 missing = col == jnp.iinfo(jnp.int64).min
-            return _cmp_jnp(col, node.op, vals) & ~missing
+            return cmp_col(col) & ~missing
         # string field: CONTAINS / CONTAINS_PHRASE / EQUALS resolved on the
         # host posting CSR + value index, uploaded as one mask
         return jnp.asarray(string_leaf_mask(self.seg, f, node))
@@ -580,6 +599,24 @@ _geo_polygon_mask = _jit_lazy(_geo_polygon_mask_impl)
 _point_in_polys_mask = _jit_lazy(_point_in_polys_impl)
 
 
+_NUM_PREFIX_OPS = (">=", "<=", "!=", ">", "<", "=")
+
+
+def _numeric_list_terms(vals: list) -> list:
+    """[(op, raw_value)] for an in/not_in numeric list — elements may carry
+    comparator prefixes (`age: [24, >32]`, collection_filtering_test.cpp
+    ComparatorsOnMultiValuedNumericalField)."""
+    terms = []
+    for v in vals:
+        op, s = "=", str(v).strip()
+        for p in _NUM_PREFIX_OPS:
+            if s.startswith(p):
+                op, s = p, s[len(p):].strip()
+                break
+        terms.append((op, s))
+    return terms
+
+
 def _cmp_jnp(col, op: str, v: list):
     import jax.numpy as jnp
     if op == "=":
@@ -682,6 +719,14 @@ class FilterEvaluator:
         return self._cmp(col, op, vals, f) & ~missing
 
     def _cmp(self, col: np.ndarray, op: str, vals: list, f: Field) -> np.ndarray:
+        if op in ("in", "not_in"):
+            # list elements may carry their own comparators:
+            # `age: [24, >32]` == (age == 24) || (age > 32)
+            # (filter.cpp numeric multi-value parse)
+            m = np.zeros(col.shape, dtype=bool)
+            for vop, s in _numeric_list_terms(vals):
+                m |= self._cmp(col, vop, [s], f)
+            return ~m if op == "not_in" else m
         v = [self._coerce_num(f, s) for s in vals]
         if op == "=":
             return col == v[0]
@@ -697,16 +742,6 @@ class FilterEvaluator:
             return col <= v[0]
         if op == "range":
             return (col >= v[0]) & (col <= v[1])
-        if op == "in":
-            m = np.zeros(col.shape, dtype=bool)
-            for x in v:
-                m |= col == x
-            return m
-        if op == "not_in":
-            m = np.ones(col.shape, dtype=bool)
-            for x in v:
-                m &= col != x
-            return m
         raise BadRequest(f"Unsupported operator on numeric field `{f.name}`.")
 
     def _eval_numeric(self, node: LeafNode, f: Field) -> np.ndarray:
