@@ -2221,6 +2221,20 @@ class Collection:
         highlighting), range facets over distinct numeric values, and numeric
         stats min/max/sum/avg (do_facets + Collection facet JSON,
         collection.cpp facet_counts assembly)."""
+        # facet_sample_percent/threshold (Index::search facet sampling,
+        # index.cpp do_facets sampling): the reference estimates counts from
+        # a sample when the match set is large. Our facet counting is FUSED
+        # into the scoring scan (one-hot reduce over dense value columns) —
+        # a sample mask would cost more than it saves — so counts stay
+        # EXACT; the `sampled` flag reports whether the reference would
+        # have sampled under these params (API-compatible superset:
+        # exact >= estimated accuracy).
+        sample_pct = int(params.get("facet_sample_percent", 100))
+        sample_thresh = int(params.get("facet_sample_threshold", 0))
+        if not (0 <= sample_pct <= 100):
+            raise BadRequest("Value of `facet_sample_percent` must be "
+                             "less than 100.")
+        would_sample = 0 < sample_pct < 100 and raw.found > sample_thresh
         if facet_specs is None:
             facet_specs = [{"name": n, "ranges": [], "sort_field": "count",
                             "sort_order": "desc", "field": self.field_map.get(n)}
@@ -2263,7 +2277,7 @@ class Collection:
                     if c > 0:
                         entries.append({"count": c, "highlighted": label,
                                         "value": label})
-                out.append({"field_name": fname, "sampled": False,
+                out.append({"field_name": fname, "sampled": would_sample,
                             "counts": entries, "stats": stats})
                 continue
 
@@ -2281,7 +2295,25 @@ class Collection:
                         kept.append(i)
                 idx = kept
 
-            if spec["sort_field"] == "_alpha":
+            if spec["sort_field"] not in ("count", "_alpha", "_value"):
+                # facet values ordered by ANOTHER field's value
+                # (FacetSortByOtherField, collection_faceting_test.cpp:2949:
+                # `receipe.name(sort_by: receipe.calories:desc)`)
+                sf = spec["sort_field"]
+                sfield = self.field_map.get(sf)
+                if sfield is None:
+                    raise BadRequest(f"Could not find a field named `{sf}` "
+                                     f"in the schema for sorting facet "
+                                     f"values.")
+                if not sfield.is_numeric:
+                    raise BadRequest(f"Facet field `{fname}` can only be "
+                                     f"sorted by a numerical field.")
+                keymap = self._facet_sort_keymap(fname, sf)
+                idx.sort(key=lambda i: -counts[i])        # count tie-break
+                idx.sort(key=lambda i: keymap.get(values[i], float("-inf")))
+                if spec["sort_order"] == "desc":
+                    idx.reverse()   # reference flips ties with direction
+            elif spec["sort_field"] == "_alpha":
                 idx.sort(key=lambda i: str(values[i]).lower(),
                          reverse=(spec["sort_order"] == "desc"))
             elif spec["sort_field"] == "_value" and f is not None and f.is_numeric:
@@ -2293,13 +2325,35 @@ class Collection:
 
             out.append({
                 "field_name": fname,
-                "sampled": False,
+                "sampled": would_sample,
                 "counts": [{"count": int(counts[i]),
                             "highlighted": highlighted[i],
                             "value": values[i]} for i in idx],
                 "stats": stats,
             })
         return out
+
+    def _facet_sort_keymap(self, facet_field: str, sort_field: str) -> dict:
+        """facet value -> companion sort-field value (facet sort_by another
+        field; the reference keeps this mapping in its facet index). Cached
+        per (facet, sort) pair, invalidated by _write_version."""
+        cache = self.__dict__.setdefault("_facet_sortkey_cache", {})
+        key = (facet_field, sort_field)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == self._write_version:
+            return hit[1]
+        flatten = self._needs_flatten()
+        m: dict = {}
+        for doc in self.docs.values():
+            d = self._flat_doc(doc) if flatten else doc
+            fv = d.get(facet_field)
+            sv = d.get(sort_field)
+            if fv is None or sv is None:
+                continue
+            for v in (fv if isinstance(fv, list) else [fv]):
+                m.setdefault(v, sv)
+        cache[key] = (self._write_version, m)
+        return m
 
     @staticmethod
     def _text_match_info(score: int, total_tokens: int) -> dict:
