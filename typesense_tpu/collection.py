@@ -821,6 +821,20 @@ class Collection:
                                  "a `facet_by` parameter.")
 
         # --- sort spec (validated here; re-bound per segment below) ---
+        # `_group_found` sorts GROUPS by their member count (SortingOnGroupCount,
+        # collection_grouping_test.cpp:826) — strip it before slot parsing and
+        # apply during grouped-response assembly
+        _sb = str(params.get("sort_by", "") or "")
+        if "_group_found" in _sb and params.get("group_by"):
+            kept, gf_order = [], None
+            for comp in _sb.split(","):
+                name = comp.split(":")[0].strip()
+                if name == "_group_found":
+                    gf_order = comp.split(":")[-1].strip().lower()
+                else:
+                    kept.append(comp)
+            params = {**params, "sort_by": ",".join(kept),
+                      "_group_found_order": gf_order}
         sort_slots = self._parse_sort_by(params.get("sort_by", ""),
                                          is_wildcard=(q == "*"), engine=engine)
 
@@ -2150,16 +2164,6 @@ class Collection:
             if len(groups[gk]) < max(group_limit, 1):
                 groups[gk].append(i)
 
-        # hydrate page of groups through the normal hit builder
-        page_keys = order[start:start + per_page]
-        base = self._build_response(raw, q, q_tokens, search_fields,
-                                    {**params, "per_page": len(raw.doc_ids)},
-                                    1, max(len(raw.doc_ids), 1), 0,
-                                    facet_fields, max_facet_values,
-                                    vec_dist_map=vec_dist_map,
-                                    sort_slots=sort_slots,
-                                    facet_specs=facet_specs)
-        hit_by_rank = {i: h for i, h in enumerate(base["hits"])}
         # EXACT per-group counts + total group count when grouping on one
         # scalar facet field: the dispatch counted the group field over the
         # FULL matched set (the reference instead estimates with LogLogBeta
@@ -2171,6 +2175,31 @@ class Collection:
             vals, counts = raw.facet_counts[group_fields[0]]
             counts = np.asarray(counts)
             exact_counts = {v: int(c) for v, c in zip(vals, counts) if c}
+
+        # `_group_found` sort: order groups by member count
+        # (SortingOnGroupCount, collection_grouping_test.cpp:826)
+        gf_order = params.get("_group_found_order")
+        if gf_order:
+            def _found_of(gk):
+                idxs = groups[gk]
+                if exact_counts is not None and gk and gk[0] is not None \
+                        and gk[0] != "__uniq__":
+                    d0 = self.docs.get(int(raw.doc_ids[idxs[0]]))
+                    v = d0.get(group_fields[0]) if d0 else None
+                    return exact_counts.get(str(v), len(idxs))
+                return len(idxs)
+            order.sort(key=_found_of, reverse=(gf_order == "desc"))
+
+        # hydrate page of groups through the normal hit builder
+        page_keys = order[start:start + per_page]
+        base = self._build_response(raw, q, q_tokens, search_fields,
+                                    {**params, "per_page": len(raw.doc_ids)},
+                                    1, max(len(raw.doc_ids), 1), 0,
+                                    facet_fields, max_facet_values,
+                                    vec_dist_map=vec_dist_map,
+                                    sort_slots=sort_slots,
+                                    facet_specs=facet_specs)
+        hit_by_rank = {i: h for i, h in enumerate(base["hits"])}
 
         truncated = False
         grouped = []
