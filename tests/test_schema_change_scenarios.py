@@ -63,8 +63,16 @@ def test_drop_unknown_field_errors(env):
 
 def test_retype_field_facet_toggle(env):
     s, _, _ = env
-    code, _ = call(s, "PATCH", "/collections/items", body={
+    # modifying in place is rejected; drop + re-add in one alter is the
+    # supported path (collection_schema_change_test.cpp AlterValidations /
+    # AbilityToDropAndReAddIndexAtTheSameTime)
+    code, res = call(s, "PATCH", "/collections/items", body={
         "fields": [{"name": "price", "type": "int32", "facet": True}]})
+    assert code == 400
+    assert "drop it first" in res["message"]
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "price", "drop": True},
+                   {"name": "price", "type": "int32", "facet": True}]})
     assert code == 200
     code, res = call(s, "GET", "/collections/items/documents/search",
                      query={"q": "*", "facet_by": "price"})
@@ -120,3 +128,67 @@ def test_alter_requires_fields_key(env):
     code, res = call(s, "PATCH", "/collections/items",
                      body={"name": "renamed"})
     assert code == 400
+
+
+def test_alter_bad_field_format_rejected(env):
+    """AlterValidations (collection_schema_change_test.cpp:368): wrong key."""
+    s, _, _ = env
+    code, res = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "age", "typezzz": "int32"}]})
+    assert code == 400
+    assert "Wrong format for `fields`" in res["message"]
+
+
+def test_alter_order_of_drop_does_not_matter(env):
+    """OrderOfDropShouldNotMatter (…:1050): re-add listed BEFORE the drop of
+    the same field in one alter still works."""
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "price", "type": "float"},
+                   {"name": "price", "drop": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items")
+    types = {f["name"]: f["type"] for f in res["fields"]}
+    assert types["price"] == "float"
+
+
+def test_alter_add_and_drop_immediately(env):
+    """AddAndDropFieldImmediately (…:610): two sequential alters."""
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "type": "string", "facet": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "*", "facet_by": "color"})
+    assert code == 200 and res["facet_counts"][0]["counts"]
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "drop": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "*", "facet_by": "color"})
+    assert code == 404
+
+
+def test_alter_drop_field_not_in_documents(env):
+    """DropFieldNotExistingInDocuments (…:819): dropping an optional field
+    no document carries succeeds."""
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "ghost", "type": "string", "optional": True}]})
+    assert code == 200
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "ghost", "drop": True}]})
+    assert code == 200
+
+
+def test_alter_change_to_coercible_type(env):
+    """ChangeFieldToCoercableTypeIsAllowed (…:842): int32 -> string via
+    drop+re-add, existing int values coerce on reindex."""
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "price", "drop": True},
+                   {"name": "price", "type": "string"}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "10", "query_by": "price"})
+    assert code == 200 and res["found"] == 1

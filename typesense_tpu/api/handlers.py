@@ -38,17 +38,36 @@ def patch_update_collection(server, req):
     if "fields" not in body:
         raise BadRequest("Only `fields` and `metadata` can be updated at the moment.")
     from typesense_tpu.schema.field import Field
-    for fj in body["fields"]:
-        if fj.get("drop"):
-            if fj["name"] not in coll.field_map:
-                raise BadRequest(f"Field `{fj['name']}` is not part of "
-                                 f"collection schema.")
-            coll.fields = [f for f in coll.fields if f.name != fj["name"]]
-            coll.field_map.pop(fj["name"], None)
-        else:
-            f = Field.from_json(fj)
-            coll.fields = [x for x in coll.fields if x.name != f.name] + [f]
-            coll.field_map[f.name] = f
+    if not isinstance(body["fields"], list) or not all(
+            isinstance(fj, dict) and fj.get("name") and
+            (fj.get("drop") or fj.get("type"))
+            for fj in body["fields"]):
+        raise BadRequest("Wrong format for `fields`. It should be an array "
+                         "of objects containing `name`, `type`, `optional` "
+                         "and `facet` properties.")
+    drops = {fj["name"] for fj in body["fields"] if fj.get("drop")}
+    adds = [fj for fj in body["fields"] if not fj.get("drop")]
+    # validation pass BEFORE mutating (alter is atomic in the reference)
+    for name in drops:
+        if name not in coll.field_map:
+            raise BadRequest(f"Field `{name}` is not part of collection "
+                             f"schema.")
+    for fj in adds:
+        # modifying an existing field requires drop + re-add — allowed in
+        # the SAME alter, order-independent (collection.cpp validate_alter,
+        # AbilityToDropAndReAddIndexAtTheSameTime / OrderOfDropShouldNotMatter)
+        if fj["name"] in coll.field_map and fj["name"] not in drops:
+            raise BadRequest(
+                f"Field `{fj['name']}` is already part of the schema: To "
+                f"change this field, drop it first before adding it back "
+                f"to the schema.")
+    for name in drops:
+        coll.fields = [f for f in coll.fields if f.name != name]
+        coll.field_map.pop(name, None)
+    for fj in adds:
+        f = Field.from_json(fj)
+        coll.fields.append(f)
+        coll.field_map[f.name] = f
     coll._dirty = True
     server.manager.persist_collection_meta(coll)
     return body
