@@ -42,6 +42,21 @@ def pack_position(elem_idx: int, pos: int) -> int:
     return (min(elem_idx, MAX_ELEM) << POS_BITS) | min(pos, MAX_POS)
 
 
+def fold_token(s: str) -> bytes:
+    """ONE byte per CODEPOINT for the device term table: ASCII identity,
+    non-ASCII hashed into 128..255. Edit distances computed over this
+    encoding are codepoint-level, matching the reference's unicode fuzzy
+    matching (art fuzzy traversal works on codepoints) — raw UTF-8 bytes
+    would make a 1-char Cyrillic/Arabic typo cost 2 edits. Distinct
+    codepoints may collide in the hashed range (~1/128), which can only
+    UNDER-estimate a distance by 1 and admit a rare extra candidate."""
+    out = bytearray()
+    for ch in s[:MAX_TERM_LEN]:
+        cp = ord(ch)
+        out.append(cp if cp < 128 else 128 + ((cp * 2654435761) & 0x7F))
+    return bytes(out)
+
+
 # --- packed per-posting scoring meta (dense-scan kernel input) ---
 # TWO int32 words per posting so the dense scan's membership/cost pass
 # streams HALF the bytes (and single-token or no-text-sort queries never

@@ -18,7 +18,8 @@ import re
 import numpy as np
 
 from typesense_tpu.index.artifacts import (
-    MAX_TERM_LEN, POS_BITS, MAX_POS, SegmentArrays, pack_position,
+    MAX_TERM_LEN, POS_BITS, MAX_POS, SegmentArrays, fold_token,
+    pack_position,
 )
 from typesense_tpu.schema.field import Field
 from typesense_tpu.text.tokenizer import Tokenizer
@@ -296,6 +297,16 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
         T = res["num_terms"]
         term_chars = res["term_chars"]
         term_lens = res["term_lens"]
+        if T and (term_chars >= 128).any():
+            # non-ASCII terms: re-encode codepoint-folded (fold_token) so
+            # fuzzy distances are per character, not per UTF-8 byte; the
+            # pure-ASCII fast path keeps the native builder's bytes
+            term_chars = np.zeros((max(T, 1), MAX_TERM_LEN), dtype=np.uint8)
+            term_lens = np.zeros(max(T, 1), dtype=np.int32)
+            for i, t in enumerate(res["terms"]):
+                b = fold_token(t)
+                term_chars[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+                term_lens[i] = len(b)
         post_offsets = res["post_offsets"]
         post_doc_ids = res["post_doc_ids"]
         post_flags = res["post_flags"]
@@ -327,7 +338,7 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
     term_chars = np.zeros((max(T, 1), MAX_TERM_LEN), dtype=np.uint8)
     term_lens = np.zeros(max(T, 1), dtype=np.int32)
     for i, t in enumerate(terms):
-        b = t.encode("utf-8")[:MAX_TERM_LEN]
+        b = fold_token(t)   # codepoint-folded: fuzzy distance = per CHAR
         term_chars[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         term_lens[i] = len(b)
 

@@ -100,7 +100,8 @@ def _build_fuzzy_kernel(L: int, K: int, QT: int):
 
 
 def _pm_table(token: str) -> tuple[np.ndarray, int]:
-    b = token.encode("utf-8")[:MAX_TERM_LEN]
+    from typesense_tpu.index.artifacts import fold_token
+    b = fold_token(token)   # codepoint-folded, matches the term table
     m = len(b)
     pm = np.zeros(256, dtype=np.uint32)
     for j, ch in enumerate(b):

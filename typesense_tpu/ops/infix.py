@@ -48,7 +48,8 @@ def _build_infix_kernel(L: int):
 
 def infix_term_mask(term_chars_dev, term_lens_dev, token: str):
     """Boolean (T,) mask of terms containing `token` as a substring."""
-    b = token.encode("utf-8")[:MAX_TERM_LEN]
+    from typesense_tpu.index.artifacts import fold_token
+    b = fold_token(token)   # codepoint-folded, matches the term table
     L = 1
     while L < len(b):
         L *= 2
