@@ -346,6 +346,34 @@ def run_extra_configs(coll, queries, rng, conc):
         list(ex.map(hworker, hchunks))
     out["hybrid_qps"] = round(len(hq) / (time.time() - t0), 1)
 
+    # semantic sanity: the shipped from-scratch ts-mini checkpoint must
+    # embed meaning, not tokens — labeled pairs share concepts with ZERO
+    # surface overlap (VERDICT r2 item 5; models/train_encoder.py)
+    try:
+        from typesense_tpu.models.embedder import EmbedderManager
+        enc = EmbedderManager().get({"model_name": "ts/ts-mini"})
+        if enc.tokenizer is not None:
+            pos_pairs = [("poultry stew", "chicken casserole"),
+                         ("quick automobile repair", "speedy vehicle fix"),
+                         ("glad pupil", "happy student"),
+                         ("frigid breeze", "chilly gust")]
+            neg_pairs = [("poultry stew", "bicycle repair"),
+                         ("glad pupil", "frigid gust"),
+                         ("chilly gust", "happy student"),
+                         ("speedy vehicle fix", "moon blossom")]
+
+            def cos(a, b):
+                va, vb = enc.embed_batch([a, b])
+                return float(va @ vb / (np.linalg.norm(va) *
+                                        np.linalg.norm(vb)))
+            pos = [cos(a, b) for a, b in pos_pairs]
+            neg = [cos(a, b) for a, b in neg_pairs]
+            out["semantic_ckpt"] = "ts/ts-mini"
+            out["semantic_pair_margin"] = round(min(pos) - max(neg), 3)
+            out["semantic_pairs_ok"] = int(min(pos) > max(neg))
+    except Exception as e:  # noqa: BLE001
+        print(f"# semantic sanity skipped: {e}", file=sys.stderr)
+
     # reference-comparable small corpus: 300K HN-comments-scale sub-run
     if os.environ.get("BENCH_SMALL", "1") != "0" and len(coll.docs) > 400000:
         small_docs, _ = synth_corpus(300000, seed=8)

@@ -33,6 +33,9 @@ from typesense_tpu.core.errors import BadRequest
 # built-in model catalog (embedder_manager.h public models list):
 # name -> (dim, layers, heads, ff_mult)
 BUILTIN_MODELS = {
+    # genuine from-scratch contrastive encoder shipped with the repo
+    # (models/train_encoder.py; checkpoint in models/checkpoints/)
+    "ts/ts-mini": (128, 2, 4, 4),
     "ts/all-MiniLM-L12-v2": (384, 12, 6, 4),
     "ts/all-MiniLM-L6-v2": (384, 6, 6, 4),
     "ts/e5-small": (384, 6, 6, 4),
@@ -218,6 +221,14 @@ class TextEncoder:
     def _load_or_init(self, name, models_dir, dim, layers, heads, ff_mult):
         safe = name.replace("/", "_")
         path = os.path.join(models_dir or "", f"{safe}.npz")
+        if not (models_dir and os.path.exists(path)):
+            # repo-shipped checkpoints (ts/ts-mini trained from scratch by
+            # models/train_encoder.py — the reference instead downloads
+            # pretrained ONNX at runtime, embedder_manager.h)
+            pkg = os.path.join(os.path.dirname(__file__), "checkpoints",
+                               f"{safe}.npz")
+            if os.path.exists(pkg):
+                models_dir, path = os.path.dirname(pkg), pkg
         if models_dir and os.path.exists(path):
             raw = np.load(path, allow_pickle=False)
             if "arch" in raw and str(raw["arch"]) == "bert":
