@@ -60,7 +60,7 @@ def run_kernel(token_offsets: list[list[int]], Q=None, P=8):
         for j, o in enumerate(offs[:P]):
             pos[0, t, j] = o
             val[0, t, j] = True
-    wp, dist, moff = match_components(jnp.asarray(pos), jnp.asarray(val), jnp.asarray(tm))
+    wp, dist, moff, _anchor = match_components(jnp.asarray(pos), jnp.asarray(val), jnp.asarray(tm))
     return int(wp[0]), int(dist[0]), int(moff[0])
 
 

@@ -120,13 +120,6 @@ def test_matched_segment_more_important_than_total_matches():
     assert _ids(res) == ["0", "2", "1"]
 
 
-@pytest.mark.xfail(
-    reason="per-ELEMENT verbatim bit for array fields: the reference awards "
-           "exact_match when query tokens cover one whole array element "
-           "(score_results2 element loop + Match exact_match, "
-           "index.cpp:5351-5420); our kernel computes the exact bit from "
-           "whole-field token counts. Both docs otherwise tie exactly.",
-    strict=True)
 def test_verbatim_match_not_on_partial_token_match():
     """VerbatimMatchNotOnPartialTokenMatch (…:326): a doc matching only a
     subset of tokens must not earn the verbatim-match boost."""

@@ -81,7 +81,12 @@ def match_components(positions: jax.Array, pos_valid: jax.Array,
     distance = jnp.where(any_usable, displacement[bidx], 0).astype(jnp.int32)
     max_offset = jnp.where(any_usable,
                            jnp.minimum(max_off[bidx], 255), 0).astype(jnp.int32)
-    return words_present, distance, max_offset
+    # the winning window's anchor position (packed elem<<POS_BITS|off):
+    # callers derive the window's array ELEMENT from it for the
+    # per-element exact-match bit (windows never span elements — the
+    # packed-position gap exceeds WINDOW_SIZE)
+    best_anchor = jnp.where(any_usable, anchors[bidx], 0).astype(jnp.int32)
+    return words_present, distance, max_offset, best_anchor
 
 
 def match_components_p4(pos: list, want_offset: bool = False):

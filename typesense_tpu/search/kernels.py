@@ -160,7 +160,8 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
             pos = jnp.where(pvalid, positions[psafe], 0)
             pos = jnp.transpose(pos, (1, 0, 2))        # (S, Q, P)
             pv = jnp.transpose(pvalid, (1, 0, 2))
-            wp, dist, moff = match_components(pos, pv, jnp.transpose(mf))
+            wp, dist, moff, banchor = match_components(
+                pos, pv, jnp.transpose(mf))
 
         if phrase_pairs:
             # adjacency within this field: token j at position i+1
@@ -180,13 +181,40 @@ def _score_and_merge(carry, d, m, tc, tok_field, ta, sp, tv,
 
         # exact match (match_score.h:242-274)
         flags = post_flags[jnp.clip(sp[:, f, :], 0, post_flags.shape[0] - 1)]
-        has_last = jnp.any((flags & post_flags.dtype.type(last_flag_mask)
-                            > 0) & mf, axis=0)  # (S,)
+        last_q = ((flags & post_flags.dtype.type(last_flag_mask)) > 0) & mf
+        has_last = jnp.any(last_q, axis=0)  # (S,)
         total_off = jnp.sum(jnp.where(mf, cnt, 0), axis=0).astype(jnp.int32)
         ftc = field_token_counts[dsafe, f]
         if prioritize_exact:
             exact_multi = (has_last & (ftc == uw) &
                            (((total_off == uw) & (dist == uw - 1)) | (dist < uw - 1)))
+            if not single_token:
+                # per-ELEMENT verbatim for array fields (score_results2's
+                # element loop + Match exact_match, index.cpp:5351): the
+                # winning window's element is fully covered — matched
+                # occurrences are exactly offsets 0..n_e-1 and a
+                # last-of-value-flagged token sits at n_e-1. OR-ed in:
+                # whole-FIELD coverage (ftc == uw) can never fire for a
+                # multi-element array.
+                from typesense_tpu.index.artifacts import POS_BITS, MAX_POS
+                belem = (banchor >> POS_BITS)[:, None, None]
+                occ_e = pv & ((pos >> POS_BITS) == belem) & \
+                    jnp.transpose(mf)[:, :, None]            # (S, Q, P)
+                tok_e = jnp.any(occ_e, axis=2)               # (S, Q)
+                n_e = jnp.sum(tok_e, axis=1).astype(jnp.int32)
+                total_e = jnp.sum(occ_e, axis=(1, 2)).astype(jnp.int32)
+                off_e = jnp.where(occ_e, pos & MAX_POS, -1)
+                maxoff_e = jnp.max(jnp.max(off_e, axis=2), axis=1)
+                minoff_e = jnp.min(jnp.min(
+                    jnp.where(occ_e, pos & MAX_POS, 1 << 30), axis=2),
+                    axis=1)
+                mo_q = jnp.max(off_e, axis=2)                # (S, Q)
+                flag_ok = jnp.any(tok_e & jnp.transpose(last_q) &
+                                  (mo_q == (n_e - 1)[:, None]), axis=1)
+                exact_elem = ((minoff_e == 0) & (total_e == n_e) &
+                              (maxoff_e == n_e - 1) & flag_ok &
+                              (n_e == wp) & (dist == n_e - 1))
+                exact_multi = exact_multi | exact_elem
             exact_single = (has_last & (ftc == 1) & (tc == 0) &
                             (jnp.sum(tv) == 1))
             exact = jnp.where(single, exact_single, exact_multi).astype(jnp.int32)
@@ -1003,6 +1031,61 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                     exact_multi = (has_last & (ftc_f == uw) &
                                    (((total_off == uw) & (dist == uw - 1)) |
                                     (dist < uw - 1)))
+                    if Q > 1:
+                        # per-ELEMENT verbatim for array fields
+                        # (score_results2 element loop + Match exact_match,
+                        # index.cpp:5351): some element whose matched
+                        # occurrences are exactly offsets 0..n_e-1 with a
+                        # last-of-value token at n_e-1. Meta positions are
+                        # (elem:5 << 7 | off:7); anchors = occurrences at
+                        # local offset 0. Heavy docs (>3 positions) take
+                        # the CSR rescore, which applies the same rule.
+                        lastq = [mf[q] & ((va_l[q, f] >> MA_LAST_SHIFT) & 1)
+                                 .astype(bool) for q in range(Q)]
+                        exact_elem = jnp.zeros(L, bool)
+                        for qa in range(Q):
+                            for ka in range(3):
+                                pa = pos[qa][ka]
+                                aok = (pa < MATCH_INF) & ((pa & 127) == 0)
+                                e = pa >> 7
+                                per_q = []
+                                for q in range(Q):
+                                    inn = [(pos[q][k] < MATCH_INF) &
+                                           ((pos[q][k] >> 7) == e)
+                                           for k in range(3)]
+                                    any_in = inn[0] | inn[1] | inn[2]
+                                    cnt_in = (inn[0].astype(jnp.int32) +
+                                              inn[1].astype(jnp.int32) +
+                                              inn[2].astype(jnp.int32))
+                                    moq = jnp.maximum(
+                                        jnp.maximum(
+                                            jnp.where(inn[0],
+                                                      pos[q][0] & 127, -1),
+                                            jnp.where(inn[1],
+                                                      pos[q][1] & 127, -1)),
+                                        jnp.where(inn[2],
+                                                  pos[q][2] & 127, -1))
+                                    per_q.append((any_in, cnt_in, moq))
+                                n_e = sum(a.astype(jnp.int32)
+                                          for a, _, _ in per_q)
+                                tot = sum(cq for _, cq, _ in per_q)
+                                mx = per_q[0][2]
+                                for _, _, moq in per_q[1:]:
+                                    mx = jnp.maximum(mx, moq)
+                                fok = jnp.zeros(L, bool)
+                                for q in range(Q):
+                                    a_in, _, moq = per_q[q]
+                                    fok = fok | (lastq[q] & a_in &
+                                                 (moq == n_e - 1))
+                                # the covering element must BE the winning
+                                # window (the reference maxes full packed
+                                # per-element scores — a fully-covered
+                                # 1-token element loses to a 2-word window
+                                # elsewhere and must not donate its bit)
+                                exact_elem = exact_elem | (
+                                    aok & (tot == n_e) & (mx == n_e - 1) &
+                                    fok & (n_e == wp) & (dist == n_e - 1))
+                        exact_multi = exact_multi | exact_elem
                     exact_single = (has_last & (ftc_f == 1) & (tc_l == 0) &
                                     (jnp.sum(tv) == 1))
                     exact = jnp.where(single, exact_single,
