@@ -418,9 +418,20 @@ def post_multi_search(server, req):
     if limit is not None and len(searches) > int(limit):
         raise BadRequest("Number of multi searches exceeds "
                          "`limit_multi_searches` parameter.")
+    if union:
+        # per-search pagination has no effect under union (union_test.cpp
+        # Pagination): every search fetches deep enough for the merged page
+        u_pp = int(common.get("per_page", 10))
+        u_page = int(common.get("page", 1) or 1)
+        u_fetch = min(250, max(u_pp * u_page, 10))
     results = []
     for s in searches:
         params = {**common, **s, **embedded}
+        if union:
+            for k in ("page", "per_page", "offset", "limit"):
+                params.pop(k, None)
+            params["per_page"] = u_fetch
+            params["page"] = 1
         cname = params.pop("collection", None)
         if cname is None:
             results.append({"error": "`collection` is required", "code": 400})
@@ -433,23 +444,48 @@ def post_multi_search(server, req):
                             "code": getattr(e, "http_code", 500)})
     if union:
         # do_union (collection_manager.cpp:1513): merge ranked lists across
-        # collections into one result (Union_KV merge, topster.h:169)
+        # collections into one result (Union_KV merge, topster.h:169).
+        # Top-level pagination wins; hits carry search_index + collection;
+        # duplicates (same collection + id) are removed unless
+        # remove_duplicates=false (union_test.cpp RemoveDuplicatesWithUnion)
         per_page = int(common.get("per_page", 10))
         page = int(common.get("page", 1) or 1)
+        remove_dup = str(common.get(
+            "remove_duplicates",
+            body.get("remove_duplicates", "true"))).lower() != "false"
         merged = []
         found = 0
         out_of = 0
-        for r in results:
+        urp = []
+        for si, (r, s) in enumerate(zip(results, searches)):
             if "error" in r:
                 return 400, {"message": r["error"]}
             found += r.get("found", 0)
             out_of += r.get("out_of", 0)
+            cname = s.get("collection")
+            urp.append({"collection_name": cname,
+                        "found": r.get("found", 0),
+                        "per_page": per_page, "page": page})
             for rank, h in enumerate(r.get("hits", [])):
-                merged.append((h.get("text_match", 0), -rank, h))
-        merged.sort(key=lambda t: (-t[0], t[1]))
+                h = {**h, "search_index": si, "collection": cname}
+                merged.append((h.get("text_match", 0), -rank, si, h))
+        merged.sort(key=lambda t: (-t[0], t[1], t[2]))
+        if remove_dup:
+            seen = set()
+            kept = []
+            for t in merged:
+                h = t[3]
+                key = (h["collection"], h.get("document", {}).get("id"))
+                if key in seen:
+                    found -= 1
+                    continue
+                seen.add(key)
+                kept.append(t)
+            merged = kept
         start = (page - 1) * per_page
         return {"found": found, "out_of": out_of, "page": page,
-                "hits": [h for _, _, h in merged[start:start + per_page]],
+                "hits": [t[3] for t in merged[start:start + per_page]],
+                "union_request_params": urp,
                 "search_time_ms": sum(r.get("search_time_ms", 0)
                                       for r in results)}
     return {"results": results}
