@@ -194,6 +194,25 @@ class Collection:
         if operation == "update" and not exists:
             raise NotFound(f"Could not find a document with id: {doc_id}")
 
+        # $operations.increment: numeric deltas applied against the stored
+        # value (0 when absent) — powers popularity counters
+        # (collection_operations_test.cpp IncrementInt32Value; unknown
+        # fields are silently skipped, the rest of the update proceeds)
+        ops = doc.pop("$operations", None) if isinstance(doc, dict) else None
+
+        def _apply_increments(d: dict):
+            if not (isinstance(ops, dict) and
+                    isinstance(ops.get("increment"), dict)):
+                return
+            for fn, dv in ops["increment"].items():
+                f = self.field_map.get(fn)
+                if f is None or not f.is_numeric or f.is_bool:
+                    continue
+                base = d.get(fn, 0)
+                if not isinstance(base, (int, float)):
+                    base = 0
+                d[fn] = base + dv
+
         # auto/dynamic schema: materialize concrete fields from this doc
         # (.* / pattern fields, collection.cpp auto schema handling)
         from typesense_tpu.schema.nested import materialize_dynamic_fields
@@ -209,6 +228,7 @@ class Collection:
                 merged = dict(self.docs[seq_id])
                 merged.update(doc)
                 doc = merged
+            _apply_increments(doc)
             self._validate(doc, dirty_values)
             if (self._engine is not None and not self._dirty and not new_fields
                     and seq_id < self._delta_start):
@@ -229,6 +249,7 @@ class Collection:
             if doc_id is None:
                 doc_id = str(self.next_seq_id)
                 doc["id"] = doc_id
+            _apply_increments(doc)
             self._validate(doc, dirty_values)
             seq_id = self.next_seq_id
             self.next_seq_id += 1
