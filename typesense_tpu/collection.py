@@ -1059,6 +1059,12 @@ class Collection:
                     and not any(exclude_flags):
                 q_toks = self.manager.stopwords.apply(q_toks, str(sw_set))
                 exclude_flags = tuple([False] * len(q_toks))
+                if not q_toks:
+                    # every token was a stopword: zero results, NOT a
+                    # wildcard (stopwords_manager_test.cpp StopwordsBasics)
+                    return (RawResult(np.empty(0, np.int32),
+                                      np.empty((0, 3), np.int64), 0,
+                                      out_of=eng._live_count), vdm, [])
             if not q_toks:
                 return (eng.wildcard_search(slots, filter_mask=fm,
                                             facet_fields=dispatch_facet_fields,

@@ -70,8 +70,9 @@ class StopwordsManager:
         if s is None:
             return tokens
         sw = set(s["stopwords"])
-        out = [t for t in tokens if t not in sw]
-        return out or tokens  # never drop the whole query
+        # an all-stopword query drops to EMPTY and matches nothing
+        # (stopwords_manager_test.cpp StopwordsBasics)
+        return [t for t in tokens if t not in sw]
 
 
 class SynonymSetManager:
