@@ -105,11 +105,15 @@ class QueryBatcher:
                 dispatcher = not st.dispatching
                 if dispatcher:
                     st.dispatching = True
+                # a lone query skips the straggler window — single-stream
+                # latency must not pay for batching nobody needs
+                alone = st.inflight == 1 and len(st.queue) == 1
         try:
             if not ready:
                 return solo_call(qbuf)
             if dispatcher:
-                self._dispatch(st, solo_call, batched_call)
+                self._dispatch(st, solo_call, batched_call,
+                               window=0.0 if alone else WINDOW_S)
             slot.event.wait()
             if slot.error is not None:
                 raise slot.error
@@ -145,9 +149,11 @@ class QueryBatcher:
             time.sleep(0.25)
         return False
 
-    def _dispatch(self, st: _SigState, solo_call, batched_call):
+    def _dispatch(self, st: _SigState, solo_call, batched_call,
+                  window: float = WINDOW_S):
         """Serve one coalesced batch; hand leftovers to a fresh dispatcher."""
-        time.sleep(WINDOW_S)
+        if window:
+            time.sleep(window)
         with st.lock:
             tiers = sorted(st.tiers)
             cap = tiers[-1] if tiers else 1
