@@ -81,15 +81,14 @@ def test_batched_error_propagates():
     qb = B.QueryBatcher()
     st = qb._sig("k")
     st.tiers[4] = "fn4"       # pretend compiled
+    st.dispatching = True     # workers enqueue; we dispatch manually
 
     def batched(fn, qs):
         raise RuntimeError("boom")
 
-    barrier = threading.Barrier(2)
     errs = []
 
     def worker(i):
-        barrier.wait()
         try:
             qb.run("k", i, lambda q: q, lambda b: "f", batched)
         except RuntimeError as e:
@@ -97,10 +96,14 @@ def test_batched_error_propagates():
 
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
     [t.start() for t in ts]
+    deadline = time.time() + 5
+    while len(st.queue) < 2 and time.time() < deadline:
+        time.sleep(0.005)
+    assert len(st.queue) == 2
+    st.dispatching = False
+    qb._dispatch(st, lambda q: q, batched, window=0.0)
     [t.join() for t in ts]
-    # at least the coalesced queries see the error; a straggler that
-    # dispatched alone takes the solo path and succeeds
-    assert errs and all(e == "boom" for e in errs)
+    assert errs == ["boom", "boom"]
 
 
 # ---------------------------------------------------- integration (CPU) --
