@@ -196,9 +196,13 @@ class AnalyticsManager:
                     continue
                 for doc_id, w in counts.items():
                     try:
-                        doc = coll.get(doc_id)
-                        write(dest, {"id": doc_id,
-                                     cfield: int(doc.get(cfield, 0)) + w},
+                        coll.get(doc_id)   # skip deleted docs (NotFound)
+                        # $operations.increment applies against the stored
+                        # value — replicated followers converge on the same
+                        # delta regardless of local state
+                        # (collection_specific_more_test.cpp IncrementingCount)
+                        write(dest, {"id": doc_id, "$operations":
+                                     {"increment": {cfield: int(w)}}},
                               "update")
                         flushed += 1
                     except NotFound:
