@@ -1576,15 +1576,35 @@ class Collection:
         return out
 
     def _filter_mask_for(self, engine, filter_by: str):
-        """Evaluate the (final) filter string against one segment's columns."""
+        """Evaluate the (final) filter string against one segment's columns.
+
+        Masks cache by (filter string, engine, write version) — the
+        reference keeps a filter_result cache for the same reason
+        (filter_result_iterator reuse). A stable mask OBJECT also lets the
+        query coalescer batch concurrent identically-filtered searches
+        (the batch signature keys on the mask's identity)."""
         if not filter_by:
             return None
+        # join filters ($Coll(...)) depend on OTHER collections' state that
+        # this collection's write version cannot see — never cache those
+        cacheable = "$" not in filter_by
+        cache = self.__dict__.setdefault("_filter_mask_cache", {})
+        key = (filter_by, id(engine))
+        if cacheable:
+            hit = cache.get(key)
+            if hit is not None and hit[0] == self._write_version:
+                return hit[1]
         from typesense_tpu.search.filters import DeviceFilterEvaluator
         from typesense_tpu.search.joins import make_join_resolver
         node = parse_filter_query(filter_by)
-        return DeviceFilterEvaluator(
+        mask = DeviceFilterEvaluator(
             engine, join_resolver=make_join_resolver(self),
             id_resolver=self.id_to_seq).evaluate(node, self.field_map)
+        if cacheable:
+            if len(cache) > 64:
+                cache.clear()
+            cache[key] = (self._write_version, mask)
+        return mask
 
     @staticmethod
     def _merge_segments(raws: list[RawResult]) -> RawResult:
