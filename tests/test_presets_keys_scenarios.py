@@ -1,0 +1,93 @@
+"""Preset application + API key lifecycle, ported from
+/root/reference/test/auth_manager_test.cpp and
+collection_manager presets handling (collection_manager.cpp:1421)."""
+
+import time
+
+import pytest
+
+from tests.test_http_api import call, make_server
+from typesense_tpu.core.store import Store
+
+
+@pytest.fixture()
+def srv(tmp_path):
+    s = make_server(Store(str(tmp_path / "db")))
+    call(s, "POST", "/collections", body={
+        "name": "items",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "points", "type": "int32"}]})
+    for i, t in enumerate(["alpha one", "alpha two", "beta three"]):
+        call(s, "POST", "/collections/items/documents",
+             body={"id": str(i), "title": t, "points": i})
+    return s
+
+
+def test_preset_crud_and_application(srv):
+    code, _ = call(srv, "PUT", "/presets/small_page", body={
+        "value": {"per_page": 1, "query_by": "title"}})
+    assert code == 200
+    code, res = call(srv, "GET", "/presets/small_page")
+    assert code == 200
+    code, res = call(srv, "GET", "/collections/items/documents/search",
+                     query={"q": "alpha", "preset": "small_page"})
+    assert code == 200
+    assert res["found"] == 2 and len(res["hits"]) == 1
+
+    # explicit request params override the preset
+    code, res = call(srv, "GET", "/collections/items/documents/search",
+                     query={"q": "alpha", "preset": "small_page",
+                            "per_page": "10"})
+    assert code == 200 and len(res["hits"]) == 2
+
+    code, res = call(srv, "GET", "/presets")
+    assert code == 200 and any(
+        p.get("name") == "small_page" for p in res.get("presets", []))
+    code, _ = call(srv, "DELETE", "/presets/small_page")
+    assert code == 200
+    # unknown preset is ignored, search still runs
+    code, res = call(srv, "GET", "/collections/items/documents/search",
+                     query={"q": "alpha", "preset": "small_page",
+                            "query_by": "title"})
+    assert code == 200 and res["found"] == 2
+
+
+def test_expired_key_rejected(srv):
+    code, res = call(srv, "POST", "/keys", body={
+        "description": "short-lived", "actions": ["*"],
+        "collections": ["*"], "value": "expkey",
+        "expires_at": int(time.time()) - 10})
+    assert code == 201
+    code, res = call(srv, "GET", "/collections/items/documents/search",
+                     query={"q": "alpha", "query_by": "title"},
+                     key="expkey")
+    assert code == 401
+
+
+def test_key_actions_scope_enforced(srv):
+    code, _ = call(srv, "POST", "/keys", body={
+        "description": "search-only", "actions": ["documents:search"],
+        "collections": ["items"], "value": "sokey"})
+    assert code == 201
+    code, res = call(srv, "GET", "/collections/items/documents/search",
+                     query={"q": "alpha", "query_by": "title"}, key="sokey")
+    assert code == 200
+    code, _ = call(srv, "POST", "/collections/items/documents",
+                   body={"id": "9", "title": "x", "points": 9}, key="sokey")
+    assert code == 401
+    code, _ = call(srv, "DELETE", "/collections/items", key="sokey")
+    assert code == 401
+
+
+def test_bad_key_properties_rejected(srv):
+    """ValidateBadKeyProperties (auth_manager_test.cpp:422)."""
+    for bad in ({"description": "d", "actions": ["*"]},           # no collections
+                {"description": "d", "collections": ["*"]},       # no actions
+                {"description": 7, "actions": ["*"],
+                 "collections": ["*"]},                           # bad desc type
+                {"description": "d", "actions": ["*"],
+                 "collections": [1]},                             # non-string elem
+                {"description": "d", "actions": "*",
+                 "collections": ["*"]}):                          # wrong type
+        code, _ = call(srv, "POST", "/keys", body=bad)
+        assert code == 400, bad

@@ -82,9 +82,17 @@ class AuthManager:
             self.next_id = max(self.next_id, key.id + 1)
 
     def create_key(self, body: dict) -> ApiKey:
-        if "actions" not in body or not isinstance(body["actions"], list):
+        # auth_manager.cpp:338-360 api_key_t::validate — description is
+        # optional but must be a string; actions/collections must be
+        # arrays OF STRINGS
+        if "description" in body and not isinstance(body["description"], str):
+            raise BadRequest("Key description must be a string.")
+        if "actions" not in body or not isinstance(body["actions"], list) \
+                or not all(isinstance(a, str) for a in body["actions"]):
             raise BadRequest("Wrong format for `actions`. It should be an array of string.")
-        if "collections" not in body or not isinstance(body["collections"], list):
+        if "collections" not in body or \
+                not isinstance(body["collections"], list) or \
+                not all(isinstance(c, str) for c in body["collections"]):
             raise BadRequest("Wrong format for `collections`. It should be an array of string.")
         value = body.get("value") or secrets.token_urlsafe(32)
         key = ApiKey(value, body.get("description", ""), body["actions"],
