@@ -184,6 +184,10 @@ class Field:
         if self.num_dim:
             out["num_dim"] = self.num_dim
             out["vec_dist"] = self.vec_dist
+            if self.hnsw_params:
+                # accepted for API compatibility and echoed back; the TPU
+                # index is a dense matmul scan / IVF, no graph to tune
+                out["hnsw_params"] = self.hnsw_params
         if self.range_index:
             out["range_index"] = True
         if self.reference:
