@@ -452,26 +452,40 @@ class Collection:
             return self._engine
         with self._build_lock:
             # another searcher may have finished the build while we waited
+            attempts = 0
             while self._engine is None or self._dirty:
+                attempts += 1
                 self._auto_embed()
-                with self._mutate_lock:
-                    ver = self._write_version
-                    snap_next = self.next_seq_id
-                    items = sorted(self.docs.items())
-                if self._needs_flatten():
-                    items = [(s, self._flat_doc(d)) for s, d in items]
-                seg = build_segment(items, self.fields, max(snap_next, 1))
-                eng = IndexEngine(seg, self.fields)
-                with self._mutate_lock:
-                    if self._write_version != ver:
-                        continue  # a write landed mid-build — go again
-                    self._engine = eng
-                    self._dirty = False
-                    # full build compacts the delta (checkpoint/rebuild, §5)
-                    self._delta_start = snap_next
-                    self._delta_engine = None
-                    self._delta_dirty = False
-                    self._deleted_since_build.clear()
+                # after a few optimistic retries, hold the write lock for
+                # the whole build so sustained writes can't starve searches
+                # (writes stall for one build, bounded)
+                hold_writes = attempts > 3
+                lock = self._mutate_lock
+                if hold_writes:
+                    lock.acquire()
+                try:
+                    with self._mutate_lock:
+                        ver = self._write_version
+                        snap_next = self.next_seq_id
+                        items = sorted(self.docs.items())
+                    if self._needs_flatten():
+                        items = [(s, self._flat_doc(d)) for s, d in items]
+                    seg = build_segment(items, self.fields,
+                                        max(snap_next, 1))
+                    eng = IndexEngine(seg, self.fields)
+                    with self._mutate_lock:
+                        if self._write_version != ver:
+                            continue  # a write landed mid-build — go again
+                        self._engine = eng
+                        self._dirty = False
+                        # full build compacts the delta (checkpoint, §5)
+                        self._delta_start = snap_next
+                        self._delta_engine = None
+                        self._delta_dirty = False
+                        self._deleted_since_build.clear()
+                finally:
+                    if hold_writes:
+                        lock.release()
         return self._engine
 
     def warmup(self, log=None) -> float:
