@@ -606,29 +606,40 @@ class Collection:
         if self._delta_engine is not None and not self._delta_dirty:
             return [main, self._delta_engine]
         with self._build_lock:
+            attempts = 0
             while True:
+                attempts += 1
                 main = self._ensure_index()
                 if self._delta_start >= self.next_seq_id:
                     return [main]
                 if self._delta_engine is not None and not self._delta_dirty:
                     return [main, self._delta_engine]
                 self._auto_embed()
-                with self._mutate_lock:
-                    ver = self._write_version
-                    snap_next = self.next_seq_id
-                    items = [(s, d) for s, d in sorted(self.docs.items())
-                             if s >= self._delta_start]
-                if self._needs_flatten():
-                    items = [(s, self._flat_doc(d)) for s, d in items]
-                seg = build_segment(items, self.fields, max(snap_next, 1),
-                                    str_sort_dicts=main.seg.str_sort_dicts)
-                deng = IndexEngine(seg, self.fields)
-                with self._mutate_lock:
-                    if self._write_version != ver:
-                        continue  # mid-build write — rebuild the delta
-                    self._delta_engine = deng
-                    self._delta_dirty = False
-                    return [main, self._delta_engine]
+                hold_writes = attempts > 3   # bound retries (see above)
+                lock = self._mutate_lock
+                if hold_writes:
+                    lock.acquire()
+                try:
+                    with self._mutate_lock:
+                        ver = self._write_version
+                        snap_next = self.next_seq_id
+                        items = [(s, d) for s, d in sorted(self.docs.items())
+                                 if s >= self._delta_start]
+                    if self._needs_flatten():
+                        items = [(s, self._flat_doc(d)) for s, d in items]
+                    seg = build_segment(items, self.fields,
+                                        max(snap_next, 1),
+                                        str_sort_dicts=main.seg.str_sort_dicts)
+                    deng = IndexEngine(seg, self.fields)
+                    with self._mutate_lock:
+                        if self._write_version != ver:
+                            continue  # mid-build write — rebuild the delta
+                        self._delta_engine = deng
+                        self._delta_dirty = False
+                        return [main, self._delta_engine]
+                finally:
+                    if hold_writes:
+                        lock.release()
 
     # ------------------------------------------------------------------
     # mesh serving path (opt-in): TS_MESH=1 with >1 visible device routes
