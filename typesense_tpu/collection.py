@@ -1460,12 +1460,20 @@ class Collection:
                 if fi < 0:
                     continue
                 pos_lists, costs = [], []
-                # reduced-pass tokens via their candidate expansions
+                # reduced-pass tokens via their candidate expansions.
+                # Budget guard: wide expansions (max_candidates/exhaustive)
+                # would make K*Q*C*F host lookups explode — cap the per-
+                # token candidate walk; candidates are frequency-ranked so
+                # the head covers real matches
+                cand_cap = max(4, 200_000 // max(
+                    1, len(raw.doc_ids) * len(fis) * max(len(tokens or ()),
+                                                         1)))
                 if cands is not None and tokens is not None:
                     for qi, tok in enumerate(tokens):
                         tids, tcosts = cands[qi][0], cands[qi][1]
                         got = None
-                        for tid, cost in zip(tids, tcosts):
+                        for tid, cost in zip(tids[:cand_cap],
+                                             tcosts[:cand_cap]):
                             if tid < 0:
                                 continue
                             p = row_positions(fi * engine.T + int(tid), doc)
