@@ -91,3 +91,21 @@ def test_bad_key_properties_rejected(srv):
                  "collections": ["*"]}):                          # wrong type
         code, _ = call(srv, "POST", "/keys", body=bad)
         assert code == 400, bad
+
+
+def test_collections_listing_pagination_and_exclude(srv):
+    """GET /collections limit/offset/exclude_fields
+    (core_api.cpp:230-266)."""
+    for n in ("aaa", "bbb"):
+        call(srv, "POST", "/collections", body={
+            "name": n, "fields": [{"name": "t", "type": "string"}]})
+    code, res = call(srv, "GET", "/collections")
+    assert code == 200 and len(res) == 3
+    code, res = call(srv, "GET", "/collections", query={"limit": "2"})
+    assert code == 200 and len(res) == 2
+    code, res = call(srv, "GET", "/collections",
+                     query={"offset": "2", "limit": "2"})
+    assert code == 200 and len(res) == 1
+    code, res = call(srv, "GET", "/collections",
+                     query={"exclude_fields": "fields"})
+    assert code == 200 and all("fields" not in c for c in res)

@@ -20,7 +20,20 @@ from typesense_tpu.core.errors import BadRequest, NotFound
 # ---------------------------------------------------------------------------
 
 def get_collections(server, req):
-    return server.manager.list_collections()
+    """GET /collections with limit/offset pagination and exclude_fields
+    (core_api.cpp:230-266 get_collections)."""
+    out = server.manager.list_collections()
+    offset = int(req.query.get("offset", 0) or 0)
+    limit = int(req.query.get("limit", 0) or 0)
+    if offset:
+        out = out[offset:]
+    if limit:
+        out = out[:limit]
+    excl = [x.strip() for x in str(req.query.get("exclude_fields", ""))
+            .split(",") if x.strip()]
+    if excl:
+        out = [{k: v for k, v in c.items() if k not in excl} for c in out]
+    return out
 
 
 def post_create_collection(server, req):
