@@ -109,3 +109,14 @@ def test_collections_listing_pagination_and_exclude(srv):
     code, res = call(srv, "GET", "/collections",
                      query={"exclude_fields": "fields"})
     assert code == 200 and all("fields" not in c for c in res)
+
+
+def test_fetch_document_include_exclude_fields(srv):
+    """GET /collections/:c/documents/:id include/exclude_fields pruning
+    (core_api.cpp:1897)."""
+    code, res = call(srv, "GET", "/collections/items/documents/0",
+                     query={"include_fields": "title"})
+    assert code == 200 and set(res) == {"id", "title"}
+    code, res = call(srv, "GET", "/collections/items/documents/0",
+                     query={"exclude_fields": "points"})
+    assert code == 200 and "points" not in res and res["title"]

@@ -245,8 +245,19 @@ def get_export_documents(server, req):
 
 
 def get_fetch_document(server, req):
+    """Single-doc fetch with include/exclude_fields pruning
+    (core_api.cpp:1897 populate_include_exclude + prune_doc)."""
     coll = server.manager.get_collection(req.params["collection"])
-    return coll.get(req.params["id"])
+    doc = dict(coll.get(req.params["id"]))
+    inc = [x.strip() for x in str(req.query.get("include_fields", ""))
+           .split(",") if x.strip()]
+    exc = [x.strip() for x in str(req.query.get("exclude_fields", ""))
+           .split(",") if x.strip()]
+    if inc:
+        doc = {k: v for k, v in doc.items() if k in inc or k == "id"}
+    for e in exc:
+        doc.pop(e, None)
+    return doc
 
 
 def patch_update_document(server, req):
