@@ -120,3 +120,24 @@ def test_fetch_document_include_exclude_fields(srv):
     code, res = call(srv, "GET", "/collections/items/documents/0",
                      query={"exclude_fields": "points"})
     assert code == 200 and "points" not in res and res["title"]
+
+
+def test_import_return_id_and_doc(srv):
+    """import?return_id=true / return_doc=true (core_api.cpp:1528)."""
+    import json as _json
+    code, raw = call(srv, "POST",
+                     "/collections/items/documents/import",
+                     body={"title": "ret one", "points": 7},
+                     query={"return_id": "true"})
+    assert code == 200
+    line = _json.loads(raw.strip().split("\n")[0]) if isinstance(raw, str) \
+        else raw
+    assert line["success"] is True and "id" in line
+    code, raw = call(srv, "POST",
+                     "/collections/items/documents/import",
+                     body={"title": "ret two", "points": 8},
+                     query={"return_doc": "true"})
+    assert code == 200
+    line = _json.loads(raw.strip().split("\n")[0]) if isinstance(raw, str) \
+        else raw
+    assert line["document"]["title"] == "ret two"

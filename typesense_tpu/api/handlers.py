@@ -200,6 +200,9 @@ def post_import_documents(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     action = req.query.get("action", "create")
     dirty = req.query.get("dirty_values", "coerce_or_reject")
+    # core_api.cpp:1528 RETURN_ID / RETURN_DOC import response options
+    return_id = req.query.get("return_id") == "true"
+    return_doc = req.query.get("return_doc") == "true"
     out = []
     for line in req.iter_lines():
         line = line.strip()
@@ -211,8 +214,16 @@ def post_import_documents(server, req):
             out.append(json.dumps({"success": False, "error": "Bad JSON."}))
             continue
         try:
-            coll.add(doc, operation=action, dirty_values=dirty)
-            out.append('{"success":true}')
+            added = coll.add(doc, operation=action, dirty_values=dirty)
+            if return_doc:
+                out.append(json.dumps(
+                    {"success": True, "document": added},
+                    ensure_ascii=False))
+            elif return_id:
+                out.append(json.dumps(
+                    {"success": True, "id": added.get("id")}))
+            else:
+                out.append('{"success":true}')
         except Exception as e:  # noqa: BLE001 — per-line isolation like import
             out.append(json.dumps({
                 "success": False, "error": getattr(e, "message", str(e)),
