@@ -157,3 +157,45 @@ def test_batched_dense2_matches_solo(coll, monkeypatch):
         assert [h["document"]["id"] for h in res["hits"]] == \
             [h["document"]["id"] for h in solo["hits"]]
         assert res.get("facet_counts") == solo.get("facet_counts")
+
+
+def test_stress_mixed_signatures_no_deadlock():
+    """Thread fuzz: many workers over several signatures with slow solo
+    calls and tiers appearing mid-flight — must drain with correct results
+    and no deadlock."""
+    import random
+    qb = B.QueryBatcher()
+    rng = random.Random(7)
+
+    def build(b):
+        time.sleep(0.01)
+        return f"fn{b}"
+
+    def batched(fn, qs):
+        time.sleep(0.002)
+        return [q * 3 for q in qs]
+
+    def solo(q):
+        time.sleep(0.002)
+        return q * 3
+
+    results = {}
+    lock = threading.Lock()
+
+    def worker(i):
+        key = f"sig{i % 3}"
+        out = qb.run(key, i, solo, build, batched)
+        with lock:
+            results[i] = out
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(60)]
+    for t in threads:
+        t.start()
+        if rng.random() < 0.3:
+            time.sleep(0.001)
+    for t in threads:
+        t.join(30)
+        assert not t.is_alive(), "worker deadlocked"
+    assert results == {i: i * 3 for i in range(60)}
+    assert qb.wait_tiers(20)
