@@ -258,10 +258,20 @@ class Collection:
 
         if self.store is not None:
             import json
-            self.store.batch_write({
+            puts = {
                 self._doc_key(seq_id): json.dumps(doc, ensure_ascii=False),
                 self._id_key(doc["id"]): str(seq_id),
-            }, deletes=[self._doc_key(old_seq)] if old_seq is not None else None)
+            }
+            dels = [self._doc_key(old_seq)] if old_seq is not None else []
+            pend = getattr(self, "_pending_store", None)
+            if pend is not None:
+                # add_many batches one store write per import chunk — the
+                # same durability unit as the reference's RocksDB write
+                # batch per import batch (batched_indexer.cpp)
+                pend[0].update(puts)
+                pend[1].extend(dels)
+            else:
+                self.store.batch_write(puts, deletes=dels or None)
         if (self._engine is not None and not self._dirty and not new_fields
                 and seq_id >= self._delta_start):
             self._delta_dirty = True          # new doc -> delta segment only
@@ -288,16 +298,27 @@ class Collection:
 
     def add_many(self, docs: list[dict], operation: str = "create",
                  dirty_values: str = COERCE_OR_REJECT) -> list[dict]:
-        """Returns per-doc result objects like the import response."""
+        """Returns per-doc result objects like the import response. Store
+        writes batch into ONE WAL append + flush for the whole call (the
+        per-doc path paid a flush each: 33% of import wall time at 2.2M)."""
         results = []
-        for doc in docs:
+        with self._mutate_lock:
+            self._pending_store = ({}, [])
             try:
-                self.add(doc, operation=operation, dirty_values=dirty_values)
-                results.append({"success": True})
-            except Exception as e:  # noqa: BLE001 — per-doc error isolation like import
-                results.append({"success": False,
-                                "error": getattr(e, "message", str(e)),
-                                "document": doc})
+                for doc in docs:
+                    try:
+                        self.add(doc, operation=operation,
+                                 dirty_values=dirty_values)
+                        results.append({"success": True})
+                    except Exception as e:  # noqa: BLE001 — per-doc isolation
+                        results.append({"success": False,
+                                        "error": getattr(e, "message", str(e)),
+                                        "document": doc})
+            finally:
+                puts, dels = self._pending_store
+                self._pending_store = None
+                if self.store is not None and (puts or dels):
+                    self.store.batch_write(puts, deletes=dels or None)
         return results
 
     def get(self, doc_id: str) -> dict:
