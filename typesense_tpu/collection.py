@@ -1145,16 +1145,21 @@ class Collection:
             # term matches, `always` or `fallback` (only when 0 results)
             infix_modes = [m.lower() for m in _as_list(params.get("infix"))] \
                 or ["off"]
-            imode = infix_modes[0]
-            if imode in ("always", "fallback") and \
-                    (imode == "always" or raw_e.found == 0):
-                infix_fields = [fn for fn in search_fields
-                                if self.field_map[fn].infix]
-                if not infix_fields:
-                    raise BadRequest(
-                        f"Could not find `{search_fields[0]}` in the infix "
-                        f"index. Make sure to enable infix search by "
-                        f"specifying `infix: true` in the schema.")
+            # modes map onto query_by fields, last one padding the rest
+            # (InfixSpecificField, collection_infix_search_test.cpp:385)
+            while len(infix_modes) < len(search_fields):
+                infix_modes.append(infix_modes[-1])
+            active = [fn for fn, m in zip(search_fields, infix_modes)
+                      if m == "always" or (m == "fallback" and
+                                           raw_e.found == 0)]
+            if active:
+                for fn in active:
+                    if not self.field_map[fn].infix:
+                        raise BadRequest(
+                            f"Could not find `{fn}` in the infix index. "
+                            f"Make sure to enable infix search by "
+                            f"specifying `infix: true` in the schema.")
+                infix_fields = active
                 icands = []
                 for tok in q_toks:
                     tids = eng.infix_term_ids(tok, limit=max_candidates or 64)
