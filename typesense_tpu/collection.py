@@ -118,6 +118,14 @@ class Collection:
         self.collection_id = collection_id
         self.created_at = created_at or int(time.time())
         self.enable_nested_fields = enable_nested_fields
+        # single-character symbols only (collection_manager.cpp schema
+        # validation; CustomSeparators test asserts the message)
+        for pname, plist in (("symbols_to_index", symbols_to_index),
+                             ("token_separators", token_separators)):
+            if plist and any(not isinstance(x, str) or len(x) != 1
+                             for x in plist):
+                raise BadRequest(f"`{pname}` should be an array of "
+                                 f"character symbols.")
         self.symbols_to_index = symbols_to_index or []
         self.token_separators = token_separators or []
         self.metadata = metadata or {}
@@ -1313,6 +1321,15 @@ class Collection:
         while True:
             exact_only = [excludes[i] or any(i in p for p in phrase_pairs)
                           for i in range(len(tokens))]
+            # prefix applies to the ORIGINAL query's last token only: when a
+            # drop pass removed it, the reduced query's new last token must
+            # stay exact (DroppedTokensShouldNotBeUsedForPrefixSearch,
+            # collection_specific_test.cpp:2069)
+            pass_prefixes = prefixes
+            if list(tokens) != list(q_tokens) and \
+                    (not tokens or not q_tokens or
+                     tokens[-1] != q_tokens[-1]):
+                pass_prefixes = [False for _ in (prefixes or [True])]
 
             def dispatch(cands):
                 # host-side short circuit: an include token with zero
@@ -1328,7 +1345,7 @@ class Collection:
                     phrase_pairs=phrase_pairs,
                     exclude_flags=tuple(excludes[:len(tokens)]),
                     field_num_typos=num_typos,
-                    field_prefixes=prefixes, match_type=match_type,
+                    field_prefixes=pass_prefixes, match_type=match_type,
                     prioritize_token_position=prioritize_token_position)
 
             # staged typo expansion, mirroring the reference's ascending
@@ -1345,7 +1362,7 @@ class Collection:
                        for i in range(len(tokens))]
             mask = [False] * len(tokens)
             cands = token_candidate_sets(
-                engine, tokens, search_fields, num_typos, prefixes,
+                engine, tokens, search_fields, num_typos, pass_prefixes,
                 max_candidates, typo_tokens_threshold, exact_only=exact_only,
                 memo=cand_memo, typo_tokens=mask, typo_opts=typo_opts)
             raw = dispatch(cands)
@@ -1354,8 +1371,8 @@ class Collection:
                          for i in range(len(tokens))]
                 if any(mask2):
                     cands = token_candidate_sets(
-                        engine, tokens, search_fields, num_typos, prefixes,
-                        max_candidates, typo_tokens_threshold,
+                        engine, tokens, search_fields, num_typos,
+                        pass_prefixes, max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
                         typo_tokens=mask2, typo_opts=typo_opts)
                     raw = dispatch(cands) or raw
@@ -1364,8 +1381,8 @@ class Collection:
                 mask3 = [budgets[i] > 0 for i in range(len(tokens))]
                 if mask3 != mask and any(mask3):
                     cands = token_candidate_sets(
-                        engine, tokens, search_fields, num_typos, prefixes,
-                        max_candidates, typo_tokens_threshold,
+                        engine, tokens, search_fields, num_typos,
+                        pass_prefixes, max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
                         typo_tokens=mask3, typo_opts=typo_opts)
                     raw = dispatch(cands) or raw

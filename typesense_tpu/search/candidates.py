@@ -100,7 +100,7 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
         strict = bool(exact_only[ti]) if exact_only else False
         is_last = ti == len(tokens) - 1 and not strict
         typo_ok = typo_tokens[ti] if typo_tokens is not None else True
-        mkey = (tok, is_last, strict, typo_ok)
+        mkey = (tok, is_last and prefix_on, strict, typo_ok)
         memo_keys.append(mkey)
         if memo is not None and mkey in memo:
             partial.append(None)  # filled from memo at the end
