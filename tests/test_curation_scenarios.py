@@ -160,3 +160,50 @@ def test_filter_curated_hits(srv):
     assert ids(res)[0] == "4"
     res2 = search(srv, filter_curated_hits="true")
     assert "4" not in ids(res2)
+
+
+def test_rule_activity_window(srv):
+    """WindowForRule (collection_curation_test.cpp:1168): rules outside
+    their effective_from_ts/effective_to_ts window do not fire."""
+    import time as _t
+    base = {"rule": {"query": "boots", "match": "exact"},
+            "replace_query": "sneakers"}
+    call(srv, "PUT", "/curation_sets/winset", body={"items": [
+        {**base, "id": "w1"}]})
+    # attach via search param instead of collection metadata
+    q = {"q": "boots", "query_by": "title", "curation_sets": "winset",
+         "num_typos": "0", "prefix": "false"}
+    code, res = call(srv, "GET", "/collections/shoes/documents/search",
+                     query=q)
+    assert code == 200 and res["found"] >= 1   # replaced with 'shoe'
+
+    # future window: rule inert
+    call(srv, "PUT", "/curation_sets/winset", body={"items": [
+        {**base, "id": "w1",
+         "effective_from_ts": int(_t.time()) + 10**6}]})
+    code, res = call(srv, "GET", "/collections/shoes/documents/search",
+                     query=q)
+    assert code == 200 and res["found"] == 0
+
+    # past window: rule inert
+    call(srv, "PUT", "/curation_sets/winset", body={"items": [
+        {**base, "id": "w1", "effective_from_ts": -1,
+         "effective_to_ts": 965388863}]})
+    code, res = call(srv, "GET", "/collections/shoes/documents/search",
+                     query=q)
+    assert code == 200 and res["found"] == 0
+
+
+def test_rule_query_case_insensitive(srv):
+    """RuleQueryMustBeCaseInsensitive (…:1047)."""
+    call(srv, "PUT", "/curation_sets/caseset", body={"items": [
+        {"id": "c1", "rule": {"query": "SNEAKERS", "match": "exact"},
+         "filter_by": "points:>35"}]})
+    q = {"q": "sneakers", "query_by": "title", "curation_sets": "caseset",
+         "num_typos": "0", "prefix": "false"}
+    code, res = call(srv, "GET", "/collections/shoes/documents/search",
+                     query=q)
+    assert code == 200
+    assert res["found"] >= 1
+    for h in res["hits"]:
+        assert h["document"]["points"] > 35

@@ -203,14 +203,23 @@ class CurationSetManager:
             self.store.remove(f"{CURATION_PREFIX}_{name}")
 
     def matching_rules(self, q: str, set_names: list[str]) -> list[dict]:
-        """Rules whose query condition matches `q` (override_t semantics)."""
+        """Rules whose query condition matches `q` (override_t semantics,
+        incl. the effective_from_ts/effective_to_ts activity window,
+        collection_curation_test.cpp WindowForRule)."""
+        import time as _time
         ql = q.lower().strip()
+        now = int(_time.time())
         out = []
         for name in set_names:
             s = self.sets.get(name)
             if not s:
                 continue
             for it in s["items"]:
+                frm = it.get("effective_from_ts", -1)
+                to = it.get("effective_to_ts")
+                if (frm is not None and frm >= 0 and now < int(frm)) or \
+                        (to is not None and now > int(to)):
+                    continue
                 rule = it.get("rule", {})
                 rq = str(rule.get("query", "")).lower()
                 match = rule.get("match")
