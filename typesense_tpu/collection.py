@@ -2193,10 +2193,9 @@ class Collection:
                 continue
             out_doc = dict(doc)
             if include_fields:
-                out_doc = {k: v for k, v in out_doc.items()
-                           if k in include_fields or k == "id"}
+                out_doc = self._include_paths(out_doc, include_fields)
             for ex in exclude_fields:
-                out_doc.pop(ex, None)
+                self._exclude_path(out_doc, ex)
 
             # join hydration: $Coll(fields) include (join.h ref_include)
             for cname, flds, strategy in join_includes:
@@ -2484,6 +2483,44 @@ class Collection:
                 "stats": stats,
             })
         return out
+
+    @classmethod
+    def _include_paths(cls, doc: dict, paths: set, prefix: str = "") -> dict:
+        """Keep only the listed (possibly dotted) paths, descending into
+        objects and object arrays (prune_doc, collection.cpp;
+        IncludeExcludeFieldsPruning)."""
+        out = {}
+        for k, v in doc.items():
+            p = f"{prefix}{k}"
+            if p in paths or (not prefix and k == "id"):
+                out[k] = v
+                continue
+            has_sub = any(x.startswith(p + ".") for x in paths)
+            if not has_sub:
+                continue
+            if isinstance(v, dict):
+                sub = cls._include_paths(v, paths, p + ".")
+                if sub:
+                    out[k] = sub
+            elif isinstance(v, list) and v and all(
+                    isinstance(x, dict) for x in v):
+                out[k] = [cls._include_paths(x, paths, p + ".") for x in v]
+        return out
+
+    @classmethod
+    def _exclude_path(cls, doc: dict, path: str):
+        """Remove a (possibly dotted) path in place."""
+        head, _, rest = path.partition(".")
+        if not rest:
+            doc.pop(head, None)
+            return
+        v = doc.get(head)
+        if isinstance(v, dict):
+            cls._exclude_path(v, rest)
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, dict):
+                    cls._exclude_path(x, rest)
 
     def _facet_sort_keymap(self, facet_field: str, sort_field: str) -> dict:
         """facet value -> companion sort-field value (facet sort_by another

@@ -69,7 +69,12 @@ def materialize_dynamic_fields(coll, doc: dict) -> list[Field]:
     """Create concrete fields for document keys matching dynamic schema
     entries (`.*`, `title_.*`, auto/string* types). Returns new fields."""
     dynamic = [f for f in coll.fields if f.is_dynamic]
-    if not dynamic:
+    # declared `object`/`object[]` fields index ALL their child paths with
+    # inferred types (field.cpp flatten_doc + auto children; reference
+    # searches employees.name under an object[] employees field)
+    objects = [f for f in coll.fields if f.is_object] \
+        if coll.enable_nested_fields else []
+    if not dynamic and not objects:
         return []
     flat = dict(doc)
     if coll.enable_nested_fields:
@@ -80,6 +85,15 @@ def materialize_dynamic_fields(coll, doc: dict) -> list[Field]:
             continue
         if isinstance(value, dict) or value is None:
             continue
+        parent = next((of for of in objects
+                       if key.startswith(of.name + ".")), None)
+        if parent is not None:
+            ft = infer_type(value)
+            if ft is not None:
+                new_fields.append(Field(
+                    name=key, type=ft, facet=parent.facet, optional=True,
+                    index=parent.index, nested=True))
+                continue
         for dyn in dynamic:
             pat = dyn.name if dyn.name != ".*" else ".*"
             if pat != ".*" and not _pattern_to_regex(pat).match(key):

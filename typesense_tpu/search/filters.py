@@ -335,6 +335,11 @@ def _phrase_adjacent(seg, field_pos: int, tids: list[int],
 def string_leaf_mask(seg, f: Field, node: LeafNode) -> np.ndarray:
     """Full string-leaf evaluation -> dense bool mask (CONTAINS,
     CONTAINS_PHRASE, EQUALS, arrays with per-value ops, negation)."""
+    if node.op in (">", ">=", "<", "<=", "range"):
+        # filter.cpp rejects ordering comparators on string fields
+        raise BadRequest(f"Error with filter field `{f.name}`: "
+                         f"Numerical comparators are not supported for "
+                         f"string fields.")
     N = seg.num_docs
     vindex = seg.value_index.get(f.name)
     vops = node.value_ops or [
