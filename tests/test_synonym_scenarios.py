@@ -123,3 +123,26 @@ def test_synonym_with_prefix_query(srv):
     res = search(srv, "cellph", prefix="true")
     ids = {h["document"]["id"] for h in res["hits"]}
     assert "1" in ids
+
+
+def test_synonym_text_match_same_as_root_query(srv):
+    """SynonymsTextMatchSameAsRootQuery (collection_synonyms_test.cpp:497):
+    a full synonym match scores BIT-EXACTLY like the root query; ties break
+    by the next sort component."""
+    call(srv, "PUT", "/synonym_sets/ceoset", body={"items": [
+        {"id": "syn-1", "root": "ceo",
+         "synonyms": ["chief executive officer"]}]})
+    call(srv, "POST", "/collections/products/documents",
+         body={"id": "90", "title": "Chief Executive Officer",
+               "points": 10})
+    call(srv, "POST", "/collections/products/documents",
+         body={"id": "91", "title": "CEO", "points": 20})
+    code, res = call(srv, "GET", "/collections/products/documents/search",
+                     query={"q": "ceo", "query_by": "title",
+                            "synonym_sets": "ceoset", "prefix": "true",
+                            "num_typos": "0"})
+    assert code == 200
+    hits = [h for h in res["hits"]
+            if h["document"]["id"] in ("90", "91")]
+    assert [h["document"]["id"] for h in hits] == ["91", "90"]
+    assert hits[0]["text_match"] == hits[1]["text_match"]

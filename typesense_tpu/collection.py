@@ -1142,12 +1142,15 @@ class Collection:
                     alts = self.manager.synonyms.expand(q_toks, syn_sets)
                     merged = [raw_e]
                     for alt in alts:
-                        merged.append(self._keyword_with_drop_tokens(
+                        r_alt = self._keyword_with_drop_tokens(
                             eng, alt, search_fields, weights, slots,
                             fm, dispatch_facet_fields, k, num_typos, prefixes,
                             max_candidates, 1, prioritize_exact,
                             prioritize_num_fields, typo_thresh,
-                            typo_opts=typo_opts))
+                            typo_opts=typo_opts, match_type=match_type)
+                        merged.append(self._rescale_synonym_scores(
+                            r_alt, len(q_toks), len(alt), slots,
+                            match_type))
                     raw_e = self._merge_results(merged)
             # infix search (do_infix_search, index.cpp:6144): substring
             # term matches, `always` or `fallback` (only when 0 results)
@@ -2483,6 +2486,57 @@ class Collection:
                 "stats": stats,
             })
         return out
+
+    @staticmethod
+    def _rescale_synonym_scores(raw: RawResult, orig_len: int, alt_len: int,
+                                sort_slots, match_type: int = 0
+                                ) -> RawResult:
+        """A synonym match must score exactly like the ROOT query
+        (SynonymsTextMatchSameAsRootQuery): query_len is forced to the
+        original token count and every field-score component scales by
+        orig/alt with truncation (score_results2 rel_factor,
+        index.cpp; compute_aggregated_score forces query_len)."""
+        if raw.found == 0 or orig_len == alt_len or alt_len == 0 or \
+                match_type == 2:
+            return raw
+        ti = next((i for i, s in enumerate(sort_slots)
+                   if s.kind == kernels.SLOT_TEXT and s.sign == 1), None)
+        if ti is None:
+            return raw
+        rel = orig_len / alt_len
+        s = raw.scores[:, ti].copy()
+        nonzero = s != 0
+        if match_type == 1:      # [ql(4) | weight(8) | fs(48) | nmf(3)]
+            fs = (s >> 3) & ((1 << 48) - 1)
+            rest = s & 0b111 | (((s >> 51) & 0xFF) << 51)
+            fs_shift = 3
+        else:                    # [ql(4) | fs(48) | weight(8) | nmf(3)]
+            fs = (s >> 11) & ((1 << 48) - 1)
+            rest = s & ((1 << 11) - 1)
+            fs_shift = 11
+        wp = (fs >> 40) & 0xFF
+        uw = (fs >> 32) & 0xFF
+        cost = 255 - ((fs >> 24) & 0xFF)
+        dist = 100 - ((fs >> 16) & 0xFF)
+        ex = (fs >> 12) & 0xF
+        off_rev = 255 - ((fs >> 4) & 0xFF)
+        syn = fs & 0xF
+        wp2 = np.minimum((wp * rel).astype(np.int64), 255)
+        uw2 = np.minimum((uw * rel).astype(np.int64), 255)
+        cost2 = np.minimum((cost * rel).astype(np.int64), 255)
+        dist2 = np.minimum((dist * rel).astype(np.int64), 100)
+        offr2 = np.minimum((off_rev * rel).astype(np.int64), 255)
+        off_byte = (fs >> 4) & 0xFF
+        off2 = np.where(off_byte == 0, 0, 255 - offr2)  # 0 unless ptp set it
+        fs2 = ((wp2 << 40) | (uw2 << 32) | ((255 - cost2) << 24) |
+               ((100 - dist2) << 16) | (ex << 12) |
+               (off2 << 4) | syn)
+        ql2 = np.int64(min(orig_len, 15))
+        s2 = (ql2 << 59) | (fs2 << fs_shift) | rest
+        scores = raw.scores.copy()
+        scores[:, ti] = np.where(nonzero, s2, s)
+        return RawResult(raw.doc_ids, scores, raw.found, raw.facet_counts,
+                         raw.out_of)
 
     @classmethod
     def _include_paths(cls, doc: dict, paths: set, prefix: str = "") -> dict:
