@@ -146,3 +146,23 @@ def test_synonym_text_match_same_as_root_query(srv):
             if h["document"]["id"] in ("90", "91")]
     assert [h["document"]["id"] for h in hits] == ["91", "90"]
     assert hits[0]["text_match"] == hits[1]["text_match"]
+
+
+def test_synonym_compression_scores_like_root(srv):
+    """Single-token synonym (compression): 'laughing out loud' -> 'lol'
+    scores as the ORIGINAL adjacent-token match would (score_results2
+    single-token branch: words = orig_len, distance = orig_len - 1)."""
+    call(srv, "PUT", "/synonym_sets/lolset", body={"items": [
+        {"id": "s1", "synonyms": ["lol", "laughing out loud"]}]})
+    call(srv, "POST", "/collections/products/documents",
+         body={"id": "80", "title": "Laughing out Loud", "points": 100})
+    call(srv, "POST", "/collections/products/documents",
+         body={"id": "81", "title": "LOL", "points": 200})
+    code, res = call(srv, "GET", "/collections/products/documents/search",
+                     query={"q": "laughing out loud", "query_by": "title",
+                            "synonym_sets": "lolset", "prefix": "false",
+                            "num_typos": "0"})
+    assert code == 200
+    hits = [h for h in res["hits"] if h["document"]["id"] in ("80", "81")]
+    assert [h["document"]["id"] for h in hits] == ["81", "80"]
+    assert hits[0]["text_match"] == hits[1]["text_match"]

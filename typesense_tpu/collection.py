@@ -2521,10 +2521,21 @@ class Collection:
         ex = (fs >> 12) & 0xF
         off_rev = 255 - ((fs >> 4) & 0xFF)
         syn = fs & 0xF
-        wp2 = np.minimum((wp * rel).astype(np.int64), 255)
-        uw2 = np.minimum((uw * rel).astype(np.int64), 255)
-        cost2 = np.minimum((cost * rel).astype(np.int64), 255)
-        dist2 = np.minimum((dist * rel).astype(np.int64), 100)
+        if alt_len == 1 and orig_len > 1:
+            # single-token synonym (compression, e.g. 'laughing out loud'
+            # -> 'lol'): the reference's single-token branch assigns
+            # words = orig_len and distance = orig_len - 1 — the score the
+            # ORIGINAL adjacent-token match would get
+            # (score_results2 posting_lists.size() <= 1 branch)
+            wp2 = np.full_like(wp, min(orig_len, 255))
+            uw2 = np.full_like(uw, min(orig_len, 255))
+            cost2 = cost
+            dist2 = np.full_like(dist, min(orig_len - 1, 100))
+        else:
+            wp2 = np.minimum((wp * rel).astype(np.int64), 255)
+            uw2 = np.minimum((uw * rel).astype(np.int64), 255)
+            cost2 = np.minimum((cost * rel).astype(np.int64), 255)
+            dist2 = np.minimum((dist * rel).astype(np.int64), 100)
         offr2 = np.minimum((off_rev * rel).astype(np.int64), 255)
         off_byte = (fs >> 4) & 0xFF
         off2 = np.where(off_byte == 0, 0, 255 - offr2)  # 0 unless ptp set it
