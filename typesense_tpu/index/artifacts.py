@@ -242,6 +242,9 @@ class SegmentArrays:
     str_sort_dicts: dict[str, tuple] = dc_field(default_factory=dict)  # field -> (sorted_values, gapped ranks); seeds delta-segment rank interpolation
     vectors: dict[str, np.ndarray] = dc_field(default_factory=dict)        # (N, D) float32 (unit-normalized if cosine)
     geo_columns: dict[str, np.ndarray] = dc_field(default_factory=dict)    # (N, 2) float32 lat,lng (NaN = missing)
+    # geopoint[] entries: name -> ((E,) doc seq ids, (E, 2) coords);
+    # filters/sorts reduce per entry then per doc (closest point wins)
+    geo_multi: dict[str, tuple] = dc_field(default_factory=dict)
     geopoly_columns: dict[str, tuple[np.ndarray, np.ndarray]] = dc_field(default_factory=dict)  # ((N, Vmax, 2) f32, (N,) int32 vert counts)
 
     # host-only lookup structures

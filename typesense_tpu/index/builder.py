@@ -190,6 +190,10 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
     geo_cols: dict[str, np.ndarray] = {
         f.name: np.full((num_docs, 2), np.nan, dtype=np.float32) for f in geo_fields
     }
+    # geopoint[] entries: (doc seq ids, coords) pairs; geo_cols keeps the
+    # FIRST point so missing-detection/sort defaults still work
+    geo_multi_acc: dict[str, tuple[list, list]] = {
+        f.name: ([], []) for f in geo_fields if f.is_array}
     geopoly_acc: dict[str, dict[int, list]] = {f.name: {} for f in geopoly_fields}
     value_index_acc: dict[str, dict[str, list[int]]] = {}
     for f in fields:
@@ -282,6 +286,16 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
 
         for f in geo_fields:
             v = doc.get(f.name)
+            if f.is_array:
+                if isinstance(v, list) and v and all(
+                        isinstance(x, (list, tuple)) and len(x) == 2
+                        for x in v):
+                    geo_cols[f.name][seq_id] = v[0]
+                    d, cc = geo_multi_acc[f.name]
+                    for pt in v:
+                        d.append(seq_id)
+                        cc.append([float(pt[0]), float(pt[1])])
+                continue
             if isinstance(v, list) and len(v) == 2:
                 geo_cols[f.name][seq_id] = v
             elif isinstance(v, dict) and "lat" in v:
@@ -324,7 +338,7 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
             str_sort_acc, vec_acc, geo_cols, geopoly_acc, value_index_acc,
             new_ids, numeric_multi, facet_fields, vector_fields,
-            str_sort_dicts)
+            str_sort_dicts, geo_multi_acc=geo_multi_acc)
 
     # ---- term table (sorted lexicographically; remap ids) ----
     terms = sorted(term_ids)
@@ -404,7 +418,8 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
         term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
         positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
         str_sort_acc, vec_acc, geo_cols, geopoly_acc, value_index_acc,
-        new_ids, numeric_multi, facet_fields, vector_fields, str_sort_dicts)
+        new_ids, numeric_multi, facet_fields, vector_fields, str_sort_dicts,
+        geo_multi_acc=geo_multi_acc)
 
 
 def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
@@ -413,7 +428,7 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
                       multi_acc, facet_acc, facet_vals, str_sort_acc, vec_acc,
                       geo_cols, geopoly_acc, value_index_acc, new_ids,
                       numeric_multi, facet_fields, vector_fields,
-                      str_sort_dicts=None) -> SegmentArrays:
+                      str_sort_dicts=None, geo_multi_acc=None) -> SegmentArrays:
     # ---- columns ----
     num_multi = {}
     for f in numeric_multi:
@@ -504,6 +519,9 @@ def _assemble_segment(docs, fields, num_docs, search_fields, T, term_chars,
         str_sort_dicts=str_sort_dicts_out,
         vectors=vectors,
         geo_columns=geo_cols,
+        geo_multi={name: (np.asarray(d, np.int64),
+                          np.asarray(cc, np.float32).reshape(-1, 2))
+                   for name, (d, cc) in (geo_multi_acc or {}).items() if d},
         geopoly_columns=geopoly_columns,
         term_to_id=new_ids,
         facet_value_to_id=facet_vals,

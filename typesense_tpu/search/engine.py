@@ -1004,13 +1004,41 @@ class IndexEngine:
         if gi is None:
             raise BadRequest(f"Could not find a geo field named `{field_name}`.")
         missing_key = np.int64(-(2**61)) * sign  # worst after *sign in kernel
+        gm = self.seg.geo_multi.get(field_name)
+        if gm is not None:
+            # geopoint[]: the doc's sort key is its CLOSEST point
+            # (GeoPointArraySorting, collection_sorting_test.cpp:1041) —
+            # per-entry distances scatter-min onto docs
+            docs_e, coords = gm
+            ek = np.asarray(_geo_distance_keys(
+                jnp.asarray(coords), float(lat), float(lng),
+                float(exclude_radius_m), float(precision_m), missing_key))
+            out = np.full(self.N, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(out, docs_e, ek)
+            out = np.where(out == np.iinfo(np.int64).max, missing_key, out)
+            return jnp.asarray(out)
         return _geo_distance_keys(self.dev.geo_columns[gi], float(lat), float(lng),
                                   float(exclude_radius_m), float(precision_m),
                                   missing_key)
 
     def geo_distances_host(self, field_name: str, lat: float, lng: float,
                            doc_ids: np.ndarray) -> np.ndarray:
-        """Meters for a small id list (page hydration of geo_distance_meters)."""
+        """Meters for a small id list (page hydration of geo_distance_meters).
+        geopoint[] docs report their CLOSEST point's distance."""
+        gm = self.seg.geo_multi.get(field_name)
+        if gm is not None:
+            import math
+            docs_e, coords = gm
+            lat1 = np.radians(coords[:, 0]); lng1 = np.radians(coords[:, 1])
+            lat2, lng2 = math.radians(lat), math.radians(lng)
+            de = 2 * 6371008.8 * np.arcsin(np.sqrt(
+                np.sin((lat2 - lat1) / 2) ** 2 +
+                np.cos(lat1) * math.cos(lat2) *
+                np.sin((lng2 - lng1) / 2) ** 2))
+            best = np.full(self.N, np.inf)
+            np.minimum.at(best, docs_e, de)
+            out = best[np.clip(doc_ids, 0, self.N - 1)]
+            return np.where(np.isinf(out), -1, np.round(out)).astype(np.int64)
         col = self.seg.geo_columns[field_name][np.clip(doc_ids, 0, self.N - 1)]
         lat1 = np.radians(col[:, 0]); lng1 = np.radians(col[:, 1])
         import math

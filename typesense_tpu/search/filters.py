@@ -493,10 +493,17 @@ class DeviceFilterEvaluator:
         import jax.numpy as jnp
         eng = self.engine
         N = self.seg.num_docs
-        gi = eng._geo_idx.get(f.name)
-        if gi is None:
-            return jnp.zeros(N, bool)
-        col = eng.dev.geo_columns[gi]
+        gm = self.seg.geo_multi.get(f.name)
+        if gm is not None:
+            # geopoint[]: evaluate per ENTRY, any matching point selects
+            # the doc (GeoPointArrayFiltering, geo_filtering_old_test.cpp)
+            docs_e, coords = gm
+            col = jnp.asarray(coords)
+        else:
+            gi = eng._geo_idx.get(f.name)
+            if gi is None:
+                return jnp.zeros(N, bool)
+            col = eng.dev.geo_columns[gi]
         raw = node.values[0].strip()
         inner = raw[1:-1] if raw.startswith("(") and raw.endswith(")") else raw
         parts = [p.strip() for p in inner.split(",")]
@@ -506,13 +513,18 @@ class DeviceFilterEvaluator:
             radius_m = (float(rs[:-2]) * 1000.0 if rs.endswith("km")
                         else float(rs[:-2]) * 1609.34 if rs.endswith("mi")
                         else float(rs))
-            return _geo_radius_mask(col, jnp.float32(lat), jnp.float32(lng),
-                                    jnp.float32(radius_m))
-        coords = [float(p) for p in parts]
-        if len(coords) < 6 or len(coords) % 2:
-            raise BadRequest(f"Polygon is not a valid geo shape for field `{f.name}`.")
-        poly = np.array(coords, dtype=np.float32).reshape(-1, 2)
-        return _geo_polygon_mask(col, jnp.asarray(poly))
+            m = _geo_radius_mask(col, jnp.float32(lat), jnp.float32(lng),
+                                 jnp.float32(radius_m))
+        else:
+            coords2 = [float(p) for p in parts]
+            if len(coords2) < 6 or len(coords2) % 2:
+                raise BadRequest(f"Polygon is not a valid geo shape for field `{f.name}`.")
+            poly = np.array(coords2, dtype=np.float32).reshape(-1, 2)
+            m = _geo_polygon_mask(col, jnp.asarray(poly))
+        if gm is not None:
+            return jnp.zeros(N, bool).at[jnp.asarray(docs_e)].max(
+                m, mode="drop")
+        return m
 
     def _eval_geopoly(self, node: LeafNode, f: Field):
         """`polyfield:(lat, lng)` -> docs whose stored polygon contains the
@@ -759,6 +771,23 @@ class FilterEvaluator:
     def _eval_geo(self, node: LeafNode, f: Field) -> np.ndarray:
         """`loc:(lat, lng, radius km|mi)` or polygon `(lat1, lng1, lat2, ...)`."""
         N = self.seg.num_docs
+        gm = self.seg.geo_multi.get(f.name)
+        if gm is not None:
+            # geopoint[]: evaluate over the ENTRY coords, any matching
+            # point selects the doc (GeoPointArrayFiltering)
+            docs_e, coords = gm
+
+            class _EntryView:
+                num_docs = len(docs_e)
+                geo_columns = {f.name: coords}
+                geo_multi: dict = {}
+            entry_eval = FilterEvaluator.__new__(FilterEvaluator)
+            entry_eval.__dict__ = dict(self.__dict__)
+            entry_eval.seg = _EntryView()
+            em = FilterEvaluator._eval_geo(entry_eval, node, f)
+            out = np.zeros(N, dtype=bool)
+            np.maximum.at(out, docs_e, em)
+            return out
         col = self.seg.geo_columns.get(f.name)
         if col is None:
             return np.zeros(N, dtype=bool)
