@@ -141,3 +141,25 @@ def test_import_return_id_and_doc(srv):
     line = _json.loads(raw.strip().split("\n")[0]) if isinstance(raw, str) \
         else raw
     assert line["document"]["title"] == "ret two"
+
+
+def test_clone_collection(srv):
+    """CloneCollection (collection_manager_test.cpp:1522) via
+    POST /collections?src_name= (core_api.cpp:279-293)."""
+    code, res = call(srv, "POST", "/collections",
+                     body={"name": "items2"}, query={"src_name": "items"})
+    assert code == 201
+    assert res["name"] == "items2"
+    assert {f["name"] for f in res["fields"]} == {"title", "points"}
+    # schema only — no documents
+    code, res = call(srv, "GET", "/collections/items2/documents/search",
+                     query={"q": "*"})
+    assert code == 200 and res["found"] == 0
+    # with documents
+    code, res = call(srv, "POST", "/collections",
+                     body={"name": "items3"},
+                     query={"src_name": "items", "copy_documents": "true"})
+    assert code == 201
+    code, res = call(srv, "GET", "/collections/items3/documents/search",
+                     query={"q": "*"})
+    assert code == 200 and res["found"] == 3

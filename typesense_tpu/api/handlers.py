@@ -37,7 +37,25 @@ def get_collections(server, req):
 
 
 def post_create_collection(server, req):
-    coll = server.manager.create_collection(req.json())
+    """POST /collections; with ?src_name=<coll> clones the source schema
+    (+ documents when ?copy_documents=true) — core_api.cpp:279-293
+    clone_collection."""
+    body = req.json()
+    src = req.query.get("src_name")
+    if src:
+        source = server.manager.get_collection(src)
+        schema = source.get_summary_json()
+        for drop in ("num_documents", "created_at"):
+            schema.pop(drop, None)
+        schema.update(body or {})
+        if not schema.get("name") or schema["name"] == src:
+            raise BadRequest("Invalid collection name.")
+        coll = server.manager.create_collection(schema)
+        if str(req.query.get("copy_documents", "")).lower() == "true":
+            coll.add_many([dict(d) for _, d in sorted(source.docs.items())],
+                          operation="upsert")
+        return 201, coll.get_summary_json()
+    coll = server.manager.create_collection(body)
     return 201, coll.get_summary_json()
 
 
