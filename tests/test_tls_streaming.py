@@ -139,7 +139,7 @@ def test_https_serving_and_chunked_import(tmp_path):
         # overwrite in place (same paths the server watches)
         os.replace(cert2, cert)
         os.replace(key2, key)
-        deadline = time.time() + 15
+        deadline = time.time() + 60
         new_cn = None
         while time.time() < deadline:
             time.sleep(1.0)
