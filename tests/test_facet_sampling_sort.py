@@ -90,3 +90,25 @@ def test_facet_sort_validation(recipes):
     c.add({"id": "0", "name": "a", "brand": "x"})
     with pytest.raises(TypesenseError, match="numerical field"):
         c.search({"q": "*", "facet_by": "name(sort_by: brand:asc)"})
+
+
+def test_facet_return_parent():
+    """FacetingReturnParent (collection_faceting_test.cpp:2288): listed
+    dotted facet fields carry their immediate parent object per count."""
+    from typesense_tpu.collection import Collection
+    from typesense_tpu.schema.field import Field
+    c = Collection("frp", [Field("value.color", "string", facet=True),
+                           Field("value.r", "int32", facet=True),
+                           Field("value.b", "int32", facet=True)],
+                   enable_nested_fields=True)
+    c.add({"id": "0", "value": {"color": "red", "r": 255, "b": 0}})
+    c.add({"id": "1", "value": {"color": "blue", "r": 0, "b": 255}})
+    res = c.search({"q": "*", "facet_by": "value.color",
+                    "facet_return_parent": "value.color"})
+    by_val = {x["value"]: x for x in res["facet_counts"][0]["counts"]}
+    assert by_val["red"]["parent"] == {"color": "red", "r": 255, "b": 0}
+    assert by_val["blue"]["parent"] == {"color": "blue", "r": 0, "b": 255}
+    # not listed -> no parent key
+    res = c.search({"q": "*", "facet_by": "value.color"})
+    assert all("parent" not in x
+               for x in res["facet_counts"][0]["counts"])

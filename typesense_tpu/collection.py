@@ -2477,12 +2477,29 @@ class Collection:
                 idx.sort(key=lambda i: (-int(counts[i]), str(values[i])))
             idx = idx[:max_facet_values]
 
+            # facet_return_parent=a.b,...: counts carry the IMMEDIATE
+            # parent object of the dotted facet field
+            # (FacetingReturnParent, collection_faceting_test.cpp:2288)
+            ret_parent = {x.strip() for x in
+                          str(params.get("facet_return_parent", ""))
+                          .split(",") if x.strip()}
+            pmap = self._facet_parent_map(fname) \
+                if (fname in ret_parent and "." in fname) else None
+
+            def entry(i):
+                e = {"count": int(counts[i]),
+                     "highlighted": highlighted[i],
+                     "value": values[i]}
+                if pmap is not None:
+                    p = pmap.get(str(values[i]))
+                    if p is not None:
+                        e["parent"] = p
+                return e
+
             out.append({
                 "field_name": fname,
                 "sampled": would_sample,
-                "counts": [{"count": int(counts[i]),
-                            "highlighted": highlighted[i],
-                            "value": values[i]} for i in idx],
+                "counts": [entry(i) for i in idx],
                 "stats": stats,
             })
         return out
@@ -2586,6 +2603,32 @@ class Collection:
             for x in v:
                 if isinstance(x, dict):
                     cls._exclude_path(x, rest)
+
+    def _facet_parent_map(self, facet_field: str) -> dict:
+        """facet value -> the IMMEDIATE parent object of the dotted facet
+        field (facet_return_parent, FacetingReturnParent,
+        collection_faceting_test.cpp:2288). Cached per write version."""
+        cache = self.__dict__.setdefault("_facet_parent_cache", {})
+        hit = cache.get(facet_field)
+        if hit is not None and hit[0] == self._write_version:
+            return hit[1]
+        parent_path = facet_field.rsplit(".", 1)[0]
+        m: dict = {}
+        for doc in self.docs.values():
+            node = doc
+            for part in parent_path.split("."):
+                node = node.get(part) if isinstance(node, dict) else None
+                if node is None:
+                    break
+            if not isinstance(node, dict):
+                continue
+            leaf = node.get(facet_field.rsplit(".", 1)[1])
+            if leaf is None:
+                continue
+            for v in (leaf if isinstance(leaf, list) else [leaf]):
+                m.setdefault(str(v), node)
+        cache[facet_field] = (self._write_version, m)
+        return m
 
     def _facet_sort_keymap(self, facet_field: str, sort_field: str) -> dict:
         """facet value -> companion sort-field value (facet sort_by another
