@@ -163,3 +163,16 @@ def test_clone_collection(srv):
     code, res = call(srv, "GET", "/collections/items3/documents/search",
                      query={"q": "*"})
     assert code == 200 and res["found"] == 3
+
+
+def test_preset_applies_inside_multi_search(srv):
+    """multi_search searches resolve presets like single searches
+    (collection_manager.cpp:1421 preset handling)."""
+    call(srv, "PUT", "/presets/alpha_only", body={
+        "value": {"query_by": "title", "num_typos": "0",
+                  "prefix": "false"}})
+    code, res = call(srv, "POST", "/multi_search", body={
+        "searches": [{"collection": "items", "q": "alpha",
+                      "preset": "alpha_only"}]})
+    assert code == 200
+    assert res["results"][0]["found"] == 2

@@ -479,7 +479,7 @@ def post_multi_search(server, req):
         u_fetch = min(250, max(u_pp * u_page, 10))
     results = []
     for s in searches:
-        params = {**common, **s, **embedded}
+        params = _apply_preset(server, {**common, **s, **embedded})
         if union:
             for k in ("page", "per_page", "offset", "limit"):
                 params.pop(k, None)
