@@ -20,8 +20,14 @@ if _env_platforms and _env_platforms != (jax.config.jax_platforms or ""):
     jax.config.update("jax_platforms", _env_platforms)
 
 # Persistent compilation cache: search kernels are compiled per shape bucket;
-# cache them across processes (tests, server restarts, bench runs).
-_cache_dir = os.environ.get("TS_JAX_CACHE_DIR", "/tmp/ts_jax_cache")
+# cache them across processes (tests, server restarts, bench runs). Default
+# lives inside the repo (gitignored) because /tmp does not survive VM resets
+# — TPU kernel compiles cost ~40 s/shape through this toolchain, so losing
+# the cache costs minutes of warmup on the next boot.
+_default_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache")
+_cache_dir = os.environ.get("TS_JAX_CACHE_DIR", _default_cache)
 
 
 def _cpu_fingerprint() -> str:
