@@ -302,27 +302,54 @@ def del_remove_document(server, req):
 
 
 def del_remove_documents(server, req):
-    """Delete by filter (core_api.cpp del_remove_documents)."""
+    """Delete by filter (core_api.cpp del_remove_documents:1971-2048).
+    Param precedence mirrors the reference: `top_k_by=field:k` truncates
+    to the top-k docs by a numeric field; `truncate=true` removes ALL
+    docs (no filter needed); otherwise `filter_by` is required."""
     coll = server.manager.get_collection(req.params["collection"])
+    top_k_by = req.query.get("top_k_by", "")
+    if top_k_by:
+        parts = top_k_by.split(":")
+        if len(parts) != 2 or not parts[1].isdigit():
+            raise BadRequest("The `top_k_by` parameter is not valid.")
+        fname, keep = parts[0], int(parts[1])
+        fld = next((f for f in coll.fields if f.name == fname), None)
+        if fld is None or fld.type not in ("int32", "int64", "float"):
+            raise BadRequest(f"Field `{fname}` must be a numeric field.")
+        ranked = sorted(
+            coll.docs.items(),
+            key=lambda kv: (kv[1].get(fname) is not None,
+                            kv[1].get(fname) or 0),
+            reverse=True)
+        for _, doc in ranked[keep:]:
+            try:
+                coll.remove(str(doc.get("id")))
+            except NotFound:
+                pass
+        return {"ok": True}
+    if req.query.get("truncate", "false") == "true":
+        doomed = list(coll.id_to_seq.keys())
+        for did in doomed:
+            try:
+                coll.remove(did)
+            except NotFound:
+                pass
+        return {"num_deleted": len(doomed)}
     filter_by = req.query.get("filter_by", "")
     if not filter_by:
         raise BadRequest("Parameter `filter_by` must be provided.")
-    truncate = req.query.get("truncate", "false") == "true"
-    if truncate:
-        doomed = list(coll.id_to_seq.keys())
-    else:
+    res = coll.search({"q": "*", "filter_by": filter_by, "per_page": 250,
+                       "page": 1})
+    doomed = []
+    total = res["found"]
+    page = 1
+    while True:
+        doomed.extend(h["document"]["id"] for h in res["hits"])
+        if len(doomed) >= total or not res["hits"]:
+            break
+        page += 1
         res = coll.search({"q": "*", "filter_by": filter_by, "per_page": 250,
-                           "page": 1})
-        doomed = []
-        total = res["found"]
-        page = 1
-        while True:
-            doomed.extend(h["document"]["id"] for h in res["hits"])
-            if len(doomed) >= total or not res["hits"]:
-                break
-            page += 1
-            res = coll.search({"q": "*", "filter_by": filter_by, "per_page": 250,
-                               "page": page})
+                           "page": page})
     for did in doomed:
         try:
             coll.remove(did)
