@@ -197,3 +197,32 @@ def test_query_bool_fields_and_sort():
     assert _ids(res) == ["0", "2"]
     res = c.search({"q": "*", "filter_by": "popular:false"})
     assert _ids(res) == ["1"]
+
+
+def test_validate_field_names_false():
+    """IgnoreFieldValidation (collection_filtering_test.cpp:3621-3672):
+    with validate_field_names=false an unknown filter field matches
+    NOTHING — AND with it yields 0, OR falls back to the other side."""
+    c = Collection("fe_vfn", [Field("title", "string"),
+                              Field("points", "int32")])
+    c.add({"id": "8", "title": "the quick fox", "points": 75})
+    c.add({"id": "9", "title": "lazy dog", "points": 30})
+
+    # default: unknown field raises 404
+    with pytest.raises(TypesenseError) as ei:
+        c.search({"q": "*", "filter_by": "age: 100"})
+    assert ei.value.http_code == 404
+
+    res = c.search({"q": "*", "filter_by": "age: 100",
+                    "validate_field_names": "false"})
+    assert res["found"] == 0
+    res = c.search({"q": "the", "query_by": "title",
+                    "filter_by": "age: 100",
+                    "validate_field_names": "false"})
+    assert res["found"] == 0
+    res = c.search({"q": "*", "filter_by": "age: 100 && points: 75",
+                    "validate_field_names": "false"})
+    assert res["found"] == 0
+    res = c.search({"q": "*", "filter_by": "age: 100 || points: 75",
+                    "validate_field_names": "false"})
+    assert res["found"] == 1 and _ids(res) == ["8"]

@@ -881,6 +881,9 @@ class Collection:
         filter_by = params.get("filter_by", "")
         if filter_by:
             parse_filter_query(filter_by)  # surface syntax errors up front
+        # validate_field_names=false: unknown filter fields match nothing
+        # instead of raising (filter.cpp:497-506)
+        vfn = _as_bool(params.get("validate_field_names"), True)
 
         # --- facets ---
         facet_specs = self._parse_facet_by(params.get("facet_by"))
@@ -1018,7 +1021,7 @@ class Collection:
             pairs = []
             out_of = 0
             for eng in engines:
-                fm = self._filter_mask_for(eng, filter_by)
+                fm = self._filter_mask_for(eng, filter_by, validate=vfn)
                 e_ids, e_d = eng.vector_search(
                     vq.field_name, np.asarray(vq.values, np.float32), vk,
                     filter_mask=fm, distance_threshold=vq.distance_threshold,
@@ -1083,7 +1086,7 @@ class Collection:
 
         def run_pass(eng, slots):
             """One segment's full keyword/wildcard/hybrid execution."""
-            fm = self._filter_mask_for(eng, filter_by)
+            fm = self._filter_mask_for(eng, filter_by, validate=vfn)
             vdm: dict[int, float] = {}
             # hybrid: enqueue the kNN program NOW so it overlaps the keyword
             # kernel on device — one round trip instead of two
@@ -1207,7 +1210,8 @@ class Collection:
             eff_pinned = pinned_ids
             if pinned_ids and filter_by and \
                     _as_bool(params.get("filter_curated_hits")):
-                fm0 = self._filter_mask_for(engines[0], filter_by)
+                fm0 = self._filter_mask_for(engines[0], filter_by,
+                                            validate=vfn)
                 n0 = engines[0].N
                 seqs = [self.id_to_seq.get(d, -1) for d in pinned_ids]
                 import jax.numpy as jnp
@@ -1654,7 +1658,8 @@ class Collection:
         out.curated_seqs = getattr(raw, "curated_seqs", set())
         return out
 
-    def _filter_mask_for(self, engine, filter_by: str):
+    def _filter_mask_for(self, engine, filter_by: str,
+                         validate: bool = True):
         """Evaluate the (final) filter string against one segment's columns.
 
         Masks cache by (filter string, engine, write version) — the
@@ -1668,7 +1673,7 @@ class Collection:
         # this collection's write version cannot see — never cache those
         cacheable = "$" not in filter_by
         cache = self.__dict__.setdefault("_filter_mask_cache", {})
-        key = (filter_by, id(engine))
+        key = (filter_by, id(engine), validate)
         if cacheable:
             hit = cache.get(key)
             if hit is not None and hit[0] == self._write_version:
@@ -1678,7 +1683,8 @@ class Collection:
         node = parse_filter_query(filter_by)
         mask = DeviceFilterEvaluator(
             engine, join_resolver=make_join_resolver(self),
-            id_resolver=self.id_to_seq).evaluate(node, self.field_map)
+            id_resolver=self.id_to_seq,
+            validate_field_names=validate).evaluate(node, self.field_map)
         if cacheable:
             if len(cache) > 64:
                 cache.clear()

@@ -402,12 +402,16 @@ class DeviceFilterEvaluator:
     to docs; string equality uploads only the (small) matching doc-id lists
     from the host value index."""
 
-    def __init__(self, engine, join_resolver=None, id_resolver=None):
+    def __init__(self, engine, join_resolver=None, id_resolver=None,
+                 validate_field_names: bool = True):
         self.engine = engine
         self.seg = engine.seg
         self.fields = None  # set per evaluate() call
         self.join_resolver = join_resolver  # (coll_name, expr) -> numpy bool mask
         self.id_resolver = id_resolver      # doc id string -> seq id (collection)
+        # validate_field_names=false (filter.cpp:497-506): an unknown filter
+        # field becomes an ignored leaf matching NOTHING instead of a 404
+        self.validate_field_names = validate_field_names
 
     def evaluate(self, node: FilterNode | None, fields: dict[str, Field]):
         import jax.numpy as jnp
@@ -439,6 +443,8 @@ class DeviceFilterEvaluator:
             if node.field_name == "id":
                 return jnp.asarray(_id_leaf_mask(node, self.id_resolver,
                                                  self.seg.num_docs))
+            if not self.validate_field_names:
+                return jnp.zeros(self.seg.num_docs, dtype=bool)
             raise NotFound(f"Could not find a filter field named "
                              f"`{node.field_name}` in the schema.")
         eng = self.engine
@@ -669,10 +675,11 @@ def _cmp_jnp(col, op: str, v: list):
 
 class FilterEvaluator:
     def __init__(self, seg: SegmentArrays, fields: dict[str, Field],
-                 id_resolver=None):
+                 id_resolver=None, validate_field_names: bool = True):
         self.seg = seg
         self.fields = fields
         self.id_resolver = id_resolver
+        self.validate_field_names = validate_field_names
 
     def evaluate(self, node: FilterNode | None) -> np.ndarray | None:
         if node is None:
@@ -692,6 +699,8 @@ class FilterEvaluator:
         if f is None:
             if node.field_name == "id":
                 return self._eval_id(node)
+            if not self.validate_field_names:
+                return np.zeros(self.seg.num_docs, dtype=bool)
             raise NotFound(f"Could not find a filter field named `{node.field_name}` "
                              f"in the schema.")
         if f.is_geo:
