@@ -183,3 +183,23 @@ def test_typo_disabled_no_match(articles):
     r = articles.search({"q": "galaxt", "query_by": "title",
                          "prefix": "false", "num_typos": "0"})
     assert r["found"] == 0
+
+
+def test_limit_hits_caps_pagination_depth():
+    """limit_hits (collection.h:47, fetch_size=min(offset+per_page,
+    limit_hits)): hits beyond the cap are not retrievable; found is
+    unaffected. Scoped keys embed this to bound data exposure."""
+    c = Collection("pg_limith", [Field("title", "string")])
+    for i in range(12):
+        c.add({"id": str(i), "title": "common token"})
+    res = c.search({"q": "common", "query_by": "title", "per_page": 10,
+                    "limit_hits": "5"})
+    assert res["found"] == 12 and len(res["hits"]) == 5
+    # page 2 is entirely beyond the cap
+    res = c.search({"q": "common", "query_by": "title", "per_page": 10,
+                    "page": 2, "limit_hits": "5"})
+    assert res["found"] == 12 and len(res["hits"]) == 0
+    # default leaves pagination untouched
+    res = c.search({"q": "common", "query_by": "title", "per_page": 10,
+                    "page": 2})
+    assert len(res["hits"]) == 2

@@ -876,6 +876,10 @@ class Collection:
             page = 1
         start = (page - 1) * per_page if page > 0 else offset
         fetch = start + per_page
+        # limit_hits caps how deep pagination can reach (collection.h:47
+        # default 1000000; scoped API keys embed it to bound data exposure)
+        limit_hits = int(params.get("limit_hits", 1000000) or 1000000)
+        fetch = min(fetch, limit_hits)
 
         # --- filters (parsed now, evaluated per segment) ---
         filter_by = params.get("filter_by", "")
@@ -1066,11 +1070,18 @@ class Collection:
                 raise BadRequest("Parameter `pinned_hits` is malformed.")
         for did in _as_list(params.get("hidden_hits")):
             hidden_ids.add(did.strip())
-        if self.manager is not None and _as_bool(params.get("enable_overrides"), True):
+        # enable_curations is the newer alias of enable_overrides
+        # (collection.h ENABLE_CURATIONS); either disables curation rules
+        if self.manager is not None and \
+                _as_bool(params.get("enable_overrides"), True) and \
+                _as_bool(params.get("enable_curations"), True):
             cur_sets = _as_list(params.get("curation_sets")) or \
                 _as_list(self.metadata.get("curation_sets"))
             if cur_sets:
-                for rule in self.manager.curations.matching_rules(str(q), cur_sets):
+                ctags = tuple(_as_list(params.get("curation_tags")) or
+                              _as_list(params.get("override_tags")))
+                for rule in self.manager.curations.matching_rules(
+                        str(q), cur_sets, tags=ctags):
                     for inc in rule.get("includes", []):
                         pinned_ids.append((inc.get("position", 1), inc["id"]))
                     for exc in rule.get("excludes", []):
@@ -1136,7 +1147,9 @@ class Collection:
                 prioritize_exact, prioritize_num_fields, typo_thresh,
                 phrase_pairs=phrase_pairs, exclude_flags=exclude_flags,
                 drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts,
-                match_type=match_type, prioritize_token_position=ptp)
+                match_type=match_type, prioritize_token_position=ptp,
+                split_join_mode=str(params.get("split_join_tokens",
+                                               "fallback") or "fallback"))
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -1301,6 +1314,7 @@ class Collection:
                                   typo_opts: tuple = (4, 7, True, True),
                                   match_type: int = 0,
                                   prioritize_token_position: bool = False,
+                                  split_join_mode: str = "fallback",
                                   ) -> RawResult:
         """Run keyword search; drop tokens while below threshold
         (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
@@ -1418,9 +1432,12 @@ class Collection:
             excludes = [False] * len(tokens)
 
         merged = self._merge_results(results)
-        if merged.found == 0 and can_drop and len(q_tokens) >= 1:
-            # split/join fallback (split_join_tokens, index.cpp:3851): try
-            # joining adjacent tokens ("ice cream" -> "icecream") and
+        # split_join_tokens (index.cpp:3851): `fallback` (default) only
+        # when zero results, `always` unconditionally, `off` never
+        sj_go = split_join_mode == "always" or \
+            (split_join_mode == "fallback" and merged.found == 0)
+        if sj_go and can_drop and len(q_tokens) >= 1:
+            # try joining adjacent tokens ("ice cream" -> "icecream") and
             # splitting unknown tokens into two dictionary words
             for alt in self._split_join_alternatives(engine, list(q_tokens)):
                 cands = token_candidate_sets(
@@ -2173,9 +2190,14 @@ class Collection:
         snippet_threshold = int(params.get("snippet_threshold", 30))
         affix_tokens = int(params.get("highlight_affix_num_tokens", 4))
 
+        # limit_hits bounds retrievable depth (collection.cpp:2463
+        # fetch_size = min(offset+per_page, limit_hits)); the engine may
+        # over-fetch past `fetch` (top-K bucket rounding), so clamp here too
+        page_end = min(start + per_page,
+                       int(params.get("limit_hits", 1000000) or 1000000))
         hits = []
-        page_ids = raw.doc_ids[start:start + per_page]
-        page_scores = raw.scores[start:start + per_page]
+        page_ids = raw.doc_ids[start:page_end]
+        page_scores = raw.scores[start:page_end]
         text_slot = None
         # find which slot carries text match for text_match_info
         if sort_slots is None:
@@ -2322,9 +2344,12 @@ class Collection:
             order.sort(key=_found_of, reverse=(gf_order == "desc"))
 
         # hydrate page of groups through the normal hit builder
-        page_keys = order[start:start + per_page]
+        page_keys = order[start:min(
+            start + per_page,
+            int(params.get("limit_hits", 1000000) or 1000000))]
         base = self._build_response(raw, q, q_tokens, search_fields,
-                                    {**params, "per_page": len(raw.doc_ids)},
+                                    {**params, "limit_hits": None,
+                                     "per_page": len(raw.doc_ids)},
                                     1, max(len(raw.doc_ids), 1), 0,
                                     facet_fields, max_facet_values,
                                     vec_dist_map=vec_dist_map,
