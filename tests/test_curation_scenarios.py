@@ -207,3 +207,30 @@ def test_rule_query_case_insensitive(srv):
     assert res["found"] >= 1
     for h in res["hits"]:
         assert h["document"]["points"] > 35
+
+
+def test_curation_tags_select_rules(srv):
+    """Tagged rules only fire when curation_tags overlaps; untagged rules
+    (and tag `*`) fire only without tags (curate_results:92-160)."""
+    _put_set(srv, [
+        {"id": "untagged", "rule": {"query": "sneakers",
+                                    "match": "exact"},
+         "includes": [{"id": "3", "position": 1}]},
+        {"id": "tag-a", "rule": {"query": "sneakers", "match": "exact",
+                                 "tags": ["alpha"]},
+         "includes": [{"id": "4", "position": 1}]},
+        {"id": "tag-ab", "rule": {"query": "sneakers", "match": "exact",
+                                  "tags": ["alpha", "beta"]},
+         "includes": [{"id": "2", "position": 1}]},
+    ])
+    # no tags: only the untagged rule applies
+    assert ids(search(srv))[0] == "3"
+    # one tag: any-overlap — both tagged rules apply, untagged does not
+    res = search(srv, curation_tags="alpha")
+    assert "3" not in ids(res)[:1] and ids(res)[0] in ("4", "2")
+    # both tags: exact full-set match wins — only tag-ab applies
+    res = search(srv, curation_tags="alpha,beta")
+    assert ids(res)[0] == "2"
+    # enable_curations=false skips everything
+    res = search(srv, enable_curations="false")
+    assert ids(res)[0] == "0"

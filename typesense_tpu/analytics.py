@@ -143,6 +143,14 @@ class AnalyticsManager:
                     cc[doc_id] = cc.get(doc_id, 0) + w
         return {"ok": True}
 
+    def get_events(self, user_id: str, name: str, n: int) -> list[dict]:
+        """Most recent `n` events named `name` for `user_id` (newest last) —
+        feeds personalization search (analytics_manager get_events)."""
+        evs = [e for e in self.events_log
+               if e.get("name") == name
+               and e.get("data", {}).get("user_id") == user_id]
+        return evs[-n:]
+
     def list_events(self, name: str | None = None, limit: int = 100) -> list[dict]:
         evs = self.events_log[-limit:]
         if name:

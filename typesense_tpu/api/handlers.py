@@ -130,6 +130,91 @@ def _apply_preset(server, params: dict) -> dict:
     return params
 
 
+def _apply_personalization(server, coll, params):
+    """Recommendation search (collection.cpp:8117-8246
+    parse_and_validate_personalization_query): `q=*` plus
+    personalization_* params → pull the user's recent events, read each
+    event doc's user_field vector, run the personalization tower into one
+    query vector on item_field, and exclude already-seen docs."""
+    pkeys = ("personalization_user_id", "personalization_model_id",
+             "personalization_type", "personalization_user_field",
+             "personalization_item_field", "personalization_event_name")
+    n_events = int(params.get("personalization_n_events", 0) or 0)
+    if not any(params.get(k) for k in pkeys) and n_events <= 0:
+        return params
+    q = str(params.get("q", "") or "")
+    if q not in ("", "*"):
+        raise BadRequest("Personalization is not allowed when query is "
+                         "used. It should be only `*` or empty.")
+    if params.get("vector_query"):
+        raise BadRequest("Vector query is not allowed when personalization "
+                         "is done.")
+    if not params.get("personalization_model_id"):
+        raise BadRequest("Personalization model ID is required when "
+                         "recommendation is done.")
+    if not params.get("personalization_type"):
+        raise BadRequest("Personalization type is required when "
+                         "recommendation is done.")
+    if not params.get("personalization_user_field"):
+        raise BadRequest("Personalization user field is required when "
+                         "recommendation is done.")
+    if not params.get("personalization_item_field"):
+        raise BadRequest("Personalization item field is required when "
+                         "recommendation is done.")
+    if n_events <= 0:
+        raise BadRequest("Personalization n_events must be greater than 0 "
+                         "when recommendation is done.")
+    if params["personalization_type"] != "recommendation":
+        raise BadRequest("Personalization type must be only "
+                         "`recommendation`.")
+    if not params.get("personalization_event_name"):
+        raise BadRequest("Personalization event name is required when "
+                         "recommendation is done.")
+    try:
+        server.pers_models.get(params["personalization_model_id"])
+    except NotFound as e:
+        raise BadRequest(e.message)
+    evs = server.analytics.get_events(
+        params.get("personalization_user_id", ""),
+        params["personalization_event_name"], n_events)
+    if not evs:
+        raise BadRequest("No events found for the user.")
+    doc_ids = []
+    for e in evs:
+        d = e.get("data", {})
+        if "doc_ids" in d:
+            raise BadRequest("Try using an event only with doc_id instead "
+                             "of doc_ids")
+        doc_ids.append(str(d.get("doc_id")))
+    user_field = params["personalization_user_field"]
+    embs = []
+    for did in doc_ids:
+        seq = coll.id_to_seq.get(did)
+        if seq is None:
+            continue
+        doc = coll.docs.get(seq)
+        if doc is None:
+            raise BadRequest("Document id referenced in event is not "
+                             "found.")
+        v = doc.get(user_field)
+        if not isinstance(v, list) or \
+                not all(isinstance(x, (int, float)) for x in v):
+            raise BadRequest("Document referenced in event does not "
+                             "contain a valid vector field.")
+        embs.append([float(x) for x in v])
+    uvec = server.pers_models.user_vector_from_embeddings(
+        params["personalization_model_id"], embs)
+    out = {k: v for k, v in params.items()
+           if k not in pkeys and k != "personalization_n_events"}
+    item_field = params["personalization_item_field"]
+    out["vector_query"] = (
+        f"{item_field}:([" + ",".join(f"{x:.8f}" for x in uvec) + "])")
+    excl = "id:!=[" + ",".join(doc_ids) + "]"
+    fb = out.get("filter_by", "")
+    out["filter_by"] = f"{fb} && {excl}" if fb else excl
+    return out
+
+
 def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     params = _apply_preset(server, dict(req.query))
@@ -164,6 +249,7 @@ def get_search(server, req):
         if hit is not None and hit[0] > _t.time():
             return hit[1]
 
+    params = _apply_personalization(server, coll, params)
     res = coll.search(params)
     if transcribed is not None:
         # reference echoes the transcript (collection.cpp transcribed_query)
@@ -518,7 +604,8 @@ def post_multi_search(server, req):
             continue
         try:
             coll = server.manager.get_collection(cname)
-            results.append(coll.search(params))
+            results.append(coll.search(
+                _apply_personalization(server, coll, params)))
         except Exception as e:  # noqa: BLE001 — per-search error isolation
             results.append({"error": getattr(e, "message", str(e)),
                             "code": getattr(e, "http_code", 500)})

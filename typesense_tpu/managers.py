@@ -202,32 +202,54 @@ class CurationSetManager:
         if self.store is not None:
             self.store.remove(f"{CURATION_PREFIX}_{name}")
 
-    def matching_rules(self, q: str, set_names: list[str]) -> list[dict]:
+    def matching_rules(self, q: str, set_names: list[str],
+                       tags: tuple = ()) -> list[dict]:
         """Rules whose query condition matches `q` (override_t semantics,
         incl. the effective_from_ts/effective_to_ts activity window,
-        collection_curation_test.cpp WindowForRule)."""
+        collection_curation_test.cpp WindowForRule).
+
+        Tag selection (collection.cpp curate_results:92-160): with
+        `curation_tags` given, only rules whose tags overlap apply — and
+        when multiple tags are sent, an exact full-set match wins over
+        partial overlaps; with no tags, only untagged rules and rules
+        tagged `*` apply."""
         import time as _time
         ql = q.lower().strip()
         now = int(_time.time())
-        out = []
+        tag_set = set(tags)
+        items = []
         for name in set_names:
             s = self.sets.get(name)
             if not s:
                 continue
-            for it in s["items"]:
-                frm = it.get("effective_from_ts", -1)
-                to = it.get("effective_to_ts")
-                if (frm is not None and frm >= 0 and now < int(frm)) or \
-                        (to is not None and now > int(to)):
-                    continue
-                rule = it.get("rule", {})
-                rq = str(rule.get("query", "")).lower()
-                match = rule.get("match")
-                if rq:
-                    if match == "exact" and ql == rq:
-                        out.append(it)
-                    elif match == "contains" and rq in ql:
-                        out.append(it)
-                elif rule.get("filter_by"):
+            items.extend(s["items"])
+        if tag_set:
+            exact = [it for it in items
+                     if set(it.get("rule", {}).get("tags", [])) == tag_set]
+            if len(tag_set) > 1 and exact:
+                items = exact
+            else:
+                items = [it for it in items
+                         if set(it.get("rule", {}).get("tags", [])) & tag_set]
+        else:
+            items = [it for it in items
+                     if not it.get("rule", {}).get("tags")
+                     or it["rule"]["tags"] == ["*"]]
+        out = []
+        for it in items:
+            frm = it.get("effective_from_ts", -1)
+            to = it.get("effective_to_ts")
+            if (frm is not None and frm >= 0 and now < int(frm)) or \
+                    (to is not None and now > int(to)):
+                continue
+            rule = it.get("rule", {})
+            rq = str(rule.get("query", "")).lower()
+            match = rule.get("match")
+            if rq:
+                if match == "exact" and ql == rq:
                     out.append(it)
+                elif match == "contains" and rq in ql:
+                    out.append(it)
+            elif rule.get("filter_by"):
+                out.append(it)
         return out

@@ -447,6 +447,27 @@ class PersonalizationModelManager:
         n = float(np.linalg.norm(v))
         return (v / n if n > 0 else v).tolist()
 
+    def user_vector_from_embeddings(self, mid: str,
+                                    vectors: list[list[float]]):
+        """Like user_vector but over raw per-event embedding vectors pulled
+        from documents' user_field (collection.cpp:8186-8230
+        embed_recommendations over stored vectors, not re-embedded text)."""
+        import numpy as np
+        m = self.get(mid)
+        if not vectors:
+            raise BadRequest("No events found for the user.")
+        dim = len(vectors[0])
+        params = self._tower_params(m)
+        if params is not None:
+            from typesense_tpu.models import personalization as P
+            hist, mask = P.pad_history(
+                [np.asarray(v, np.float32) for v in vectors], dim)
+            u = P.embed_recommendations(params, hist[None], mask[None])[0]
+            return [float(x) for x in np.asarray(u)]
+        v = np.mean(np.asarray(vectors, np.float32), axis=0)
+        n = float(np.linalg.norm(v))
+        return (v / n if n > 0 else v).tolist()
+
     def train(self, mid: str, user_histories: list[list[str]],
               steps: int = 200, lr: float = 1e-3) -> dict:
         """Fit the tower on per-user event histories (newest last) with the
