@@ -256,3 +256,26 @@ def test_facet_float_value_rendering():
     # floats render with 2-decimal precision (reference facet value
     # truncation, collection_faceting_test.cpp FloatFieldValueTruncation)
     assert counts.get("1.50") == 2
+
+
+def test_facet_query_num_typos():
+    """facet_query matches facet values within facet_query_num_typos edits
+    (collection.h:932 default 2; FacetQueryTest typo behaviors)."""
+    c = Collection("fq_typos", [Field("title", "string"),
+                                Field("brand", "string", facet=True)])
+    c.add({"title": "a", "brand": "sennheiser"})
+    c.add({"title": "b", "brand": "sony"})
+    res = c.search({"q": "*", "facet_by": "brand",
+                    "facet_query": "brand:sennheizer"})  # one typo
+    counts = res["facet_counts"][0]["counts"]
+    assert [x["value"] for x in counts] == ["sennheiser"]
+    # typos off: no match
+    res = c.search({"q": "*", "facet_by": "brand",
+                    "facet_query": "brand:sennheizer",
+                    "facet_query_num_typos": "0"})
+    assert res["facet_counts"][0]["counts"] == []
+    # prefix still works as before
+    res = c.search({"q": "*", "facet_by": "brand",
+                    "facet_query": "brand:senn"})
+    counts = res["facet_counts"][0]["counts"]
+    assert [x["value"] for x in counts] == ["sennheiser"]

@@ -75,3 +75,27 @@ def test_infix_per_field_mode_list(parts):
                         "infix": "off,always", "num_typos": "0"})
     # title infix off; brand infix always -> accumax + maxtorq via brand
     assert set(_ids(res)) == {"0", "2"}
+
+
+def test_max_extra_prefix_suffix():
+    """max_extra_prefix/max_extra_suffix bound the characters allowed
+    around the query inside infix matches (index.cpp:3306)."""
+    c = Collection("inf_extra", [Field("title", "string", infix=True)])
+    c.add({"id": "0", "title": "superchargers"})   # 5 extra pre, 1 post
+    c.add({"id": "1", "title": "charger"})         # 0 extra either side
+    c.add({"id": "2", "title": "recharge"})        # 2 extra pre
+
+    def ids(res):
+        return sorted(h["document"]["id"] for h in res["hits"])
+
+    base = {"query_by": "title", "infix": "always", "prefix": "false",
+            "num_typos": "0"}
+    res = c.search({**base, "q": "charger"})
+    assert ids(res) == ["0", "1"]
+    res = c.search({**base, "q": "charger", "max_extra_prefix": "0"})
+    assert ids(res) == ["1"]
+    res = c.search({**base, "q": "charge", "max_extra_suffix": "0"})
+    assert ids(res) == ["2"]
+    res = c.search({**base, "q": "charge", "max_extra_prefix": "0",
+                    "max_extra_suffix": "0"})
+    assert ids(res) == []

@@ -166,3 +166,31 @@ def test_synonym_compression_scores_like_root(srv):
     hits = [h for h in res["hits"] if h["document"]["id"] in ("80", "81")]
     assert [h["document"]["id"] for h in hits] == ["81", "80"]
     assert hits[0]["text_match"] == hits[1]["text_match"]
+
+
+def test_synonym_prefix_and_typos(srv):
+    """synonym_prefix / synonym_num_typos (synonym_index.cpp:5-29): query
+    tokens may prefix- or typo-match the synonym source."""
+    # default: no match for a prefix of the synonym source
+    res = search(srv, "cellpho")
+    assert res["found"] == 0
+    res = search(srv, "cellpho", synonym_prefix="true")
+    assert {h["document"]["id"] for h in res["hits"]} == {"0", "1"}
+    # one-typo match ("cellphome")
+    res = search(srv, "cellphome")
+    assert res["found"] == 0
+    res = search(srv, "cellphome", synonym_num_typos="1")
+    assert {h["document"]["id"] for h in res["hits"]} == {"0", "1"}
+
+
+def test_demote_synonym_match(srv):
+    """demote_synonym_match (index.cpp:6994): synonym hits rank below
+    otherwise-equal root hits."""
+    # "ocean blue shirt" (root word) vs "sea green pants"; query "ocean"
+    # matches doc 3 directly and via the blue<->ocean synonym
+    call(srv, "POST", "/collections/products/documents",
+         body={"id": "9", "title": "blue shirt", "points": 5})
+    res = search(srv, "blue", demote_synonym_match="true")
+    ids = [h["document"]["id"] for h in res["hits"]]
+    # direct "blue" matches outrank the synonym-only "ocean" doc
+    assert ids.index("9") < ids.index("3")

@@ -84,3 +84,25 @@ def test_vector_partial_update_keeps_vector(vc):
     res = vc.search({"q": "*", "vector_query": "vec:([0, 1, 0], k: 2)"})
     assert _ids(res)[0] == "2"
     assert vc.get("2")["title"] == "renamed"
+
+
+def test_rerank_hybrid_matches():
+    """rerank_hybrid_matches (index.cpp:4234 compute_aux_scores): keyword
+    hits outside the kNN list still get exact vector distances."""
+    c = Collection("vh_rerank", [Field("title", "string"),
+                                 Field("v", "float[]", num_dim=4)])
+    c.add({"id": "0", "title": "alpha beta", "v": [1, 0, 0, 0]})
+    c.add({"id": "1", "title": "alpha gamma", "v": [0, 1, 0, 0]})
+    c.add({"id": "2", "title": "unrelated words", "v": [0.95, 0.05, 0, 0]})
+    params = {"q": "alpha", "query_by": "title",
+              "vector_query": "v:([1,0,0,0], k:1)", "prefix": "false",
+              "num_typos": "0", "rerank_hybrid_matches": "true"}
+    res = c.search(params)
+    by_id = {h["document"]["id"]: h for h in res["hits"]}
+    # doc 1 is keyword-only (kNN k=1 returns doc 0 or 2) but still carries
+    # an exact vector_distance when reranking is on
+    assert "vector_distance" in by_id["1"]
+    assert abs(by_id["1"]["vector_distance"] - 1.0) < 1e-3
+    res2 = c.search({**params, "rerank_hybrid_matches": "false"})
+    by_id2 = {h["document"]["id"]: h for h in res2["hits"]}
+    assert "vector_distance" not in by_id2.get("1", {})

@@ -83,10 +83,15 @@ class AnalyticsManager:
         return r
 
     # -- capture ---------------------------------------------------------
-    def record_search(self, collection: str, query: str, found: int):
-        """Called on every search (core_api.cpp get_search analytics hook)."""
+    def record_search(self, collection: str, query: str, found: int,
+                      tag: str | None = None):
+        """Called on every search (core_api.cpp get_search analytics hook).
+        `analytics_tag` labels the query in the aggregation key the way
+        the reference's query_analytics tag dimension does."""
         if not query or query == "*":
             return
+        if tag:
+            query = f"{query}\t#{tag}"
         with self._lock:
             for rule in self.rules.values():
                 src = rule.get("params", {}).get("source", {})
@@ -188,8 +193,14 @@ class AnalyticsManager:
                     continue
                 top = sorted(counts.items(), key=lambda kv: -kv[1])[:limit]
                 for q, cnt in top:
-                    write(dest, {"id": str(abs(hash(q)) % (10**12)), "q": q,
-                                 "count": cnt}, "upsert")
+                    doc = {"id": str(abs(hash(q)) % (10**12)), "q": q,
+                           "count": cnt}
+                    if "\t#" in q:
+                        # (query, analytics_tag) aggregation key — split
+                        # the tag into its own field (search_analytics.cpp
+                        # serialize_as_docs analytics_tag)
+                        doc["q"], doc["analytics_tag"] = q.split("\t#", 1)
+                    write(dest, doc, "upsert")
                     flushed += 1
                 counts.clear()
             for rname, counts in list(self.counter_counts.items()):

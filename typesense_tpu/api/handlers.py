@@ -286,9 +286,14 @@ def get_search(server, req):
             params.get("conversation_id"))
 
     analytics = getattr(server, "analytics", None)
-    if analytics is not None:
+    # enable_analytics=false opts a query out of popular/nohits
+    # aggregation; analytics_tag labels the recorded query (collection.h
+    # ENABLE_ANALYTICS / ANALYTICS_TAG)
+    if analytics is not None and \
+            str(params.get("enable_analytics", "true")).lower() != "false":
         analytics.record_search(coll.name, str(params.get("q", "")),
-                                res.get("found", 0))
+                                res.get("found", 0),
+                                tag=params.get("analytics_tag"))
     return res
 
 

@@ -25,9 +25,11 @@ from typesense_tpu.schema import field as ftypes
 from typesense_tpu.schema.field import Field
 from typesense_tpu.schema.validator import validate_document, COERCE_OR_REJECT
 from typesense_tpu.search import kernels
-from typesense_tpu.search.engine import IndexEngine, SortSpec, RawResult
+from typesense_tpu.search.engine import (INT_MAX, IndexEngine, SortSpec,
+                                         RawResult)
 from typesense_tpu.search.filters import parse_filter_query, FilterEvaluator
-from typesense_tpu.search.highlight import highlight_doc
+from typesense_tpu.search.highlight import (_edit_distance_le,
+                                             highlight_doc)
 
 FIELD_MAX_WEIGHT = 15    # index.h:667
 DROP_TOKENS_THRESHOLD = 1
@@ -893,6 +895,15 @@ class Collection:
         facet_specs = self._parse_facet_by(params.get("facet_by"))
         facet_fields = [fs["name"] for fs in facet_specs]
         max_facet_values = int(params.get("max_facet_values", 10))
+        # facet_strategy is accepted for API parity (collection.h
+        # FACET_STRATEGY); the engine picks dense one-hot vs scatter-add
+        # itself by cost model, so exhaustive/top_values map onto the same
+        # kernels — only validate the value
+        fstrat = str(params.get("facet_strategy", "automatic") or
+                     "automatic")
+        if fstrat not in ("automatic", "exhaustive", "top_values"):
+            raise BadRequest("Invalid facet strategy "
+                             f"`{fstrat}`.")
         facet_query = str(params.get("facet_query", "") or "")
         if facet_query:
             if ":" not in facet_query:
@@ -1155,7 +1166,13 @@ class Collection:
                 syn_sets = _as_list(params.get("synonym_sets")) or \
                     _as_list(self.metadata.get("synonym_sets"))
                 if syn_sets:
-                    alts = self.manager.synonyms.expand(q_toks, syn_sets)
+                    alts = self.manager.synonyms.expand(
+                        q_toks, syn_sets,
+                        prefix=_as_bool(params.get("synonym_prefix")),
+                        num_typos=int(params.get("synonym_num_typos", 0)
+                                      or 0))
+                    demote_syn = _as_bool(
+                        params.get("demote_synonym_match"))
                     merged = [raw_e]
                     for alt in alts:
                         r_alt = self._keyword_with_drop_tokens(
@@ -1166,7 +1183,7 @@ class Collection:
                             typo_opts=typo_opts, match_type=match_type)
                         merged.append(self._rescale_synonym_scores(
                             r_alt, len(q_toks), len(alt), slots,
-                            match_type))
+                            match_type, demote=demote_syn))
                     raw_e = self._merge_results(merged)
             # infix search (do_infix_search, index.cpp:6144): substring
             # term matches, `always` or `fallback` (only when 0 results)
@@ -1188,8 +1205,12 @@ class Collection:
                             f"specifying `infix: true` in the schema.")
                 infix_fields = active
                 icands = []
+                mep = int(params.get("max_extra_prefix", INT_MAX) or INT_MAX)
+                mes = int(params.get("max_extra_suffix", INT_MAX) or INT_MAX)
                 for tok in q_toks:
-                    tids = eng.infix_term_ids(tok, limit=max_candidates or 64)
+                    tids = eng.infix_term_ids(tok, limit=max_candidates or 64,
+                                              max_extra_prefix=mep,
+                                              max_extra_suffix=mes)
                     icands.append((tids, np.full(len(tids), 2, np.int64)))
                 raw_i = eng.keyword_search(
                     icands, infix_fields,
@@ -1199,9 +1220,10 @@ class Collection:
                     prioritize_num_fields=prioritize_num_fields)
                 raw_e = self._merge_results([raw_e, raw_i])
             if vq is not None and vq.values:
-                raw_e, vdm = self._hybrid_fuse(eng, raw_e, vq, k,
-                                               fm, facet_fields,
-                                               vec_handles=vec_handles)
+                raw_e, vdm = self._hybrid_fuse(
+                    eng, raw_e, vq, k, fm, facet_fields,
+                    vec_handles=vec_handles,
+                    rerank=_as_bool(params.get("rerank_hybrid_matches")))
             return raw_e, vdm, q_toks
 
         raws = []
@@ -1792,10 +1814,14 @@ class Collection:
 
     # ------------------------------------------------------------------
     def _hybrid_fuse(self, engine, raw_text: RawResult, vq, k, filter_mask,
-                     facet_fields, vec_handles=None) -> tuple[RawResult, dict[int, float]]:
+                     facet_fields, vec_handles=None, rerank: bool = False
+                     ) -> tuple[RawResult, dict[int, float]]:
         """Reciprocal-rank fusion (index.cpp:4093-4178): text results get
         (1/dense_text_rank)*(1-alpha); vector results add (1/(rank+1))*alpha;
-        vector-only docs join the result set."""
+        vector-only docs join the result set. rerank_hybrid_matches
+        (index.cpp:4234 compute_aux_scores): keyword-matched docs outside
+        the kNN candidate list also get exact vector distances, joining
+        the vector ranking."""
         alpha = vq.alpha
         vk = vq.k or k
         if vec_handles is not None:
@@ -1806,6 +1832,18 @@ class Collection:
                 filter_mask=filter_mask,
                 distance_threshold=vq.distance_threshold)
         vec_dist_map = {int(i): float(d) for i, d in zip(ids, dists)}
+        if rerank and len(raw_text.doc_ids):
+            rows = engine.seg.vectors.get(vq.field_name)
+            missing = [int(d) for d in raw_text.doc_ids
+                       if int(d) not in vec_dist_map]
+            if rows is not None and missing:
+                qv = np.asarray(vq.values, np.float32)
+                dm = 1.0 - rows[missing].astype(np.float32) @ qv
+                for m, dd in zip(missing, dm):
+                    vec_dist_map[m] = float(dd)
+                # re-rank the vector component over the widened set
+                ranked = sorted(vec_dist_map.items(), key=lambda kv: kv[1])
+                ids = np.array([d for d, _ in ranked], dtype=np.int64)
 
         fused: dict[int, float] = {}
         text_rank = 0
@@ -2470,6 +2508,10 @@ class Collection:
             highlighted = {i: values[i] for i in idx}
             if fq_field == fname and fq_value:
                 fql = fq_value.lower()
+                # facet_query_num_typos (collection.h:932, default 2):
+                # words in a facet value also match the query within N
+                # edits on the same-length prefix
+                fq_typos = int(params.get("facet_query_num_typos", 2) or 0)
                 kept = []
                 for i in idx:
                     v = values[i]
@@ -2478,6 +2520,21 @@ class Collection:
                         highlighted[i] = (v[:pos] + hl_start + v[pos:pos + len(fql)]
                                           + hl_end + v[pos + len(fql):])
                         kept.append(i)
+                    elif fq_typos > 0 and isinstance(v, str) and \
+                            len(fql) >= 4:
+                        # typo budget gated by query length like keyword
+                        # search (min_len_1typo=4 / min_len_2typo=7)
+                        budget = min(fq_typos, 1 if len(fql) < 7 else 2)
+                        for w in v.split():
+                            if _edit_distance_le(w.lower()[:len(fql)],
+                                                 fql, budget):
+                                at = v.find(w)
+                                end = at + min(len(fql), len(w))
+                                highlighted[i] = (v[:at] + hl_start +
+                                                  v[at:end] + hl_end +
+                                                  v[end:])
+                                kept.append(i)
+                                break
                 idx = kept
 
             if spec["sort_field"] not in ("count", "_alpha", "_value"):
@@ -2537,20 +2594,32 @@ class Collection:
 
     @staticmethod
     def _rescale_synonym_scores(raw: RawResult, orig_len: int, alt_len: int,
-                                sort_slots, match_type: int = 0
-                                ) -> RawResult:
+                                sort_slots, match_type: int = 0,
+                                demote: bool = False) -> RawResult:
         """A synonym match must score exactly like the ROOT query
         (SynonymsTextMatchSameAsRootQuery): query_len is forced to the
         original token count and every field-score component scales by
         orig/alt with truncation (score_results2 rel_factor,
-        index.cpp; compute_aggregated_score forces query_len)."""
-        if raw.found == 0 or orig_len == alt_len or alt_len == 0 or \
-                match_type == 2:
+        index.cpp; compute_aggregated_score forces query_len).
+        demote_synonym_match (index.cpp:6994) zeroes the synonym_score
+        bits so synonym hits rank below otherwise-equal root hits."""
+        if raw.found == 0 or alt_len == 0 or match_type == 2 or \
+                (orig_len == alt_len and not demote):
             return raw
         ti = next((i for i, s in enumerate(sort_slots)
                    if s.kind == kernels.SLOT_TEXT and s.sign == 1), None)
         if ti is None:
             return raw
+        if orig_len == alt_len:
+            # demote-only path: clear the synonym bits (field score sits at
+            # bit 11 in MAX_SCORE / bit 3 in MAX_WEIGHT; syn = fs bits 0-3)
+            shift = 3 if match_type == 1 else 11
+            s = raw.scores[:, ti].copy()
+            s = np.where(s != 0, s & ~(np.int64(0xF) << shift), s)
+            scores = raw.scores.copy()
+            scores[:, ti] = s
+            return RawResult(raw.doc_ids, scores, raw.found,
+                             raw.facet_counts, raw.out_of)
         rel = orig_len / alt_len
         s = raw.scores[:, ti].copy()
         nonzero = s != 0
@@ -2587,6 +2656,8 @@ class Collection:
         offr2 = np.minimum((off_rev * rel).astype(np.int64), 255)
         off_byte = (fs >> 4) & 0xFF
         off2 = np.where(off_byte == 0, 0, 255 - offr2)  # 0 unless ptp set it
+        if demote:
+            syn = np.zeros_like(syn)
         fs2 = ((wp2 << 40) | (uw2 << 32) | ((255 - cost2) << 24) |
                ((100 - dist2) << 16) | (ex << 12) |
                (off2 << 4) | syn)

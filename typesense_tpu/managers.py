@@ -129,9 +129,25 @@ class SynonymSetManager:
             self.store.remove(f"{SYNONYM_PREFIX}_{name}")
 
     def expand(self, tokens: list[str], set_names: list[str],
-               max_expansions: int = 10) -> list[list[str]]:
+               max_expansions: int = 10, prefix: bool = False,
+               num_typos: int = 0) -> list[list[str]]:
         """Alternate token sequences for the query (SynonymIndex::
-        synonym_reduction equivalent — contiguous span replacement)."""
+        synonym_reduction equivalent — contiguous span replacement).
+        synonym_prefix / synonym_num_typos (synonym_index.cpp:5-29): query
+        tokens may prefix-match or typo-match (length-gated budget) the
+        synonym's source tokens."""
+        from typesense_tpu.search.highlight import _edit_distance_le
+
+        def tok_match(qt: str, st: str) -> bool:
+            if qt == st:
+                return True
+            if prefix and st.startswith(qt):
+                return True
+            if num_typos > 0 and len(qt) >= 4:
+                budget = min(num_typos, 1 if len(qt) < 7 else 2)
+                return _edit_distance_le(qt, st, budget)
+            return False
+
         groups = []
         for name in set_names:
             s = self.sets.get(name)
@@ -147,9 +163,15 @@ class SynonymSetManager:
                     continue
                 n = len(src)
                 for start in range(len(tokens) - n + 1):
-                    if tokens[start:start + n] == src:
+                    if all(tok_match(tokens[start + j], src[j])
+                           for j in range(n)):
                         for var in variants:
-                            if var == src or not var:
+                            # replacing the span with the source itself is
+                            # meaningful under prefix/typo matching
+                            # (cellpho -> cellphone); the alt != tokens
+                            # check below drops true no-ops
+                            if not var or (var == src and
+                                           tokens[start:start + n] == src):
                                 continue
                             alt = tokens[:start] + var + tokens[start + n:]
                             if alt != tokens and alt not in expansions:

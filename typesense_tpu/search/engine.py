@@ -20,6 +20,8 @@ from typesense_tpu.core.errors import BadRequest
 from typesense_tpu.index.artifacts import SegmentArrays, to_device
 from typesense_tpu.schema.field import Field
 from typesense_tpu.search import kernels
+
+INT_MAX = 2**31 - 1
 from typesense_tpu.search.batcher import QueryBatcher
 from typesense_tpu.utils.buckets import bucket, bucket4
 
@@ -820,14 +822,30 @@ class IndexEngine:
                              facet_fields, k)
 
     # ------------------------------------------------------------------
-    def infix_term_ids(self, token: str, limit: int = 64) -> np.ndarray:
+    def infix_term_ids(self, token: str, limit: int = 64,
+                       max_extra_prefix: int = INT_MAX,
+                       max_extra_suffix: int = INT_MAX) -> np.ndarray:
         """Term ids containing `token` as a substring (do_infix_search,
         index.cpp:3289) — one device sliding-window scan over the term table,
-        trimmed to the most frequent `limit` terms."""
+        trimmed to the most frequent `limit` terms. max_extra_prefix /
+        max_extra_suffix bound the extra characters allowed before/after
+        the query inside a matching term (index.cpp:3306)."""
         from typesense_tpu.ops.infix import infix_term_mask
         mask = np.asarray(infix_term_mask(self.dev.term_chars,
                                           self.dev.term_lens, token))
         ids = np.flatnonzero(mask)
+        if len(ids) and (max_extra_prefix < INT_MAX or
+                         max_extra_suffix < INT_MAX):
+            keep = []
+            for tid in ids:
+                L = int(self.seg.term_lens[tid])
+                term = bytes(self.seg.term_chars[tid, :L]).decode(
+                    "utf-8", "ignore")
+                at = term.find(token)
+                if at >= 0 and at <= max_extra_prefix and \
+                        (len(term) - at - len(token)) <= max_extra_suffix:
+                    keep.append(tid)
+            ids = np.asarray(keep, dtype=ids.dtype)
         if len(ids) > limit:
             freq = self.seg.term_doc_freq[ids]
             ids = ids[np.argsort(-freq, kind="stable")][:limit]
