@@ -226,3 +226,19 @@ def test_validate_field_names_false():
     res = c.search({"q": "*", "filter_by": "age: 100 || points: 75",
                     "validate_field_names": "false"})
     assert res["found"] == 1 and _ids(res) == ["8"]
+
+
+def test_validate_field_names_false_query_by():
+    """IgnoreMissingQueryByFields (collection_specific_more_test.cpp:3345):
+    with validate_field_names=false an unknown query_by field is dropped
+    instead of a 404; all-unknown query_by yields zero results."""
+    c = Collection("fe_vfn_qb", [Field("title", "string")])
+    c.add({"id": "0", "title": "hello world"})
+    with pytest.raises(TypesenseError):
+        c.search({"q": "hello", "query_by": "nope"})
+    res = c.search({"q": "hello", "query_by": "nope",
+                    "validate_field_names": "false"})
+    assert res["found"] == 0
+    res = c.search({"q": "hello", "query_by": "nope,title",
+                    "validate_field_names": "false"})
+    assert res["found"] == 1

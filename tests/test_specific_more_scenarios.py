@@ -280,3 +280,14 @@ def test_include_fields_only_id():
     c.add({"id": "0", "title": "Sample Title"})
     res = c.search({"q": "*", "include_fields": "id"})
     assert res["hits"][0]["document"] == {"id": "0"}
+
+
+def test_exclude_out_of_response_key():
+    """MustExcludeOutOf (collection_specific_more_test.cpp:1765):
+    exclude_fields=out_of drops the response-level key."""
+    c = Collection("sm_outof", [Field("title", "string")])
+    c.add({"title": "Sample Title 1"})
+    res = c.search({"q": "*", "exclude_fields": "out_of"})
+    assert "out_of" not in res and len(res["hits"]) == 1
+    res = c.search({"q": "*"})
+    assert res["out_of"] == 1

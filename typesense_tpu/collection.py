@@ -841,6 +841,9 @@ class Collection:
         # --- resolve search fields + weights ---
         # embedding fields in query_by trigger hybrid/semantic search
         # (collection.cpp hybrid search detection for embed fields)
+        # validate_field_names=false also covers query_by: unknown fields
+        # are dropped instead of 404 (IgnoreMissingQueryByFields)
+        vfn = _as_bool(params.get("validate_field_names"), True)
         search_fields: list[str] = []
         embed_fields: list[str] = []
         for fname in raw_query_by:
@@ -849,6 +852,8 @@ class Collection:
                 raise BadRequest("Cannot use `id` as a query by field.")
             f = self.field_map.get(fname)
             if f is None:
+                if not vfn:
+                    continue
                 raise NotFound(f"Could not find a field named `{fname}` in the schema.")
             if not f.index:
                 raise BadRequest(f"Field `{fname}` is marked as a non-indexed field in the schema.")
@@ -887,9 +892,8 @@ class Collection:
         filter_by = params.get("filter_by", "")
         if filter_by:
             parse_filter_query(filter_by)  # surface syntax errors up front
-        # validate_field_names=false: unknown filter fields match nothing
-        # instead of raising (filter.cpp:497-506)
-        vfn = _as_bool(params.get("validate_field_names"), True)
+        # (vfn also gates filter fields: unknown ones match nothing
+        # instead of raising, filter.cpp:497-506)
 
         # --- facets ---
         facet_specs = self._parse_facet_by(params.get("facet_by"))
@@ -1110,6 +1114,12 @@ class Collection:
             """One segment's full keyword/wildcard/hybrid execution."""
             fm = self._filter_mask_for(eng, filter_by, validate=vfn)
             vdm: dict[int, float] = {}
+            if not search_fields and not embed_fields and q != "*":
+                # every query_by field was dropped by
+                # validate_field_names=false: zero results
+                return (RawResult(np.empty(0, np.int32),
+                                  np.empty((0, 3), np.int64), 0,
+                                  out_of=eng._live_count), vdm, [])
             # hybrid: enqueue the kNN program NOW so it overlaps the keyword
             # kernel on device — one round trip instead of two
             vec_handles = None
@@ -1292,6 +1302,11 @@ class Collection:
             return self.search({**params, "_group_k": 16384})
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         resp["search_cutoff"] = time.monotonic() > self._deadline
+        # exclude_fields can also drop response-level meta keys
+        # (MustExcludeOutOf: exclude_fields=out_of)
+        for meta in ("out_of", "search_time_ms", "found"):
+            if meta in set(_as_list(params.get("exclude_fields"))):
+                resp.pop(meta, None)
         return resp
 
     # ------------------------------------------------------------------
