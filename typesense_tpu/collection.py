@@ -1017,6 +1017,34 @@ class Collection:
                 raise BadRequest(
                     f"Query field `{vq.field_name}` must have "
                     f"{vf.num_dim} dimensions.")
+            # multi-query personalization: embed each query string with the
+            # field's model and weight-average (collection.cpp:8032-8092)
+            if vq.queries and not vq.values:
+                if not getattr(vf, "embed", None):
+                    raise BadRequest("`queries` parameter is only supported "
+                                     "for auto-embedding fields.")
+                self._ensure_index()
+                emb = self._get_embedder(vf)
+                embs = emb.embed_batch(vq.queries)
+                ws = vq.query_weights or [1.0 / len(vq.queries)] * len(vq.queries)
+                acc = np.zeros(len(embs[0]), np.float32)
+                for w, e in zip(ws, embs):
+                    acc += w * np.asarray(e, np.float32)
+                vq.values = [float(x) for x in acc]
+            # in-query image embedding (vector_query_ops.cpp `image` param)
+            if vq.image_query is not None and not vq.values:
+                if not getattr(vf, "embed", None):
+                    raise BadRequest("Malformed vector query string: `image` "
+                                     "parameter is not supported for this field.")
+                self._ensure_index()
+                try:
+                    ienc = self._embedder_manager().get_image(
+                        (vf.embed or {}).get("model_config", {}))
+                    vecs = ienc.embed_images_base64([vq.image_query])
+                except Exception:
+                    raise BadRequest("Malformed vector query string: "
+                                     "could not embed image.")
+                vq.values = [float(x) for x in vecs[0]]
 
         if embed_fields and q != "*":
             # hybrid / semantic search: embed q with the field's model

@@ -25,6 +25,43 @@ class VectorQuery:
     flat_search_cutoff: int = 0
     ef: int = 10
     query_doc_id: str | None = None
+    queries: list[str] = dc_field(default_factory=list)
+    query_weights: list[float] = dc_field(default_factory=list)
+    image_query: str | None = None
+
+
+def _split_params(inner: str) -> list[str]:
+    """Split `k: 5, queries: [a, b], alpha: 0.3` into top-level params —
+    commas inside [..] lists or backtick quotes do not split (mirrors
+    vector_query_ops.cpp's split_include_fields + backtick handling)."""
+    parts, depth, tick, start = [], 0, False, 0
+    for i, c in enumerate(inner):
+        if c == "`":
+            tick = not tick
+        elif c == "[" and not tick:
+            depth += 1
+        elif c == "]" and not tick:
+            depth -= 1
+        elif c == "," and depth == 0 and not tick:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _parse_string_list(val: str) -> list[str]:
+    """`[snake, `a, b`, lizard]` → ['snake', 'a, b', 'lizard'] — backtick
+    quoting per StringUtils::split_list_with_backticks."""
+    items, tick, start = [], False, 0
+    for i, c in enumerate(val):
+        if c == "`":
+            tick = not tick
+        elif c == "," and not tick:
+            items.append(val[start:i])
+            start = i + 1
+    items.append(val[start:])
+    return [x.strip().strip("`").strip() for x in items
+            if x.strip().strip("`").strip()]
 
 
 def parse_vector_query(s: str, is_wildcard_query: bool) -> VectorQuery:
@@ -57,10 +94,7 @@ def parse_vector_query(s: str, is_wildcard_query: bool) -> VectorQuery:
             raise BadRequest("The `vector_query` parameter is malformed.")
         inner = inner[end + 1:].lstrip(", ")
 
-    for part in inner.split(","):
-        part = part.strip()
-        if not part:
-            continue
+    for part in _split_params(inner):
         if ":" not in part:
             raise BadRequest("The `vector_query` parameter is malformed.")
         key, val = part.split(":", 1)
@@ -81,13 +115,34 @@ def parse_vector_query(s: str, is_wildcard_query: bool) -> VectorQuery:
                 vq.ef = int(val)
             elif key == "id":
                 vq.query_doc_id = val.strip("`\"'")
-            elif key == "queries" or key == "query_weights":
-                pass  # multi-query personalization — handled upstream
+            elif key == "queries":
+                if not (val.startswith("[") and val.endswith("]")):
+                    raise BadRequest("Malformed vector query string: "
+                                     "`queries` parameter must be a list of strings.")
+                vq.queries = _parse_string_list(val[1:-1])
+            elif key == "query_weights":
+                if not (val.startswith("[") and val.endswith("]")):
+                    raise BadRequest("Malformed vector query string: "
+                                     "`query_weights` parameter must be a list of floats.")
+                try:
+                    vq.query_weights = [float(x) for x in val[1:-1].split(",")
+                                        if x.strip()]
+                except ValueError:
+                    raise BadRequest("Malformed vector query string: "
+                                     "`query_weights` parameter must be a list of floats.")
+            elif key == "image":
+                vq.image_query = val.strip("`\"'")
             else:
                 raise BadRequest(f"Malformed vector query string: unknown field `{key}`.")
         except ValueError:
             raise BadRequest("The `vector_query` parameter is malformed.")
 
+    if vq.query_weights and len(vq.queries) != len(vq.query_weights):
+        raise BadRequest("Malformed vector query string: "
+                         "`queries` and `query_weights` must be of the same length.")
+    if vq.query_weights and abs(sum(vq.query_weights) - 1.0) > 1e-6:
+        raise BadRequest("Malformed vector query string: "
+                         "`query_weights` must sum to 1.0.")
     if not vq.values and vq.query_doc_id is None and not is_wildcard_query:
         pass  # hybrid auto-embedding fills values upstream
     return vq
