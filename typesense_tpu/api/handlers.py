@@ -215,6 +215,67 @@ def _apply_personalization(server, coll, params):
     return out
 
 
+def _apply_nl_query(server, coll, params):
+    """nl_query=true: translate the free-form `q` into structured search
+    params through the collection's NL model and merge them — generated
+    filter_by ANDs onto any caller filter, q/sort_by replace
+    (natural_language_search_model_manager.cpp:345-430). On model failure
+    the original q serves as-is and the error rides parsed_nl_query.
+    Returns the response fragment to attach, or None."""
+    if str(params.get("nl_query", "false")).lower() != "true" \
+            or not params.get("q") or params["q"] == "*":
+        return None
+    import time as _t
+    t0 = _t.time()
+    original_q = str(params["q"])
+    mid = params.get("nl_model_id", "default")
+    schema_prompt = "\n".join(
+        f"- {f.name}: {f.type}" + (" (facet)" if f.facet else "")
+        for f in coll.fields)
+    try:
+        gen = server.nl_models.generate_params(mid, original_q,
+                                               schema_prompt)
+    except Exception as e:  # noqa: BLE001 — fallback: raw q searches as-is
+        return {"parse_time_ms": int((_t.time() - t0) * 1000),
+                "generated_params": {},
+                "augmented_params": {"q": original_q},
+                "error": getattr(e, "message", str(e)),
+                "_original_q": original_q}
+    generated = {}
+    for key, val in gen.items():
+        if key == "llm_response":
+            continue
+        if key == "filter_by":
+            generated["filter_by"] = val
+            existing = str(params.get("filter_by", "")).strip()
+            newf = str(val).strip()
+            params["filter_by"] = (f"{existing} && {newf}"
+                                   if existing and newf
+                                   else existing or newf)
+        elif key in ("q", "sort_by") or isinstance(val, (str, int, float)):
+            generated[key] = val
+            params[key] = str(val)
+    return {"parse_time_ms": int((_t.time() - t0) * 1000),
+            "generated_params": generated,
+            "augmented_params": {k: params[k] for k in
+                                 ("q", "filter_by", "sort_by")
+                                 if params.get(k)},
+            "_original_q": original_q}
+
+
+def _attach_nl(res, nl):
+    if nl is None:
+        return
+    original_q = nl.pop("_original_q", None)
+    if "error" not in nl:
+        nl.pop("error", None)
+    res["parsed_nl_query"] = nl
+    if original_q is not None:
+        res.setdefault("request_params", {})["q"] = original_q
+        if "search_time_ms" in res:
+            res["search_time_ms"] += nl.get("parse_time_ms", 0)
+
+
 def get_search(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     params = _apply_preset(server, dict(req.query))
@@ -250,7 +311,9 @@ def get_search(server, req):
             return hit[1]
 
     params = _apply_personalization(server, coll, params)
+    nl = _apply_nl_query(server, coll, params)
     res = coll.search(params)
+    _attach_nl(res, nl)
     if transcribed is not None:
         # reference echoes the transcript (collection.cpp transcribed_query)
         res.setdefault("request_params", {})["voice_query"] = {
@@ -609,8 +672,11 @@ def post_multi_search(server, req):
             continue
         try:
             coll = server.manager.get_collection(cname)
-            results.append(coll.search(
-                _apply_personalization(server, coll, params)))
+            params = _apply_personalization(server, coll, params)
+            nl = _apply_nl_query(server, coll, params)
+            r = coll.search(params)
+            _attach_nl(r, nl)
+            results.append(r)
         except Exception as e:  # noqa: BLE001 — per-search error isolation
             results.append({"error": getattr(e, "message", str(e)),
                             "code": getattr(e, "http_code", 500)})
