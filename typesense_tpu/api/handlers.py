@@ -642,6 +642,45 @@ def post_multi_search(server, req):
     union = bool(body.get("union"))
     common = {k: v for k, v in req.query.items()
               if k not in ("x-typesense-api-key",)}
+    # conversation rides the QUERY params only — q / model id / conv id are
+    # common across searches (core_api_utils.cpp:118
+    # multi_search_validate_and_add_params)
+    conversation = str(common.get("conversation", "false")).lower() == "true"
+    for s in searches:
+        if not isinstance(s, dict):
+            raise BadRequest("The value of `searches` must be an array of "
+                             "objects.")
+        if "conversation" in s:
+            raise BadRequest(
+                "`conversation` cannot be used in POST body. Please set "
+                "`conversation` as a query parameter in the request, instead "
+                "of inside the POST body")
+        if conversation and "q" in s:
+            raise BadRequest(
+                "`q` parameter cannot be used in POST body if `conversation` "
+                "is enabled. Please set `q` as a query parameter in the "
+                "request, instead of inside the POST body")
+        if conversation and "conversation_model_id" in s:
+            raise BadRequest(
+                "`conversation_model_id` cannot be used in POST body. Please "
+                "set `conversation_model_id` as a query parameter in the "
+                "request, instead of inside the POST body")
+        if conversation and "conversation_id" in s:
+            raise BadRequest(
+                "`conversation_id` cannot be used in POST body. Please set "
+                "`conversation_id` as a query parameter in the request, "
+                "instead of inside the POST body")
+    conv_model_id = common.get("conversation_model_id")
+    conv_id = common.get("conversation_id")
+    conv_query = str(common.get("q", ""))
+    if conversation:
+        if not conv_model_id:
+            raise BadRequest("Conversation is enabled but no conversation "
+                             "model ID is provided.")
+        server.conv_models.get(str(conv_model_id))  # 404/400 early
+    for ck in ("conversation", "conversation_model_id", "conversation_id",
+               "conversation_stream"):
+        common.pop(ck, None)
     # scoped-key embedded params override every per-search body
     # (core_api.cpp post_multi_search applies embedded params with
     # overwrite=true after merging the search object)
@@ -726,7 +765,34 @@ def post_multi_search(server, req):
                 "union_request_params": urp,
                 "search_time_ms": sum(r.get("search_time_ms", 0)
                                       for r in results)}
-    return {"results": results}
+    out = {"results": results}
+    if conversation:
+        # one RAG answer over the combined result docs (core_api.cpp
+        # multi_search conversation block): vector fields stripped, every
+        # result echoes the common q
+        ctx_hits = []
+        for si, r in enumerate(results):
+            if "error" in r:
+                continue
+            r.setdefault("request_params", {})["q"] = conv_query
+            cname = searches[si].get("collection")
+            vec_fields = set()
+            try:
+                c = server.manager.get_collection(cname)
+                vec_fields = {f.name for f in c.fields
+                              if f.type == "float[]"}
+            except Exception:  # noqa: BLE001
+                pass
+            hit_lists = [g.get("hits", []) for g in r["grouped_hits"]] \
+                if "grouped_hits" in r else [r.get("hits", [])]
+            for hl in hit_lists:
+                for h in hl:
+                    doc = {k: v for k, v in h.get("document", {}).items()
+                           if k not in vec_fields}
+                    ctx_hits.append({"document": doc})
+        out["conversation"] = server.conv_models.converse(
+            str(conv_model_id), conv_query, ctx_hits, conv_id)
+    return out
 
 
 # ---------------------------------------------------------------------------
