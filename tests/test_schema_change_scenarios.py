@@ -192,3 +192,84 @@ def test_alter_change_to_coercible_type(env):
     code, res = call(s, "GET", "/collections/items/documents/search",
                      query={"q": "10", "query_by": "price"})
     assert code == 200 and res["found"] == 1
+
+
+def test_drop_embed_source_prunes_from_list(tmp_path):
+    """Dropping a source field removes it from dependent embed `from`
+    lists; dropping the LAST source drops the embed field itself
+    (schema_change_test.cpp DropFieldUsedForEmbedding)."""
+    store = Store(str(tmp_path / "db2"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "objects",
+        "fields": [
+            {"name": "title", "type": "string"},
+            {"name": "names", "type": "string[]"},
+            {"name": "category", "type": "string"},
+            {"name": "embedding", "type": "float[]",
+             "embed": {"from": ["names", "category"],
+                       "model_config": {"model_name": "ts/ts-mini"}}},
+            {"name": "embedding2", "type": "float[]",
+             "embed": {"from": ["names"],
+                       "model_config": {"model_name": "ts/ts-mini"}}}]})
+    assert code == 201
+    code, _ = call(s, "PATCH", "/collections/objects", body={
+        "fields": [{"name": "names", "drop": True}]})
+    assert code == 200
+    coll = s.manager.get_collection("objects")
+    # embedding keeps category as its only source; embedding2 dropped
+    assert coll.field_map["embedding"].embed["from"] == ["category"]
+    assert "embedding2" not in coll.field_map
+    code, _ = call(s, "PATCH", "/collections/objects", body={
+        "fields": [{"name": "category", "drop": True}]})
+    assert code == 200
+    assert "embedding" not in coll.field_map
+    assert [f.name for f in coll.fields] == ["title"]
+
+
+def test_alter_add_embedding_field_embeds_existing_docs(tmp_path):
+    """Adding an auto-embed field via alter backfills embeddings for
+    existing documents (schema_change_test.cpp
+    UpdateSchemaWithNewEmbeddingField)."""
+    import os
+    ckpt = os.path.join(os.path.dirname(
+        __import__("typesense_tpu.models.embedder",
+                   fromlist=["x"]).__file__),
+        "checkpoints", "ts_ts-mini.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("ts-mini checkpoint not built")
+    store = Store(str(tmp_path / "db3"))
+    s = make_server(store)
+    call(s, "POST", "/collections", body={
+        "name": "emb", "fields": [{"name": "title", "type": "string"}]})
+    call(s, "POST", "/collections/emb/documents",
+         body={"id": "0", "title": "chicken casserole"})
+    call(s, "POST", "/collections/emb/documents",
+         body={"id": "1", "title": "bicycle repair"})
+    code, _ = call(s, "PATCH", "/collections/emb", body={
+        "fields": [{"name": "vec", "type": "float[]",
+                    "embed": {"from": ["title"],
+                              "model_config": {"model_name": "ts/ts-mini"}}}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/emb/documents/search",
+                     query={"q": "poultry stew", "query_by": "vec",
+                            "per_page": 1})
+    assert code == 200, res
+    assert res["hits"][0]["document"]["id"] == "0"
+
+
+def test_alter_index_false_to_true(env):
+    """A stored-but-unindexed field becomes searchable after drop +
+    re-add with index: true (schema_change_test.cpp IndexFalseToTrue)."""
+    s, _, _ = env
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "type": "string", "index": False}]})
+    assert code == 200
+    code, _ = call(s, "PATCH", "/collections/items", body={
+        "fields": [{"name": "color", "drop": True},
+                   {"name": "color", "type": "string", "index": True}]})
+    assert code == 200
+    code, res = call(s, "GET", "/collections/items/documents/search",
+                     query={"q": "a", "query_by": "color"})
+    assert code == 200
+    assert res["found"] == 2

@@ -99,6 +99,23 @@ def patch_update_collection(server, req):
         f = Field.from_json(fj)
         coll.fields.append(f)
         coll.field_map[f.name] = f
+    # dropping a source field prunes it from dependent embed `from` lists;
+    # an embed field whose last source drops is dropped with it
+    # (schema_change_test.cpp DropFieldUsedForEmbedding)
+    re_added = {fj["name"] for fj in adds}
+    doomed = []
+    for f in coll.fields:
+        if f.embed and f.name not in re_added:
+            srcs = [s for s in f.embed.get("from", [])
+                    if s not in drops or s in re_added]
+            if srcs != f.embed.get("from"):
+                if srcs:
+                    f.embed["from"] = srcs
+                else:
+                    doomed.append(f.name)
+    for name in doomed:
+        coll.fields = [f for f in coll.fields if f.name != name]
+        coll.field_map.pop(name, None)
     coll._dirty = True
     server.manager.persist_collection_meta(coll)
     return body
