@@ -311,9 +311,18 @@ class Collection:
         """Returns per-doc result objects like the import response. Store
         writes batch into ONE WAL append + flush for the whole call (the
         per-doc path paid a flush each: 33% of import wall time at 2.2M)."""
+        import gc
         results = []
         with self._mutate_lock:
             self._pending_store = ({}, [])
+            # bulk import allocates heavily (coerced values, JSON strings)
+            # while the doc heap grows to millions of tracked dicts; pausing
+            # the cyclic collector for the chunk avoids repeated full-heap
+            # gen-2 traversals (the reference's C++ import has no GC — this
+            # restores linear-time import at the 2.2M bench scale)
+            gc_was_on = gc.isenabled()
+            if gc_was_on:
+                gc.disable()
             try:
                 for doc in docs:
                     try:
@@ -325,6 +334,8 @@ class Collection:
                                         "error": getattr(e, "message", str(e)),
                                         "document": doc})
             finally:
+                if gc_was_on:
+                    gc.enable()
                 puts, dels = self._pending_store
                 self._pending_store = None
                 if self.store is not None and (puts or dels):
@@ -392,7 +403,15 @@ class Collection:
     # index lifecycle
     # ------------------------------------------------------------------
     def _needs_flatten(self) -> bool:
-        return self.enable_nested_fields or any("." in f.name for f in self.fields)
+        # cached per schema size — fields are append-only, so a new dotted
+        # field always changes len(self.fields); called once per imported doc
+        cache = getattr(self, "_flatten_cache", None)
+        key = (self.enable_nested_fields, len(self.fields))
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        val = self.enable_nested_fields or any("." in f.name for f in self.fields)
+        self._flatten_cache = (key, val)
+        return val
 
     def _flat_doc(self, doc: dict) -> dict:
         """Dotted-path view for indexing/highlighting of nested fields

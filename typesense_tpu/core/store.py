@@ -69,11 +69,47 @@ class Store:
 
     # --- recovery ---
     def _replay_wal_file(self, path: str):
-        with open(path, "r", encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
+        """Replay one WAL/snapshot file. Two record formats coexist:
+
+        - framed (current): ``=<klen>,<vlen>\\n<key><value>\\n`` — binary-safe
+          and escape-free, so appending a value that is already JSON does NOT
+          pay a second full escape pass (the old JSONL wrapper re-escaped
+          every quote in the doc payload — ~35% of import wall time at 2.2M).
+          Tombstones use ``vlen = -1`` and carry no value bytes.
+        - JSONL (legacy): ``{"k": ..., "v": ...}`` lines from earlier layouts.
+
+        A torn tail (crash mid-append) stops replay, same as RocksDB WAL
+        point-in-time recovery (store.h:54 contract)."""
+        with open(path, "r", encoding="utf-8", newline="") as f:
+            buf = f.read()
+        pos, n = 0, len(buf)
+        while pos < n:
+            ch = buf[pos]
+            if ch == "=":
+                nl = buf.find("\n", pos)
+                if nl < 0:
+                    break  # torn header
+                try:
+                    klen_s, vlen_s = buf[pos + 1:nl].split(",")
+                    klen, vlen = int(klen_s), int(vlen_s)
+                except ValueError:
+                    break
+                body = nl + 1
+                vbytes = max(vlen, 0)
+                end = body + klen + vbytes
+                if end + 1 > n or buf[end] != "\n":
+                    break  # torn payload
+                k = buf[body:body + klen]
+                if vlen < 0:
+                    self._data.pop(k, None)
+                else:
+                    self._data[k] = buf[body + klen:end]
+                pos = end + 1
+            elif ch == "\n":
+                pos += 1
+            else:
+                nl = buf.find("\n", pos)
+                line = buf[pos:nl] if nl >= 0 else buf[pos:]
                 try:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
@@ -83,6 +119,9 @@ class Store:
                     self._data.pop(k, None)
                 else:
                     self._data[k] = v
+                if nl < 0:
+                    break
+                pos = nl + 1
 
     def _load(self):
         self._data = {}
@@ -101,9 +140,14 @@ class Store:
         self._wal_gen = (gens[-1] if gens else 0)
         self._wal = open(self._wal_path(self._wal_gen), "a", encoding="utf-8")
 
+    @staticmethod
+    def _frame(k: str, v: str | None) -> str:
+        if v is _TOMBSTONE:
+            return f"={len(k)},-1\n{k}\n"
+        return f"={len(k)},{len(v)}\n{k}{v}\n"
+
     def _append(self, records: list[tuple[str, str | None]]):
-        buf = "".join(json.dumps({"k": k, "v": v}, ensure_ascii=False) + "\n"
-                      for k, v in records)
+        buf = "".join(self._frame(k, v) for k, v in records)
         self._wal.write(buf)
         self._wal.flush()
         if self.fsync:
@@ -170,7 +214,7 @@ class Store:
         tmp = dest + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             for k, v in view.items():
-                f.write(json.dumps({"k": k, "v": v}, ensure_ascii=False) + "\n")
+                f.write(Store._frame(k, v))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, dest)
@@ -191,8 +235,7 @@ class Store:
                     rows = [(k, self._data[k]) for k in keys[i:i + chunk]
                             if k in self._data]
                 for k, v in rows:
-                    f.write(json.dumps({"k": k, "v": v},
-                                       ensure_ascii=False) + "\n")
+                    f.write(self._frame(k, v))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, dest)
