@@ -39,6 +39,11 @@ struct Builder {
     std::vector<std::string> terms;
     std::vector<std::vector<Occ>> field_occs;  // per search field
     std::vector<int64_t> field_token_counts;   // doc * F + f
+    // per-field: append stream stayed doc-ascending (and packed-pos
+    // ascending within a doc), so finalize can use a stable counting
+    // sort by tid instead of a comparator sort over all occurrences
+    std::vector<uint8_t> field_sorted;
+    std::vector<uint64_t> field_last_key;  // (doc << 32) | packed_pos
     int num_fields = 0;
     int64_t num_docs = 0;
 
@@ -75,10 +80,19 @@ void* ts_builder_new(int num_fields, int64_t num_docs) {
     b->num_docs = num_docs;
     b->field_occs.resize(num_fields > 0 ? num_fields : 1);
     b->field_token_counts.assign((size_t)num_docs * (num_fields > 0 ? num_fields : 1), 0);
+    b->field_sorted.assign((size_t)(num_fields > 0 ? num_fields : 1), 1);
+    b->field_last_key.assign((size_t)(num_fields > 0 ? num_fields : 1), 0);
     return b;
 }
 
 void ts_builder_free(void* h) { delete (Builder*)h; }
+
+static inline void track_order(Builder* b, int field, uint32_t doc,
+                               int32_t packed) {
+    uint64_t key = ((uint64_t)doc << 32) | (uint32_t)packed;
+    if (key < b->field_last_key[field]) b->field_sorted[field] = 0;
+    b->field_last_key[field] = key;
+}
 
 // ASCII fast-path tokenizer + accumulate, matching tokenizer.cpp:232-289
 // stream modes with default symbols (INDEX = alnum, SEPARATE = space/\n,
@@ -109,7 +123,9 @@ int ts_builder_add_value(void* h, int field, uint32_t doc, uint32_t elem,
             uint32_t p = (uint32_t)pos;
             if (p > MAX_POS) p = MAX_POS;
             uint32_t e = elem > MAX_ELEM ? MAX_ELEM : elem;
-            occs.push_back({tid, doc, (int32_t)((e << POS_BITS) | p), 0});
+            int32_t packed = (int32_t)((e << POS_BITS) | p);
+            occs.push_back({tid, doc, packed, 0});
+            track_order(b, field, doc, packed);
             last_token_start = (int)occs.size() - 1;
             pos++;
             blen = 0;
@@ -124,12 +140,26 @@ int ts_builder_add_value(void* h, int field, uint32_t doc, uint32_t elem,
     return n;
 }
 
+// Batched add_value: n values for one field, concatenated into `blob` with
+// offsets[n+1] boundaries. One ctypes crossing per import chunk instead of
+// one per value (the per-call overhead dominated build_segment at 2.2M).
+void ts_builder_add_values_batch(void* h, int field, const int32_t* docs,
+                                 const int32_t* elems, const char* blob,
+                                 const int64_t* offsets, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        ts_builder_add_value(h, field, (uint32_t)docs[i], (uint32_t)elems[i],
+                             blob + offsets[i],
+                             (int)(offsets[i + 1] - offsets[i]));
+    }
+}
+
 // fallback for non-ASCII / custom-symbol values: Python tokenizes, we intern.
 void ts_builder_add_token(void* h, int field, uint32_t doc, const char* tok,
                           int len, int32_t packed_pos, int last) {
     auto* b = (Builder*)h;
     uint32_t tid = intern(b, tok, (size_t)len);
     b->field_occs[field].push_back({tid, doc, packed_pos, (uint8_t)last});
+    track_order(b, field, doc, packed_pos);
 }
 
 void ts_builder_bump_count(void* h, int field, uint32_t doc, int n) {
@@ -165,16 +195,28 @@ void ts_builder_finalize(void* h) {
     const int64_t n_rows = (int64_t)F * Tp;
     b->out_post_offsets.assign((size_t)n_rows + 1, 0);
 
-    // pass 1: remap tids + sort each field's occurrences by (tid, doc, pos)
+    // pass 1: remap tids + sort each field's occurrences by (tid, doc, pos).
+    // When the append stream was doc-ascending (bulk import), a stable
+    // counting sort by tid is O(n + T) — ~10x faster than the comparator
+    // sort at the 34M-occurrence bench scale on one core.
     int64_t total_groups = 0, total_pos = 0;
     for (int f = 0; f < b->num_fields; f++) {
         auto& occs = b->field_occs[f];
         for (auto& o : occs) o.tid = remap[o.tid];
-        std::sort(occs.begin(), occs.end(), [](const Occ& a, const Occ& c) {
-            if (a.tid != c.tid) return a.tid < c.tid;
-            if (a.doc != c.doc) return a.doc < c.doc;
-            return a.pos < c.pos;
-        });
+        if (b->field_sorted[f] && T > 0) {
+            std::vector<int64_t> counts((size_t)T + 1, 0);
+            for (const auto& o : occs) counts[(size_t)o.tid + 1]++;
+            for (int64_t t = 0; t < T; t++) counts[(size_t)t + 1] += counts[(size_t)t];
+            std::vector<Occ> sorted(occs.size());
+            for (const auto& o : occs) sorted[(size_t)counts[o.tid]++] = o;
+            occs.swap(sorted);
+        } else {
+            std::sort(occs.begin(), occs.end(), [](const Occ& a, const Occ& c) {
+                if (a.tid != c.tid) return a.tid < c.tid;
+                if (a.doc != c.doc) return a.doc < c.doc;
+                return a.pos < c.pos;
+            });
+        }
         total_pos += (int64_t)occs.size();
         for (size_t i = 0; i < occs.size(); i++) {
             if (i == 0 || occs[i].tid != occs[i - 1].tid || occs[i].doc != occs[i - 1].doc)

@@ -200,27 +200,60 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
         if f.index and f.is_string and not f.is_vector:
             value_index_acc[f.name] = {}
 
-    for seq_id, doc in docs:
-        live[seq_id] = True
-        for f in search_fields:
-            raw = doc.get(f.name)
+    # Column sweeps: one pass over the docs PER FIELD instead of a per-doc
+    # loop touching every field — keeps each inner loop monomorphic (the
+    # hot path is a few list appends) and lets the native accumulator take
+    # whole value batches through one ctypes crossing. Docs are visited
+    # seq-ascending so the native side can finalize with a counting sort.
+    docs = sorted(docs, key=lambda x: x[0])
+    if docs:
+        live[np.fromiter((s for s, _ in docs), np.int64, len(docs))] = True
+
+    for f in search_fields:
+        name = f.name
+        fi = field_idx[name]
+        vindex = value_index_acc.get(name)
+        fast_ok = (not f.locale and not f.symbols_to_index
+                   and not f.token_separators and not f.stem
+                   and not f.stem_dictionary)
+        bdocs: list[int] = []
+        belems: list[int] = []
+        bvals: list[str] = []
+
+        def _flush():
+            if bvals:
+                nb.add_values_batch(fi, bdocs, belems, bvals)
+                bdocs.clear()
+                belems.clear()
+                bvals.clear()
+
+        for seq_id, doc in docs:
+            raw = doc.get(name)
             if raw is None:
                 continue
-            fi = field_idx[f.name]
+            if type(raw) is str:
+                vals = (raw,)
+            elif isinstance(raw, list):
+                vals = raw
+            else:
+                vals = (raw,)
             tok_total = 0
-            vindex = value_index_acc.get(f.name)
-            fast_ok = (not f.locale and not f.symbols_to_index
-                       and not f.token_separators and not f.stem
-                       and not f.stem_dictionary)
-            for elem_idx, value in enumerate(_as_values(raw)):
-                if not isinstance(value, str):
+            for elem_idx, value in enumerate(vals):
+                if type(value) is not str:
                     value = str(value)
                 if vindex is not None and len(vindex) < MAX_VALUE_INDEX_DISTINCT:
                     vindex.setdefault(value, []).append(seq_id)
                 if nb is not None:
                     if fast_ok and value.isascii():
-                        nb.add_value(fi, seq_id, elem_idx, value)
+                        bdocs.append(seq_id)
+                        belems.append(elem_idx)
+                        bvals.append(value)
+                        if len(bvals) >= 200_000:
+                            _flush()
                     else:
+                        # flush first: keeps the native occurrence stream
+                        # doc-monotone (counting-sort finalize eligibility)
+                        _flush()
                         toks = tokenize_value(value, f)
                         n = len(toks)
                         for pos, tok in enumerate(toks):
@@ -242,69 +275,104 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
                     ol.append(1 if pos == n - 1 else 0)
             if nb is None:
                 ftc[seq_id, fi] = tok_total
+        if nb is not None:
+            _flush()
 
-        for f in numeric_fields:
-            v = doc.get(f.name)
-            if v is None:
-                continue
-            col = num_cols[f.name]
+    for f in numeric_fields:
+        name = f.name
+        col = num_cols[name]
+        pairs = [(s, v) for s, d in docs if (v := d.get(name)) is not None]
+        if pairs:
+            idx = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
             if f.is_float:
-                col[seq_id] = float(v)
+                vals = np.fromiter((p[1] for p in pairs), np.float32,
+                                   len(pairs))
             else:
-                col[seq_id] = int(v) if not isinstance(v, bool) else int(v)
+                vals = np.fromiter((int(p[1]) for p in pairs), np.int64,
+                                   len(pairs))
+            col[idx] = vals
 
-        for f in numeric_multi:
-            vals = _as_values(doc.get(f.name))
+    for f in numeric_multi:
+        name = f.name
+        dlist, vlist = multi_acc[name]
+        conv = float if f.is_float else int
+        for seq_id, doc in docs:
+            vals = _as_values(doc.get(name))
             if vals:
-                dlist, vlist = multi_acc[f.name]
                 for v in vals:
                     dlist.append(seq_id)
-                    vlist.append(float(v) if f.is_float else int(v))
+                    vlist.append(conv(v))
 
-        for f in facet_fields:
-            vals = _as_values(doc.get(f.name))
-            if not vals:
+    for f in facet_fields:
+        name = f.name
+        vmap = facet_vals[name]
+        dlist, vlist = facet_acc[name]
+        dap, vap, vget = dlist.append, vlist.append, vmap.get
+        for seq_id, doc in docs:
+            v0 = doc.get(name)
+            if v0 is None:
                 continue
-            vmap = facet_vals[f.name]
-            dlist, vlist = facet_acc[f.name]
-            for v in vals:
+            if type(v0) is str:
+                vid = vget(v0)
+                if vid is None:
+                    vid = vmap[v0] = len(vmap)
+                dap(seq_id)
+                vap(vid)
+                continue
+            for v in _as_values(v0):
                 s = v if isinstance(v, str) else (
                     format(v, ".2f") if isinstance(v, float) else str(v).lower() if isinstance(v, bool) else str(v))
                 vid = vmap.setdefault(s, len(vmap))
-                dlist.append(seq_id)
-                vlist.append(vid)
+                dap(seq_id)
+                vap(vid)
 
-        for f in str_sort_fields:
-            v = doc.get(f.name)
+    for f in str_sort_fields:
+        name = f.name
+        acc = str_sort_acc[name]
+        for seq_id, doc in docs:
+            v = doc.get(name)
             if isinstance(v, str):
-                str_sort_acc[f.name][seq_id] = v.lower()
+                acc[seq_id] = v.lower()
 
-        for f in vector_fields:
-            v = doc.get(f.name)
-            if isinstance(v, list) and len(v) == f.num_dim:
-                vec_acc[f.name][seq_id] = np.asarray(v, dtype=np.float32)
+    for f in vector_fields:
+        name = f.name
+        acc = vec_acc[name]
+        nd = f.num_dim
+        for seq_id, doc in docs:
+            v = doc.get(name)
+            if isinstance(v, list) and len(v) == nd:
+                acc[seq_id] = np.asarray(v, dtype=np.float32)
 
-        for f in geo_fields:
-            v = doc.get(f.name)
-            if f.is_array:
+    for f in geo_fields:
+        name = f.name
+        col = geo_cols[name]
+        if f.is_array:
+            gacc = geo_multi_acc[name]
+            for seq_id, doc in docs:
+                v = doc.get(name)
                 if isinstance(v, list) and v and all(
                         isinstance(x, (list, tuple)) and len(x) == 2
                         for x in v):
-                    geo_cols[f.name][seq_id] = v[0]
-                    d, cc = geo_multi_acc[f.name]
+                    col[seq_id] = v[0]
+                    d, cc = gacc
                     for pt in v:
                         d.append(seq_id)
                         cc.append([float(pt[0]), float(pt[1])])
-                continue
+            continue
+        for seq_id, doc in docs:
+            v = doc.get(name)
             if isinstance(v, list) and len(v) == 2:
-                geo_cols[f.name][seq_id] = v
+                col[seq_id] = v
             elif isinstance(v, dict) and "lat" in v:
-                geo_cols[f.name][seq_id] = [v["lat"], v["lng"]]
+                col[seq_id] = [v["lat"], v["lng"]]
 
-        for f in geopoly_fields:
-            v = doc.get(f.name)
+    for f in geopoly_fields:
+        name = f.name
+        acc = geopoly_acc[name]
+        for seq_id, doc in docs:
+            v = doc.get(name)
             if isinstance(v, list) and len(v) >= 6 and len(v) % 2 == 0:
-                geopoly_acc[f.name][seq_id] = v
+                acc[seq_id] = v
 
     if nb is not None:
         res = nb.finalize()

@@ -48,6 +48,9 @@ def get_lib():
         lib.ts_builder_add_token.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int32, ctypes.c_int]
+        lib.ts_builder_add_values_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]
         lib.ts_builder_bump_count.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_int]
         lib.ts_builder_finalize.argtypes = [ctypes.c_void_p]
@@ -84,6 +87,20 @@ class NativeBuilder:
     def add_value(self, field: int, doc: int, elem: int, text: str) -> int:
         return self.lib.ts_builder_add_value(
             self.h, field, doc, elem, text.encode("ascii"), len(text))
+
+    def add_values_batch(self, field: int, docs: list[int], elems: list[int],
+                         values: list[str]):
+        """One ctypes crossing for a whole chunk of ASCII values."""
+        n = len(values)
+        blob = "".join(values).encode("ascii")
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.fromiter(map(len, values), dtype=np.int64, count=n),
+                  out=offsets[1:])
+        d = np.asarray(docs, dtype=np.int32)
+        e = np.asarray(elems, dtype=np.int32)
+        self.lib.ts_builder_add_values_batch(
+            self.h, field, d.ctypes.data, e.ctypes.data, blob,
+            offsets.ctypes.data, n)
 
     def add_token(self, field: int, doc: int, token: str, packed_pos: int,
                   last: bool):

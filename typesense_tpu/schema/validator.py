@@ -150,8 +150,19 @@ def validate_document(doc: dict, fields: list[Field],
                 doc.pop(f.name, None)
                 continue
             etype = ftypes.element_type(f.type)
+            if etype == ftypes.STRING:
+                # monomorphic fast path for the dominant case: all-str array
+                # needs no coercion and no list rebuild
+                for item in v:
+                    if type(item) is not str:
+                        break
+                else:
+                    continue
             out = []
             for item in v:
+                if etype == ftypes.STRING and type(item) is str:
+                    out.append(item)
+                    continue
                 ok, coerced = _coerce_scalar(f, etype, item, dirty_values)
                 if ok:
                     out.append(coerced)
@@ -159,7 +170,21 @@ def validate_document(doc: dict, fields: list[Field],
                     raise _type_error(f, f"an array of type `{etype}`")
             doc[f.name] = out
         else:
-            ok, coerced = _coerce_scalar(f, f.type, v, dirty_values)
+            ftype = f.type
+            # scalar fast paths: exact-type values pass through untouched
+            if ftype == ftypes.STRING and type(v) is str:
+                continue
+            if ftype == ftypes.INT32 and type(v) is int:
+                if not (INT32_MIN <= v <= INT32_MAX):
+                    raise BadRequest(f"Field `{f.name}` exceeds the int32 range.")
+                continue
+            if ftype == ftypes.INT64 and type(v) is int:
+                continue
+            if ftype == ftypes.FLOAT and type(v) is float:
+                continue
+            if ftype == ftypes.BOOL and type(v) is bool:
+                continue
+            ok, coerced = _coerce_scalar(f, ftype, v, dirty_values)
             if ok:
                 doc[f.name] = coerced
             elif dirty_values in (REJECT, COERCE_OR_REJECT):
