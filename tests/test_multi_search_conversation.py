@@ -141,3 +141,30 @@ def test_conversation_followup_uses_history(server, fake_llm):
                    conversation_id=cid)
     assert st == 200
     assert res2["conversation"]["conversation_id"] == cid
+
+
+def test_conversation_requires_nonempty_q(server, fake_llm):
+    # empty/missing common q with conversation=true is a 400, not an LLM
+    # call with an empty question (core_api.cpp raw_query handling)
+    st, res = req("POST", "/multi_search",
+                  {"searches": [{"collection": "books",
+                                 "query_by": "title"}]},
+                  conversation="true",
+                  conversation_model_id=server._conv_id)
+    assert st == 400
+    assert "`q` parameter" in res["message"]
+    assert "messages" not in fake_llm
+
+
+def test_conversation_vector_fields_stripped_common_collection(server,
+                                                               fake_llm):
+    # collection supplied via COMMON query params (not per-search body):
+    # embedding vectors must still be stripped from the LLM context
+    st, res = req("POST", "/multi_search",
+                  {"searches": [{"query_by": "title"}]},
+                  q="space", conversation="true",
+                  collection="books",
+                  conversation_model_id=server._conv_id)
+    assert st == 200, res
+    joined = " ".join(str(m) for m in fake_llm["messages"])
+    assert "emb" not in joined

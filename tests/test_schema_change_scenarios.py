@@ -273,3 +273,36 @@ def test_alter_index_false_to_true(env):
                      query={"q": "a", "query_by": "color"})
     assert code == 200
     assert res["found"] == 2
+
+
+def test_alter_added_embed_field_with_dangling_source_rejected(tmp_path):
+    """An embed field ADDED in an alter whose `from` references a field
+    dropped in the same alter (or never present) is rejected — otherwise
+    later document indexing fails on the missing source (reference alter
+    validation)."""
+    store = Store(str(tmp_path / "db3"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "dangled",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "notes", "type": "string"}]})
+    assert code == 201
+    # from references a field dropped in the SAME alter
+    code, res = call(s, "PATCH", "/collections/dangled", body={
+        "fields": [{"name": "notes", "drop": True},
+                   {"name": "emb", "type": "float[]",
+                    "embed": {"from": ["notes"],
+                              "model_config": {"model_name": "ts/ts-mini"}}}]})
+    assert code == 400
+    assert "does not exist" in res["message"]
+    # from references a never-present field
+    code, res = call(s, "PATCH", "/collections/dangled", body={
+        "fields": [{"name": "emb", "type": "float[]",
+                    "embed": {"from": ["ghost"],
+                              "model_config": {"model_name": "ts/ts-mini"}}}]})
+    assert code == 400
+    # drop+re-add of the source in the same alter is FINE
+    code, res = call(s, "PATCH", "/collections/dangled", body={
+        "fields": [{"name": "title", "drop": True},
+                   {"name": "title", "type": "string"}]})
+    assert code == 200, res

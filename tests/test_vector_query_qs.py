@@ -143,3 +143,18 @@ def test_queries_on_plain_vector_field_rejected():
     c.add({"id": "0", "title": "x", "v": [0.1, 0.2, 0.3, 0.4]})
     with pytest.raises(BadRequest, match="auto-embedding"):
         c.search({"q": "*", "vector_query": "v:([], queries: [a], k: 1)"})
+
+
+@needs_ckpt
+def test_queries_override_explicit_values(qc):
+    # reference collection.cpp:8032 applies a non-empty `queries` list
+    # unconditionally, overwriting any explicit vector — an explicit
+    # vehicle-ish vector must NOT survive when queries say food
+    from typesense_tpu.models.embedder import EmbedderManager
+    enc = EmbedderManager().get({"model_name": "ts/ts-mini"})
+    bike = enc.embed_one("bicycle repair")
+    vec = ",".join(f"{x:.6f}" for x in np.asarray(bike))
+    res = qc.search({"q": "*", "per_page": 3, "vector_query":
+                     "emb:([" + vec + "], queries: [poultry stew, "
+                     "chicken dinner], k: 3)"})
+    assert res["hits"][0]["document"]["id"] == "0"

@@ -92,6 +92,19 @@ def patch_update_collection(server, req):
                 f"Field `{fj['name']}` is already part of the schema: To "
                 f"change this field, drop it first before adding it back "
                 f"to the schema.")
+    # every added embed field's `from` sources must exist in the POST-alter
+    # schema (reference alter validation rejects dangling embed sources;
+    # otherwise later document indexing fails on the missing source)
+    post_names = ({f.name for f in coll.fields} - drops) | \
+        {fj["name"] for fj in adds}
+    for fj in adds:
+        emb = fj.get("embed")
+        if isinstance(emb, dict):
+            for src in emb.get("from", []):
+                if src not in post_names:
+                    raise BadRequest(
+                        f"Field `{src}` referenced in `embed.from` of field "
+                        f"`{fj['name']}` does not exist in the schema.")
     for name in drops:
         coll.fields = [f for f in coll.fields if f.name != name]
         coll.field_map.pop(name, None)
@@ -284,8 +297,6 @@ def _attach_nl(res, nl):
     if nl is None:
         return
     original_q = nl.pop("_original_q", None)
-    if "error" not in nl:
-        nl.pop("error", None)
     res["parsed_nl_query"] = nl
     if original_q is not None:
         res.setdefault("request_params", {})["q"] = original_q
@@ -694,6 +705,9 @@ def post_multi_search(server, req):
         if not conv_model_id:
             raise BadRequest("Conversation is enabled but no conversation "
                              "model ID is provided.")
+        if not conv_query:
+            raise BadRequest("`q` parameter has to be set as a query "
+                             "parameter when `conversation` is enabled.")
         server.conv_models.get(str(conv_model_id))  # 404/400 early
     for ck in ("conversation", "conversation_model_id", "conversation_id",
                "conversation_stream"):
@@ -715,6 +729,9 @@ def post_multi_search(server, req):
         u_page = int(common.get("page", 1) or 1)
         u_fetch = min(250, max(u_pp * u_page, 10))
     results = []
+    search_cnames = []  # collection resolved from the MERGED params per
+    # search (common/body/embedded), so downstream consumers (conversation
+    # vector-field stripping) see the same collection the search ran on
     for s in searches:
         params = _apply_preset(server, {**common, **s, **embedded})
         if union:
@@ -723,6 +740,7 @@ def post_multi_search(server, req):
             params["per_page"] = u_fetch
             params["page"] = 1
         cname = params.pop("collection", None)
+        search_cnames.append(cname)
         if cname is None:
             results.append({"error": "`collection` is required", "code": 400})
             continue
@@ -792,7 +810,7 @@ def post_multi_search(server, req):
             if "error" in r:
                 continue
             r.setdefault("request_params", {})["q"] = conv_query
-            cname = searches[si].get("collection")
+            cname = search_cnames[si]
             vec_fields = set()
             try:
                 c = server.manager.get_collection(cname)

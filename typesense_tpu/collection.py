@@ -1037,8 +1037,10 @@ class Collection:
                     f"Query field `{vq.field_name}` must have "
                     f"{vf.num_dim} dimensions.")
             # multi-query personalization: embed each query string with the
-            # field's model and weight-average (collection.cpp:8032-8092)
-            if vq.queries and not vq.values:
+            # field's model and weight-average (collection.cpp:8032-8092);
+            # a non-empty `queries` list overrides explicit values, matching
+            # the reference's unconditional assignment
+            if vq.queries:
                 if not getattr(vf, "embed", None):
                     raise BadRequest("`queries` parameter is only supported "
                                      "for auto-embedding fields.")

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import numpy as np
+
 import typesense_tpu.core.jaxcfg  # noqa: F401  (enable x64 before jnp use)
 import jax
 import jax.numpy as jnp
@@ -35,8 +37,13 @@ from typesense_tpu.ops.match import (
 )
 from typesense_tpu.ops.postings import lower_bound, lower_bound_wide
 
-INT32_INF = jnp.int32(2**31 - 1)
-KEY_MIN = jnp.int64(-(2**62))
+# module-level scalars are NUMPY (not jnp): an eager jnp scalar lives on
+# the TPU and gets captured as a device-array constant in every kernel
+# trace — MLIR lowering then blocks on a device->host readback through
+# the axon tunnel (measured 190+ s on first lowering). numpy scalars
+# lower to inline MLIR constants with zero device traffic.
+INT32_INF = np.int32(2**31 - 1)
+KEY_MIN = np.int64(-(2**62))
 
 # sort slot kinds (static)
 SLOT_TEXT = 0
@@ -536,7 +543,7 @@ def topk_merge2(key0, kpacked, valid, k: int, id_bits: int = 22):
     return -s0, kp, ids
 
 
-PACK2_BIAS = jnp.int64(1) << 39  # |slot-1 keys| must stay below this
+PACK2_BIAS = np.int64(1) << 39  # |slot-1 keys| must stay below this
 
 # Whole-N selection switches from direct lax.top_k to BLOCK-MAX selection
 # above this corpus size: measured on the axon v5e, ONE int32/int64 top_k
@@ -655,7 +662,7 @@ MA_CNT_SHIFT = 21
 MA_LAST_SHIFT = 23
 MA_HEAVY_SHIFT = 24
 MA_COST_SHIFT = 25
-MA_EMPTY = jnp.int32(2**31 - 1)
+MA_EMPTY = np.int32(2**31 - 1)
 
 
 def _dedup_sorted_ids(k0, k1, k2, ids, K):
