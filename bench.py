@@ -106,7 +106,8 @@ def synth_corpus(n: int, seed: int = 7):
     cuisines = ["italian", "mexican", "thai", "indian", "french", "american",
                 "chinese", "japanese", "greek", "korean"]
     rng = np.random.default_rng(seed)
-    TBL = 1 << 16
+    TBL = 1 << 20   # 2^20 quantiles keep ~all 30K ranks reachable (2^16
+    # collapsed the tail to ~16K distinct words)
     # rank table: exp(u*lnV)-1 for u in [0,1) quantiles — freq(rank) ~ 1/rank
     table = np.minimum(
         np.exp(np.linspace(0.0, math.log(V), TBL, endpoint=False))
@@ -217,16 +218,25 @@ def main():
               "num_typos": "0", "per_page": 10}
 
     # warm every kernel shape bucket the query mix can hit (1/2/3 tokens),
-    # so compiles don't land inside the timed window
+    # so compiles don't land inside the timed window. CONCURRENT: distinct
+    # shape buckets compile in parallel (client-side lowering overlaps the
+    # remote XLA compiles; the persistent cache makes later runs instant).
     t0 = time.time()
     warm = ([rng.choice(head) for _ in range(4)] +
             [" ".join(rng.sample(head[:50], 2)) for _ in range(6)] +
             [" ".join(rng.sample(head[:50], 3)) for _ in range(6)])
-    for wq in warm + queries:
-        coll.search({**params, "q": wq})
-        if remaining() < 60:
-            note("warmup cut short by budget")
-            break
+    deadline = T_START + BUDGET_S - 60
+
+    def warm_one(wq):
+        if time.time() < deadline:
+            try:
+                coll.search({**params, "q": wq})
+            except Exception as e:  # noqa: BLE001
+                note(f"warm error: {e}")
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(warm_one, warm + queries))
+    if time.time() >= deadline:
+        note("warmup cut short by budget")
     note(f"warmup={time.time() - t0:.1f}s")
 
     # batch-tier warm: concurrent same-signature waves make the query

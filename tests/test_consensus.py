@@ -147,16 +147,16 @@ def test_snapshot_install_for_gapped_follower(tmp_path_factory):
     base = BASE + 20
     nodes = f"127.0.0.1:{base},127.0.0.1:{base + 1}"
     d0 = tmp_path_factory.mktemp("snap0")
+    # s0 boots as a single-node cluster (quorum 1 — writes ack locally),
+    # then the membership EXPANDS to two nodes when the blank follower
+    # joins (nodes-file refresh, typesense_server_utils.cpp:425)
     s0 = make_server(["--data-dir", str(d0), "--api-key", KEY,
                       "--api-address", "127.0.0.1",
-                      "--api-port", str(base), "--nodes", nodes])
+                      "--api-port", str(base),
+                      "--nodes", f"127.0.0.1:{base}"])
     threading.Thread(target=s0.run, daemon=True).start()
     time.sleep(0.5)
-    # a 1-of-2 node correctly CANNOT win an election; pin leadership as if
-    # a full-quorum election had happened before the follower was replaced
-    assert not s0.replication.start_election()
-    s0.replication.leader = s0.replication.self_addr
-    s0.replication._lease_until = float("inf")
+    assert s0.replication.start_election()
 
     st, _ = req(base, "POST", "/collections", {
         "name": "snapc", "fields": [{"name": "t", "type": "string"}]})
@@ -169,6 +169,8 @@ def test_snapshot_install_for_gapped_follower(tmp_path_factory):
     removed = s0.replication.compact_oplog(keep=0)
     assert removed >= 1
 
+    # membership expands to include the (blank) replacement follower
+    s0.replication.nodes.inline = nodes
     d1 = tmp_path_factory.mktemp("snap1")
     s1 = make_server(["--data-dir", str(d1), "--api-key", KEY,
                       "--api-address", "127.0.0.1",
@@ -264,3 +266,69 @@ def test_skip_writes_mode(tmp_path):
     assert st == 422, (st, b)
     st, _ = req(base, "GET", "/collections")
     assert st == 200
+
+
+def test_quorum_ack_write_survives_leader_death(tmp_path_factory):
+    """The write path acks the client only after a MAJORITY of nodes
+    PERSISTED the op (raft_server.cpp:292 node->apply, on_apply at :507):
+    killing the leader immediately after a 201 must not lose the write —
+    it already lives on a quorum and the new leader serves it with no
+    catch-up pull from the dead node."""
+    base = BASE + 60
+    nodes = ",".join(f"127.0.0.1:{base + i}" for i in range(3))
+    servers = []
+    for i in range(3):
+        d = tmp_path_factory.mktemp(f"qnode{i}")
+        s = make_server(["--data-dir", str(d), "--api-key", KEY,
+                         "--api-address", "127.0.0.1",
+                         "--api-port", str(base + i), "--nodes", nodes])
+        threading.Thread(target=s.run, daemon=True).start()
+        servers.append(s)
+    time.sleep(0.8)
+    n0, n1, n2 = servers
+    assert n0.replication.start_election()
+    st, _ = req(base, "POST", "/collections", {
+        "name": "qa", "fields": [{"name": "t", "type": "string"}]})
+    assert st == 201
+    st, _ = req(base, "POST", "/collections/qa/documents",
+                {"id": "precious", "t": "must survive"})
+    assert st == 201
+
+    # leader dies the instant the client got its ack — NO catch_up_once
+    n0.replication._lease_until = 0.0
+    n0.replication.leader = None
+    n0.replication.stop()
+
+    # push replication already placed the ops on n1/n2 — both are
+    # up-to-date voters and either can lead
+    assert n1.replication.applied_seq == n0.replication.applied_seq
+    assert n2.replication.applied_seq == n0.replication.applied_seq
+    assert n1.replication.start_election()
+    assert n1.replication.is_leader
+
+    st, b = req(base + 1, "GET", "/collections/qa/documents/precious")
+    assert st == 200 and b["t"] == "must survive"
+    st, b = req(base + 1, "GET", "/collections/qa/documents/search",
+                q="survive", query_by="t")
+    assert st == 200 and b["found"] == 1
+
+
+def test_quorum_failure_rejects_write(tmp_path_factory):
+    """With both followers down, a 3-node leader must 503 writes (cannot
+    persist to a quorum) even while its lease is still warm."""
+    base = BASE + 70
+    nodes = ",".join(f"127.0.0.1:{base + i}" for i in range(3))
+    d = tmp_path_factory.mktemp("qfnode0")
+    s = make_server(["--data-dir", str(d), "--api-key", KEY,
+                     "--api-address", "127.0.0.1",
+                     "--api-port", str(base), "--nodes", nodes])
+    threading.Thread(target=s.run, daemon=True).start()
+    time.sleep(0.5)
+    # hand-grant leadership + a warm lease (peers never existed, so no
+    # elections can succeed — this models "followers just died")
+    s.replication.leader = s.replication.self_addr
+    s.replication._lease_until = time.time() + 30
+    st, b = req(base, "POST", "/collections",
+                {"name": "qf", "fields": [{"name": "t", "type": "string"}]})
+    assert st == 503, (st, b)
+    assert "quorum" in b["message"].lower()

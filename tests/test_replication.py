@@ -73,9 +73,11 @@ def test_write_forwarding_and_catchup(cluster):
                  {"t": "hello world"})
     assert st == 201, (st, b)
 
-    # follower catches up from the leader's op log
-    n = follower.replication.catch_up_once()
-    assert n >= 1
+    # the quorum-ack push already replicated the ops — the follower is
+    # current BEFORE any pull, and catch-up finds nothing new
+    assert (follower.replication.applied_seq
+            == leader.replication.applied_seq)
+    assert follower.replication.catch_up_once() == 0
     st, b = _req(BASE_PORT + 1, "GET", "/collections/repl")
     assert st == 200 and b["num_documents"] == 1, (st, b)
     # and can serve the search locally (read-any-node)

@@ -1265,6 +1265,15 @@ def post_heartbeat(server, req):
     return repl.handle_heartbeat(req.json())
 
 
+def post_append_entries(server, req):
+    """Leader push replication (quorum-ack write path): persist + apply
+    in-order ops, ack persistence (braft AppendEntries equivalent)."""
+    repl = server.replication
+    if repl is None:
+        raise BadRequest("Not clustered.")
+    return repl.handle_append(req.json())
+
+
 # ---------------------------------------------------------------------------
 # runtime config + proxy (core_api.cpp post_config / post_proxy)
 # ---------------------------------------------------------------------------

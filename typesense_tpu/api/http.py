@@ -234,6 +234,7 @@ class HttpServer:
         r("GET", "/replication/snapshot", h.get_replication_snapshot, "replication:list")
         r("POST", "/replication/request_vote", h.post_request_vote, "replication:vote")
         r("POST", "/replication/heartbeat", h.post_heartbeat, "replication:vote")
+        r("POST", "/replication/append", h.post_append_entries, "replication:vote")
         # conversation / nl search / personalization models
         r("POST", "/conversations/models", h.post_conversation_model, "conversations:create")
         r("GET", "/conversations/models", h.get_conversation_models, "conversations:list")

@@ -335,20 +335,97 @@ class ReplicationState:
         return self.leader == self.self_addr and self._lease_valid()
 
     # -- write path (ReplicationState::write, raft_server.cpp:292) -------
+    def replicate_to_followers(self, seq: int, op: dict) -> bool:
+        """Leader: push one logged op to every follower and count nodes
+        that PERSISTED it. True when a majority (self included) holds the
+        op — the braft quorum-ack (raft_server.cpp:292 node->apply acks the
+        client only from on_apply at :507, i.e. after quorum commit).
+        Lagging/unreachable followers still converge via pull catch-up."""
+        cluster = self._cluster()
+        if cluster == [self.self_addr]:
+            return True
+        acks = 1
+        payload = {"term": self.term,
+                   "leader": f"{self.self_addr[0]}:{self.self_addr[1]}",
+                   "ops": [{"seq": seq, "op": op}]}
+        for addr in cluster:
+            if addr == self.self_addr:
+                continue
+            resp = self._post(addr, "/replication/append", payload,
+                              timeout=5.0)
+            if resp and resp.get("persisted"):
+                acks += 1
+            elif resp and resp.get("term", 0) > self.term:
+                with self._lock:     # deposed by a newer term
+                    self.term = resp["term"]
+                    self.voted_for = None
+                    self._persist_term()
+                    self.leader = None
+                    self._lease_until = 0.0
+                return False
+        return acks >= self._majority()
+
+    def handle_append(self, body: dict) -> dict:
+        """Follower side of the leader's synchronous push: persist + apply
+        in-order ops, ack persistence. Out-of-order ops are refused (the
+        pull catch-up loop fills the gap) so the log never holds holes."""
+        with self._lock:
+            term = int(body.get("term", 0))
+            if term < self.term:
+                return {"persisted": False, "term": self.term,
+                        "applied_seq": self.applied_seq}
+            if term > self.term:
+                self.term = term
+                self.voted_for = None
+                self._persist_term()
+            host, port = body.get("leader", ":0").rsplit(":", 1)
+            self.leader = (host, int(port))
+            self._last_heartbeat = time.time()
+            ok = True
+            for e in sorted(body.get("ops", []), key=lambda x: x["seq"]):
+                seq, op = int(e["seq"]), e["op"]
+                if seq <= self.applied_seq:
+                    continue             # duplicate delivery
+                if seq != self.applied_seq + 1:
+                    ok = False           # gap — catch-up will pull it
+                    break
+                self._persist_op(seq, op)
+                if seq in self.skip_seqs:
+                    self.applied_seq = seq
+                    self.next_seq = seq + 1
+                    continue
+                if self.store is not None:
+                    self.store.insert(APPLYING_KEY, str(seq))
+                self.apply_fn(op)
+                if self.store is not None:
+                    self.store.remove(APPLYING_KEY)
+                self.applied_seq = seq
+                self.next_seq = seq + 1
+            return {"persisted": ok, "term": self.term,
+                    "applied_seq": self.applied_seq}
+
     def log_write(self, op: dict) -> int:
         """Leader: append an op to the durable log (the HTTP handler applies
-        it locally right after — the reference's on_apply + route re-invoke
-        collapse into one step on the leader)."""
+        it locally right before — the reference's on_apply + route re-invoke
+        collapse into one step on the leader), then push it to followers and
+        ack only after a MAJORITY persisted it. On quorum failure the client
+        gets a 503: the write is durable on this node and will either
+        replicate when the partition heals or be discarded by snapshot
+        re-sync if a new leader was elected without it."""
         with self._lock:
             seq = self.next_seq
             self.next_seq += 1
             self._persist_op(seq, op)
             self.applied_seq = seq
-            return seq
+        if not self.replicate_to_followers(seq, op):
+            from typesense_tpu.core.errors import ServiceUnavailable
+            raise ServiceUnavailable(
+                "Rejecting write: could not persist to a quorum of nodes.")
+        return seq
 
     def submit_write(self, op: dict) -> dict:
-        """Leader: log + apply. Follower: forward to leader
-        (write_to_leader, raft_server.cpp:387)."""
+        """Leader: log + apply + quorum-replicate. Follower: forward to
+        leader (write_to_leader, raft_server.cpp:387)."""
         with self._lock:
             if self.is_leader:
                 seq = self.next_seq
@@ -356,13 +433,21 @@ class ReplicationState:
                 self._persist_op(seq, op)
                 self.apply_fn(op)
                 self.applied_seq = seq
-                return {"seq": seq}
-            if self.leader is None or self.leader == self.self_addr:
+            elif self.leader is None or self.leader == self.self_addr:
                 from typesense_tpu.core.errors import ServiceUnavailable
                 raise ServiceUnavailable(
                     "Not Ready or Lagging: no elected leader "
                     "(quorum unavailable).")
-            host, port = self.leader
+            else:
+                host, port = self.leader
+                seq = None
+        if seq is not None:
+            if not self.replicate_to_followers(seq, op):
+                from typesense_tpu.core.errors import ServiceUnavailable
+                raise ServiceUnavailable(
+                    "Rejecting write: could not persist to a quorum of "
+                    "nodes.")
+            return {"seq": seq}
         body = json.dumps(op).encode()
         req = urllib.request.Request(
             f"http://{host}:{port}/replication/write", data=body,
@@ -411,6 +496,13 @@ class ReplicationState:
             st = self._status_of((host, port))
             gap = bool(st) and st.get("applied_seq", -1) > self.applied_seq \
                 and st.get("oldest_seq", 0) > self.applied_seq + 1
+            if (st and st.get("term", 0) >= self.term
+                    and st.get("applied_seq", -1) < self.applied_seq):
+                # divergent suffix: we hold ops the elected leader never
+                # committed (e.g. an ex-leader's quorum-failed writes) —
+                # braft truncates the log; full snapshot re-sync here
+                self.install_snapshot()
+                return 1
         if gap:
             # the oplog no longer reaches back to us — full snapshot install
             self.install_snapshot()
