@@ -120,3 +120,41 @@ def test_analytics_flush_replicates_doc_ops(tmp_path):
     out = analytics.clear_buffers()
     assert out["flushed"] == 0
     assert all(not v for v in analytics.query_counts.values())
+
+
+def test_proxy_sse_streams_upstream(tmp_path):
+    """POST /proxy_sse (core_api.cpp:3303): the upstream SSE body streams
+    back to the client as chunked server-sent events."""
+    import http.client
+    import time
+    from typesense_tpu.server_main import make_server
+
+    fake = FakeOpenAISSE()
+    port = 19890
+    s = make_server(["--data-dir", str(tmp_path), "--api-key", "pk",
+                     "--api-address", "127.0.0.1", "--api-port", str(port)])
+    threading.Thread(target=s.run, daemon=True).start()
+    time.sleep(0.8)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=15)
+        conn.request("POST", "/proxy_sse", json.dumps({
+            "url": f"http://127.0.0.1:{fake.port}/v1/chat/completions",
+            "method": "POST",
+            "body": json.dumps({"stream": True}),
+            "headers": {"Content-Type": "application/json"}}),
+            {"X-TYPESENSE-API-KEY": "pk",
+             "Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert "text/event-stream" in resp.getheader("Content-Type", "")
+        raw = resp.read().decode()
+        events = [e for e in raw.split("\n\n") if e.strip()]
+        assert events[-1].strip() == "data: [DONE]"
+        assert any("streamed" in e for e in events)
+        # validation errors surface as 400s
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=15)
+        conn.request("POST", "/proxy_sse", json.dumps({"method": "POST"}),
+                     {"X-TYPESENSE-API-KEY": "pk"})
+        assert conn.getresponse().status == 400
+    finally:
+        fake.close()

@@ -400,6 +400,21 @@ def post_import_documents(server, req):
     coll = server.manager.get_collection(req.params["collection"])
     action = req.query.get("action", "create")
     dirty = req.query.get("dirty_values", "coerce_or_reject")
+    # import-level remote embedding knobs (collection.cpp:519-520:
+    # remote_embedding_batch_size default 200, timeout 60000 ms, 2 tries)
+    # — consumed by _auto_embed at the next index build
+    rkw = {}
+    if req.query.get("remote_embedding_batch_size") is not None:
+        rkw["remote_embedding_batch_size"] = int(
+            req.query["remote_embedding_batch_size"])
+    if req.query.get("remote_embedding_timeout_ms") is not None:
+        rkw["remote_embedding_timeout_ms"] = float(
+            req.query["remote_embedding_timeout_ms"])
+    if req.query.get("remote_embedding_num_tries") is not None:
+        rkw["remote_embedding_num_tries"] = int(
+            req.query["remote_embedding_num_tries"])
+    if rkw:
+        coll._remote_embed_params = rkw
     # core_api.cpp:1528 RETURN_ID / RETURN_DOC import response options
     return_id = req.query.get("return_id") == "true"
     return_doc = req.query.get("return_doc") == "true"
@@ -1314,3 +1329,46 @@ def post_proxy(server, req):
             return resp.status, resp.read()
     except Exception as e:  # noqa: BLE001 — egress-gated environment
         raise BadRequest(f"Proxy request failed: {e}")
+
+
+def post_proxy_sse(server, req):
+    """SSE-streaming egress proxy (core_api.cpp:3303 post_proxy_sse): the
+    upstream response streams back to the client chunk-by-chunk as
+    server-sent events instead of buffering — used by conversational
+    models talking to streaming LLM providers."""
+    import urllib.request
+    from typesense_tpu.api.http import SSEResponse
+    body = req.json()
+    url = body.get("url")
+    method = str(body.get("method", "")).upper()
+    if not url or not method:
+        raise BadRequest("Missing required fields.")
+    if not isinstance(url, str) or not isinstance(body.get("method"), str):
+        raise BadRequest("URL and method must be non-empty strings.")
+    data = body.get("body")
+    if data is not None and not isinstance(data, str):
+        raise BadRequest("Body must be a string.")
+    headers = body.get("headers", {})
+    if not isinstance(headers, dict):
+        raise BadRequest("Headers must be a JSON object.")
+
+    def events():
+        r = urllib.request.Request(
+            url, method=method, data=data.encode() if data else None,
+            headers={str(k): str(v) for k, v in headers.items()})
+        try:
+            with urllib.request.urlopen(r, timeout=60) as resp:
+                for raw in resp:
+                    line = raw.decode("utf-8", errors="replace").rstrip("\n")
+                    if not line:
+                        continue
+                    # upstream SSE lines pass through verbatim; raw payload
+                    # lines get the `data:` framing
+                    if line.startswith(("data:", "event:", "id:", "retry:")):
+                        yield line + "\n\n"
+                    else:
+                        yield f"data: {line}\n\n"
+        except Exception as e:  # noqa: BLE001 — egress-gated environment
+            yield ("data: " + json.dumps(
+                {"error": f"Proxy request failed: {e}"}) + "\n\n")
+    return SSEResponse(events())

@@ -225,6 +225,7 @@ class HttpServer:
         r("POST", "/config", h.post_config, "config:update")
         r("GET", "/config", h.get_config, "config:get")
         r("POST", "/proxy", h.post_proxy, "proxy:create")
+        r("POST", "/proxy_sse", h.post_proxy_sse, "proxy:create")
         # replication control plane (raft_server.h equivalents). These serve
         # raw oplog entries (full write bodies, incl. key payloads) so they
         # REQUIRE auth — ReplicationState sends X-TYPESENSE-API-KEY when

@@ -439,6 +439,20 @@ class Collection:
         return self._embedder_manager().get(
             (f.embed or {}).get("model_config", {}))
 
+    @staticmethod
+    def _remote_kw(params: dict) -> dict:
+        """Search-level remote embedding knobs (collection.h:238-239:
+        remote_embedding_timeout_ms default 30000, num_tries default 2)
+        forwarded to the provider client; local encoders ignore them."""
+        kw = {}
+        if params.get("remote_embedding_timeout_ms") is not None:
+            kw["remote_embedding_timeout_ms"] = float(
+                params["remote_embedding_timeout_ms"])
+        if params.get("remote_embedding_num_tries") is not None:
+            kw["remote_embedding_num_tries"] = int(
+                params["remote_embedding_num_tries"])
+        return kw
+
     def _auto_embed(self):
         """Generate embeddings for `embed.from` fields on docs lacking them
         (batched — index.cpp:1009-1054 embeds at index time; ours runs the
@@ -479,7 +493,8 @@ class Collection:
                 todo_seqs.append(seq)
                 todo_texts.append(" ".join(parts))
             if todo_seqs:
-                vecs = emb.embed_batch(todo_texts)
+                vecs = emb.embed_batch(
+                    todo_texts, **getattr(self, "_remote_embed_params", {}))
                 for seq, vec in zip(todo_seqs, vecs):
                     self.docs[seq][f.name] = [float(x) for x in vec]
             if todo_imgs:
@@ -1046,7 +1061,7 @@ class Collection:
                                      "for auto-embedding fields.")
                 self._ensure_index()
                 emb = self._get_embedder(vf)
-                embs = emb.embed_batch(vq.queries)
+                embs = emb.embed_batch(vq.queries, **self._remote_kw(params))
                 ws = vq.query_weights or [1.0 / len(vq.queries)] * len(vq.queries)
                 acc = np.zeros(len(embs[0]), np.float32)
                 for w, e in zip(ws, embs):
@@ -1073,7 +1088,7 @@ class Collection:
             ef = embed_fields[0]
             self._ensure_index()  # resolves embed field num_dim
             emb = self._get_embedder(self.field_map[ef])
-            qvec = emb.embed_one(str(q))
+            qvec = emb.embed_one(str(q), **self._remote_kw(params))
             if vq is None:
                 vq = VectorQuery(field_name=ef)
             if not vq.values:

@@ -282,8 +282,10 @@ class TextEncoder:
             return self.tokenizer.encode(text)
         return hash_tokenize(text)
 
-    def embed_batch(self, texts: list[str], batch_size: int = 32) -> np.ndarray:
-        """Embed texts in fixed-size padded batches (one compiled program)."""
+    def embed_batch(self, texts: list[str], batch_size: int = 32,
+                    **_kw) -> np.ndarray:
+        """Embed texts in fixed-size padded batches (one compiled program).
+        Remote-embedding kwargs are accepted and ignored (local encoder)."""
         out = np.zeros((len(texts), self.num_dim), dtype=np.float32)
         for i in range(0, len(texts), batch_size):
             chunk = texts[i:i + batch_size]
@@ -297,41 +299,248 @@ class TextEncoder:
             out[i:i + len(chunk)] = emb[:len(chunk)]
         return out
 
-    def embed_one(self, text: str) -> np.ndarray:
+    def embed_one(self, text: str, **_kw) -> np.ndarray:
         return self.embed_batch([text], batch_size=1)[0]
 
 
 class RemoteEmbedder:
-    """OpenAI-format remote embedding client (text_embedder_remote.h:73-176).
-    Network egress is environment-gated; errors surface as BadRequest."""
+    """Base remote embedding client (text_embedder_remote.h:47-70):
+    per-request timeout + bounded retries with exponential backoff, an LRU
+    query cache, and provider subclasses for the request/response shapes.
+    Network egress is environment-gated; errors surface as BadRequest.
+    Search params `remote_embedding_timeout_ms` / `remote_embedding_num_tries`
+    flow into embed_query (collection.h:238-239 defaults 30000 ms / 2)."""
+
+    QUERY_CACHE_MAX = 100  # RemoteEmbedder::cache LRU size
 
     def __init__(self, model_config: dict):
+        self.model_config = model_config
         self.model_name = model_config.get("model_name", "")
         self.api_key = model_config.get("api_key", "")
-        self.url = model_config.get("url") or "https://api.openai.com/v1/embeddings"
-        self.num_dim = int(model_config.get("num_dim", 1536))
+        self.num_dim = int(model_config.get("num_dim", 0) or 0)
+        self._qcache: dict[str, np.ndarray] = {}
 
-    def embed_batch(self, texts: list[str], batch_size: int = 64) -> np.ndarray:
+    # -- transport with retries (call_remote_api + num_try header) --------
+    def _call(self, url: str, body: dict, headers: dict,
+              timeout_ms: float, num_tries: int) -> dict:
         import json
+        import time as _time
         import urllib.request
-        out = []
-        for i in range(0, len(texts), batch_size):
-            body = json.dumps({"model": self.model_name.split("/", 1)[-1],
-                               "input": texts[i:i + batch_size]}).encode()
+        data = json.dumps(body).encode()
+        last_err = None
+        for attempt in range(max(1, int(num_tries))):
+            if attempt:
+                _time.sleep(min(0.5 * (2 ** (attempt - 1)), 4.0))
             req = urllib.request.Request(
-                self.url, data=body, method="POST",
-                headers={"Authorization": f"Bearer {self.api_key}",
-                         "Content-Type": "application/json"})
+                url, data=data, method="POST",
+                headers={"Content-Type": "application/json", **headers})
             try:
-                with urllib.request.urlopen(req, timeout=30) as resp:
-                    data = json.loads(resp.read().decode())
-            except Exception as e:  # noqa: BLE001
-                raise BadRequest(f"Remote embedding request failed: {e}")
-            out.extend(d["embedding"] for d in data["data"])
+                with urllib.request.urlopen(
+                        req, timeout=max(0.001, timeout_ms / 1000.0)) as resp:
+                    return json.loads(resp.read().decode())
+            except Exception as e:  # noqa: BLE001 — timeout / 5xx / network
+                last_err = e
+                code = getattr(e, "code", None)
+                if code is not None and 400 <= code < 500 and code != 429:
+                    break  # non-retryable client error
+        raise BadRequest(f"Remote embedding request failed: {last_err}")
+
+    # -- provider hooks ----------------------------------------------------
+    def _embed_texts(self, texts: list[str], timeout_ms: float,
+                     num_tries: int, is_query: bool) -> list[list[float]]:
+        raise NotImplementedError
+
+    # -- public API (embed_query / embed_documents split like the ref) ----
+    def embed_query(self, text: str, remote_embedding_timeout_ms: float = 30000,
+                    remote_embedding_num_tries: int = 2) -> np.ndarray:
+        key = text + self.model_name
+        hit = self._qcache.get(key)
+        if hit is not None:
+            return hit
+        vec = np.asarray(self._embed_texts(
+            [text], remote_embedding_timeout_ms, remote_embedding_num_tries,
+            is_query=True)[0], dtype=np.float32)
+        if len(self._qcache) >= self.QUERY_CACHE_MAX:
+            self._qcache.pop(next(iter(self._qcache)))
+        self._qcache[key] = vec
+        return vec
+
+    def embed_documents(self, texts: list[str],
+                        remote_embedding_batch_size: int = 200,
+                        remote_embedding_timeout_ms: float = 60000,
+                        remote_embedding_num_tries: int = 2) -> np.ndarray:
+        out = []
+        bs = max(1, int(remote_embedding_batch_size))
+        for i in range(0, len(texts), bs):
+            out.extend(self._embed_texts(
+                texts[i:i + bs], remote_embedding_timeout_ms,
+                remote_embedding_num_tries, is_query=False))
         return np.asarray(out, dtype=np.float32)
 
-    def embed_one(self, text: str) -> np.ndarray:
-        return self.embed_batch([text])[0]
+    # back-compat shims for local-encoder call sites
+    def embed_batch(self, texts: list[str], **kw) -> np.ndarray:
+        return self.embed_documents(
+            texts,
+            remote_embedding_batch_size=kw.get(
+                "remote_embedding_batch_size", 200),
+            remote_embedding_timeout_ms=kw.get(
+                "remote_embedding_timeout_ms", 60000),
+            remote_embedding_num_tries=kw.get(
+                "remote_embedding_num_tries", 2))
+
+    def embed_one(self, text: str, **kw) -> np.ndarray:
+        return self.embed_query(
+            text,
+            remote_embedding_timeout_ms=kw.get(
+                "remote_embedding_timeout_ms", 30000),
+            remote_embedding_num_tries=kw.get(
+                "remote_embedding_num_tries", 2))
+
+
+class OpenAIEmbedder(RemoteEmbedder):
+    """OpenAI / custom-URL OpenAI-format embedder
+    (text_embedder_remote.h:96-149). Custom URLs keep their /v1/embeddings
+    path when present (get_embedding_url_for_config)."""
+
+    def __init__(self, model_config: dict):
+        super().__init__(model_config)
+        self.num_dim = int(model_config.get("num_dim", 1536) or 1536)
+        self.has_custom_dims = "num_dim" in model_config
+        url = model_config.get("url") or "https://api.openai.com"
+        if url == "https://api.openai.com":
+            self.url = url + "/v1/embeddings"
+        elif "/v1/embeddings" in url:
+            self.url = url
+        elif "/v1" in url:
+            self.url = url + "/embeddings"
+        else:
+            self.url = url + "/v1/embeddings"
+
+    def _embed_texts(self, texts, timeout_ms, num_tries, is_query):
+        body = {"model": self.model_name.split("/", 1)[-1], "input": texts}
+        if self.has_custom_dims:
+            body["dimensions"] = self.num_dim
+        data = self._call(self.url, body,
+                          {"Authorization": f"Bearer {self.api_key}"},
+                          timeout_ms, num_tries)
+        rows = sorted(data["data"], key=lambda d: d.get("index", 0))
+        return [d["embedding"] for d in rows]
+
+
+class AzureEmbedder(RemoteEmbedder):
+    """Azure OpenAI deployment embedder (text_embedder_remote.h:73-93):
+    full deployment URL in `url`, api-key header auth."""
+
+    def __init__(self, model_config: dict):
+        super().__init__(model_config)
+        self.num_dim = int(model_config.get("num_dim", 1536) or 1536)
+        self.has_custom_dims = "num_dim" in model_config
+        self.url = model_config.get("url", "")
+        if not self.url:
+            raise BadRequest("Property `embed.model_config.url` is required "
+                             "for Azure models.")
+
+    def _embed_texts(self, texts, timeout_ms, num_tries, is_query):
+        body = {"input": texts}
+        if self.has_custom_dims:
+            body["dimensions"] = self.num_dim
+        data = self._call(self.url, body, {"api-key": self.api_key},
+                          timeout_ms, num_tries)
+        rows = sorted(data["data"], key=lambda d: d.get("index", 0))
+        return [d["embedding"] for d in rows]
+
+
+class GoogleEmbedder(RemoteEmbedder):
+    """Google PaLM embedding-gecko-001 embedder
+    (text_embedder_remote.h:154-176): one text per request, 768 dims,
+    key in the URL, response {"embedding": {"value": [...]}}."""
+
+    SUPPORTED_MODEL = "embedding-gecko-001"
+    URL = ("https://generativelanguage.googleapis.com/v1beta2/models/"
+           "embedding-gecko-001:embedText?key=")
+
+    def __init__(self, model_config: dict):
+        super().__init__(model_config)
+        name = self.model_name.split("/", 1)[-1]
+        if name != self.SUPPORTED_MODEL:
+            raise BadRequest(f"Property `embed.model_config.model_name` "
+                             f"must be `google/{self.SUPPORTED_MODEL}`.")
+        self.num_dim = 768
+
+    def _embed_texts(self, texts, timeout_ms, num_tries, is_query):
+        out = []
+        for t in texts:  # the API embeds one text per call
+            data = self._call(self.URL + self.api_key, {"text": t}, {},
+                              timeout_ms, num_tries)
+            out.append(data["embedding"]["value"])
+        return out
+
+
+class GCPEmbedder(RemoteEmbedder):
+    """GCP Vertex AI embedder (text_embedder_remote.h:181-232):
+    {region}-aiplatform predict endpoint, OAuth access token with
+    refresh-token renewal on 401, instances capped at 5 per request,
+    task_type split between queries and documents."""
+
+    AUTH_URL = "https://oauth2.googleapis.com/token"
+
+    def __init__(self, model_config: dict):
+        super().__init__(model_config)
+        for prop in ("project_id",):
+            if not model_config.get(prop):
+                raise BadRequest(f"Property `embed.model_config.{prop}` is "
+                                 f"required for GCP models.")
+        self.project_id = model_config["project_id"]
+        self.access_token = model_config.get("access_token", "")
+        self.refresh_token = model_config.get("refresh_token", "")
+        self.client_id = model_config.get("client_id", "")
+        self.client_secret = model_config.get("client_secret", "")
+        self.region = model_config.get("region", "us-central1")
+        self.document_task = model_config.get("document_task",
+                                              "RETRIEVAL_DOCUMENT")
+        self.query_task = model_config.get("query_task", "RETRIEVAL_QUERY")
+        self.num_dim = int(model_config.get("num_dim", 768) or 768)
+        self.has_custom_dims = "num_dim" in model_config
+
+    @property
+    def url(self):
+        name = self.model_name.split("/", 1)[-1]
+        return (f"https://{self.region}-aiplatform.googleapis.com/v1/"
+                f"projects/{self.project_id}/locations/{self.region}/"
+                f"publishers/google/models/{name}:predict")
+
+    def _refresh_access_token(self, timeout_ms, num_tries):
+        data = self._call(self.AUTH_URL, {
+            "grant_type": "refresh_token",
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+            "refresh_token": self.refresh_token}, {}, timeout_ms, num_tries)
+        self.access_token = data.get("access_token", self.access_token)
+
+    def _embed_texts(self, texts, timeout_ms, num_tries, is_query):
+        out = []
+        task = self.query_task if is_query else self.document_task
+        for i in range(0, len(texts), 5):  # GCP limit: 5 instances/request
+            body = {"instances": [{"content": t, "task_type": task}
+                                  for t in texts[i:i + 5]]}
+            if self.has_custom_dims:
+                body["parameters"] = {"outputDimensionality": self.num_dim}
+            try:
+                data = self._call(
+                    self.url, body,
+                    {"Authorization": f"Bearer {self.access_token}"},
+                    timeout_ms, num_tries)
+            except BadRequest:
+                if not self.refresh_token:
+                    raise
+                self._refresh_access_token(timeout_ms, num_tries)
+                data = self._call(
+                    self.url, body,
+                    {"Authorization": f"Bearer {self.access_token}"},
+                    timeout_ms, num_tries)
+            out.extend(p["embeddings"]["values"]
+                       for p in data["predictions"])
+        return out
 
 
 class EmbedderManager:
@@ -354,9 +563,14 @@ class EmbedderManager:
             raise BadRequest("Property `embed.model_config.model_name` is required.")
         if name in self._cache:
             return self._cache[name]
-        if name.startswith(("openai/", "azure/", "google/", "gcp/")) or \
-                model_config.get("url"):
-            emb = RemoteEmbedder(model_config)
+        if name.startswith("azure/"):
+            emb = AzureEmbedder(model_config)
+        elif name.startswith("google/"):
+            emb = GoogleEmbedder(model_config)
+        elif name.startswith("gcp/"):
+            emb = GCPEmbedder(model_config)
+        elif name.startswith("openai/") or model_config.get("url"):
+            emb = OpenAIEmbedder(model_config)
         else:
             emb = TextEncoder(name, self.models_dir)
         self._cache[name] = emb
