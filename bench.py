@@ -218,25 +218,26 @@ def main():
               "num_typos": "0", "per_page": 10}
 
     # warm every kernel shape bucket the query mix can hit (1/2/3 tokens),
-    # so compiles don't land inside the timed window. CONCURRENT: distinct
-    # shape buckets compile in parallel (client-side lowering overlaps the
-    # remote XLA compiles; the persistent cache makes later runs instant).
+    # so compiles don't land inside the timed window. SERIAL on purpose:
+    # this rig has ONE host core — concurrent warmers thrash the GIL during
+    # MLIR lowering and oversubscribe XLA's compile threads (measured: 8-way
+    # warmup stalled >30 min where serial finishes). The persistent compile
+    # cache makes later runs skip the compiles entirely.
     t0 = time.time()
     warm = ([rng.choice(head) for _ in range(4)] +
             [" ".join(rng.sample(head[:50], 2)) for _ in range(6)] +
             [" ".join(rng.sample(head[:50], 3)) for _ in range(6)])
     deadline = T_START + BUDGET_S - 60
-
-    def warm_one(wq):
-        if time.time() < deadline:
-            try:
-                coll.search({**params, "q": wq})
-            except Exception as e:  # noqa: BLE001
-                note(f"warm error: {e}")
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(warm_one, warm + queries))
-    if time.time() >= deadline:
-        note("warmup cut short by budget")
+    n_warm = 0
+    for wq in warm + queries:
+        if time.time() >= deadline:
+            note(f"warmup cut short by budget after {n_warm} queries")
+            break
+        try:
+            coll.search({**params, "q": wq})
+        except Exception as e:  # noqa: BLE001
+            note(f"warm error: {e}")
+        n_warm += 1
     note(f"warmup={time.time() - t0:.1f}s")
 
     # batch-tier warm: concurrent same-signature waves make the query
@@ -525,5 +526,27 @@ def run_extra_configs(coll, queries, rng, conc):
     note(f"extras done t={time.time() - T_START:.0f}s")
 
 
+def _main_guarded():
+    """Run main() in a worker thread while the MAIN thread sits in an
+    interruptible join loop: Python signal handlers only run on the main
+    thread between bytecodes, and main()'s long native waits (XLA compile,
+    device sync) would otherwise delay SIGTERM past the driver's kill
+    window — the partial-result emit must always fire."""
+    import threading
+    err: list = []
+
+    def run():
+        try:
+            main()
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while t.is_alive():
+        t.join(0.25)
+    if err:
+        raise err[0]
+
+
 if __name__ == "__main__":
-    main()
+    _main_guarded()

@@ -231,3 +231,26 @@ def test_string_not_equals_is_exact(cars):
     got2 = ids(cars.search({**W,
                             "filter_by": "desc:!=`electric falcon sedan`"}))
     assert "1" not in got2
+
+
+def test_max_filter_by_candidates_caps_prefix_expansion():
+    """filter.h:15 DEFAULT_FILTER_BY_CANDIDATES=4: a loose prefix string
+    filter expands to at most `max_filter_by_candidates` distinct terms,
+    most-frequent first; raising the param widens the expansion."""
+    c = Collection("mfbc", [Field("tag", "string"),
+                            Field("n", "int32")])
+    # 6 distinct tags sharing the prefix; tag5x most frequent
+    for i in range(6):
+        for _ in range(i + 1):
+            c.add({"tag": f"tag{i}x", "n": i})
+    # default cap 4: only the 4 most frequent tags (tag2x..tag5x) match
+    r = c.search({"q": "*", "filter_by": "tag: tag*", "per_page": 50})
+    assert r["found"] == 3 + 4 + 5 + 6
+    # explicit higher cap: all 6 terms match
+    r = c.search({"q": "*", "filter_by": "tag: tag*", "per_page": 50,
+                  "max_filter_by_candidates": "100"})
+    assert r["found"] == 21
+    # cap of 1: only the most frequent term
+    r = c.search({"q": "*", "filter_by": "tag: tag*", "per_page": 50,
+                  "max_filter_by_candidates": "1"})
+    assert r["found"] == 6

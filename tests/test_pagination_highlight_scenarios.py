@@ -203,3 +203,20 @@ def test_limit_hits_caps_pagination_depth():
     res = c.search({"q": "common", "query_by": "title", "per_page": 10,
                     "page": 2})
     assert len(res["hits"]) == 2
+
+
+def test_enable_highlight_v1_gates_legacy_array():
+    """collection.h:142 enable_highlight_v1 (default true): false omits the
+    legacy `highlights` array entirely; the v2 `highlight` object stays."""
+    from typesense_tpu.collection import Collection
+    from typesense_tpu.schema.field import Field
+    c = Collection("hlv1", [Field("title", "string")])
+    c.add({"title": "grilled cheese sandwich"})
+    r = c.search({"q": "cheese", "query_by": "title"})
+    assert "highlights" in r["hits"][0]          # default: legacy present
+    assert r["hits"][0]["highlights"][0]["field"] == "title"
+    r = c.search({"q": "cheese", "query_by": "title",
+                  "enable_highlight_v1": "false"})
+    assert "highlights" not in r["hits"][0]
+    assert "highlight" in r["hits"][0]
+    assert "<mark>cheese</mark>" in str(r["hits"][0]["highlight"])

@@ -878,6 +878,9 @@ class Collection:
         # validate_field_names=false also covers query_by: unknown fields
         # are dropped instead of 404 (IgnoreMissingQueryByFields)
         vfn = _as_bool(params.get("validate_field_names"), True)
+        # prefix-expansion cap for loose string filters (collection.h:162
+        # MAX_FILTER_BY_CANDIDATES, filter.h:15 default 4)
+        mfbc = int(params.get("max_filter_by_candidates", 4))
         search_fields: list[str] = []
         embed_fields: list[str] = []
         for fname in raw_query_by:
@@ -1104,7 +1107,8 @@ class Collection:
             pairs = []
             out_of = 0
             for eng in engines:
-                fm = self._filter_mask_for(eng, filter_by, validate=vfn)
+                fm = self._filter_mask_for(eng, filter_by, validate=vfn,
+                                           max_filter_by_candidates=mfbc)
                 e_ids, e_d = eng.vector_search(
                     vq.field_name, np.asarray(vq.values, np.float32), vk,
                     filter_mask=fm, distance_threshold=vq.distance_threshold,
@@ -1176,7 +1180,8 @@ class Collection:
 
         def run_pass(eng, slots):
             """One segment's full keyword/wildcard/hybrid execution."""
-            fm = self._filter_mask_for(eng, filter_by, validate=vfn)
+            fm = self._filter_mask_for(eng, filter_by, validate=vfn,
+                                       max_filter_by_candidates=mfbc)
             vdm: dict[int, float] = {}
             if not search_fields and not embed_fields and q != "*":
                 # every query_by field was dropped by
@@ -1320,6 +1325,7 @@ class Collection:
             if pinned_ids and filter_by and \
                     _as_bool(params.get("filter_curated_hits")):
                 fm0 = self._filter_mask_for(engines[0], filter_by,
+                                            max_filter_by_candidates=mfbc,
                                             validate=vfn)
                 n0 = engines[0].N
                 seqs = [self.id_to_seq.get(d, -1) for d in pinned_ids]
@@ -1777,7 +1783,8 @@ class Collection:
         return out
 
     def _filter_mask_for(self, engine, filter_by: str,
-                         validate: bool = True):
+                         validate: bool = True,
+                         max_filter_by_candidates: int = 4):
         """Evaluate the (final) filter string against one segment's columns.
 
         Masks cache by (filter string, engine, write version) — the
@@ -1791,7 +1798,7 @@ class Collection:
         # this collection's write version cannot see — never cache those
         cacheable = "$" not in filter_by
         cache = self.__dict__.setdefault("_filter_mask_cache", {})
-        key = (filter_by, id(engine), validate)
+        key = (filter_by, id(engine), validate, max_filter_by_candidates)
         if cacheable:
             hit = cache.get(key)
             if hit is not None and hit[0] == self._write_version:
@@ -1802,7 +1809,9 @@ class Collection:
         mask = DeviceFilterEvaluator(
             engine, join_resolver=make_join_resolver(self),
             id_resolver=self.id_to_seq,
-            validate_field_names=validate).evaluate(node, self.field_map)
+            validate_field_names=validate,
+            max_filter_by_candidates=max_filter_by_candidates,
+        ).evaluate(node, self.field_map)
         if cacheable:
             if len(cache) > 64:
                 cache.clear()
@@ -2360,7 +2369,13 @@ class Collection:
                 elif refs:
                     out_doc[cname] = refs
 
-            hit = {"document": out_doc, "highlight": {}, "highlights": []}
+            # enable_highlight_v1 (collection.h:142, default true) gates the
+            # LEGACY `highlights` array; the v2 `highlight` object always
+            # ships (collection.cpp:3545 wrapper_doc["highlights"])
+            ehv1 = _as_bool(params.get("enable_highlight_v1"), True)
+            hit = {"document": out_doc, "highlight": {}}
+            if ehv1:
+                hit["highlights"] = []
             if q != "*" and q_tokens:
                 hl_targets = hl_fields or search_fields
                 hl, legacy = highlight_doc(self._flat_doc(doc), hl_targets,
@@ -2368,7 +2383,8 @@ class Collection:
                                            hl_start, hl_end, snippet_threshold,
                                            affix_tokens, highlight_full)
                 hit["highlight"] = hl
-                hit["highlights"] = legacy
+                if ehv1:
+                    hit["highlights"] = legacy
             if text_slot is not None and q != "*":
                 score = int(page_scores[rank][text_slot])
                 hit["text_match"] = score

@@ -247,12 +247,17 @@ def _prefix_term_range(seg, token: str) -> tuple[int, int]:
     return lo, hi
 
 
-def string_filter_doc_ids(seg, f: Field, value: str, op: str) -> np.ndarray:
+def string_filter_doc_ids(seg, f: Field, value: str, op: str,
+                          max_candidates: int = 4) -> np.ndarray:
     """Doc ids matching one string filter value under CONTAINS /
     CONTAINS_PHRASE semantics: tokenize the value, intersect the field's
     posting rows; a trailing `*` makes the last token a prefix
-    (filter_result_iterator.cpp:3171); phrases additionally require adjacent
-    positions within the same array element (get_phrase_matches)."""
+    (filter_result_iterator.cpp:3171) expanding to at most
+    `max_candidates` terms, most-frequent first (MAX_FILTER_BY_CANDIDATES,
+    filter.h:15 DEFAULT_FILTER_BY_CANDIDATES = 4, the fuzzy_search_fields
+    max_candidates cap at filter_result_iterator.cpp:1826); phrases
+    additionally require adjacent positions within the same array element
+    (get_phrase_matches)."""
     from typesense_tpu.index.builder import tokenize_value
     try:
         field_pos = seg.search_fields.index(f.name)
@@ -273,8 +278,12 @@ def string_filter_doc_ids(seg, f: Field, value: str, op: str) -> np.ndarray:
             lo, hi = _prefix_term_range(seg, tok)
             if hi <= lo:
                 return np.empty(0, np.int64)
-            parts = [_field_row_slice(seg, field_pos, t)[0]
-                     for t in range(lo, hi)]
+            cand = np.arange(lo, hi)
+            if len(cand) > max_candidates:
+                freq = seg.term_doc_freq[lo:hi]
+                cand = cand[np.argsort(-freq, kind="stable")[:max_candidates]]
+            parts = [_field_row_slice(seg, field_pos, int(t))[0]
+                     for t in cand]
             docs = np.unique(np.concatenate(parts)) if parts else \
                 np.empty(0, np.int32)
             tids.append(-1)
@@ -332,7 +341,8 @@ def _phrase_adjacent(seg, field_pos: int, tids: list[int],
     return np.asarray(keep, np.int64)
 
 
-def string_leaf_mask(seg, f: Field, node: LeafNode) -> np.ndarray:
+def string_leaf_mask(seg, f: Field, node: LeafNode,
+                     max_candidates: int = 4) -> np.ndarray:
     """Full string-leaf evaluation -> dense bool mask (CONTAINS,
     CONTAINS_PHRASE, EQUALS, arrays with per-value ops, negation)."""
     if node.op in (">", ">=", "<", "<=", "range"):
@@ -355,7 +365,7 @@ def string_leaf_mask(seg, f: Field, node: LeafNode) -> np.ndarray:
             if ids is not None:
                 m[ids] = True
         else:
-            ids = string_filter_doc_ids(seg, f, v, vop)
+            ids = string_filter_doc_ids(seg, f, v, vop, max_candidates)
             if len(ids):
                 m[ids] = True
     if node.op in ("!=", "not_in") or node.negate:
@@ -403,12 +413,14 @@ class DeviceFilterEvaluator:
     from the host value index."""
 
     def __init__(self, engine, join_resolver=None, id_resolver=None,
-                 validate_field_names: bool = True):
+                 validate_field_names: bool = True,
+                 max_filter_by_candidates: int = 4):
         self.engine = engine
         self.seg = engine.seg
         self.fields = None  # set per evaluate() call
         self.join_resolver = join_resolver  # (coll_name, expr) -> numpy bool mask
         self.id_resolver = id_resolver      # doc id string -> seq id (collection)
+        self.max_filter_by_candidates = max_filter_by_candidates
         # validate_field_names=false (filter.cpp:497-506): an unknown filter
         # field becomes an ignored leaf matching NOTHING instead of a 404
         self.validate_field_names = validate_field_names
@@ -490,7 +502,9 @@ class DeviceFilterEvaluator:
             return cmp_col(col) & ~missing
         # string field: CONTAINS / CONTAINS_PHRASE / EQUALS resolved on the
         # host posting CSR + value index, uploaded as one mask
-        return jnp.asarray(string_leaf_mask(self.seg, f, node))
+        return jnp.asarray(string_leaf_mask(
+            self.seg, f, node,
+            getattr(self, "max_filter_by_candidates", 4)))
 
     def _eval_geo(self, node: LeafNode, f: Field):
         # ONE jitted program per shape: the tunnel charges a full remote
@@ -675,11 +689,13 @@ def _cmp_jnp(col, op: str, v: list):
 
 class FilterEvaluator:
     def __init__(self, seg: SegmentArrays, fields: dict[str, Field],
-                 id_resolver=None, validate_field_names: bool = True):
+                 id_resolver=None, validate_field_names: bool = True,
+                 max_filter_by_candidates: int = 4):
         self.seg = seg
         self.fields = fields
         self.id_resolver = id_resolver
         self.validate_field_names = validate_field_names
+        self.max_filter_by_candidates = max_filter_by_candidates
 
     def evaluate(self, node: FilterNode | None) -> np.ndarray | None:
         if node is None:
@@ -775,7 +791,8 @@ class FilterEvaluator:
         return self._numeric_col_mask(f, node.op, node.values)
 
     def _eval_string(self, node: LeafNode, f: Field) -> np.ndarray:
-        return string_leaf_mask(self.seg, f, node)
+        return string_leaf_mask(self.seg, f, node,
+                                self.max_filter_by_candidates)
 
     def _eval_geo(self, node: LeafNode, f: Field) -> np.ndarray:
         """`loc:(lat, lng, radius km|mi)` or polygon `(lat1, lng1, lat2, ...)`."""
