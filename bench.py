@@ -282,6 +282,7 @@ def main():
 
     note(f"p50={RESULTS['p50_ms']:.2f}ms p99={RESULTS['p99_ms']:.2f}ms "
          f"qps(c={conc})={qps:.1f} t={time.time() - T_START:.0f}s")
+    note(f"batcher={QUERY_BATCHER.stats()}")
 
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         run_extra_configs(coll, queries, rng, conc)

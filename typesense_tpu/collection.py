@@ -1341,7 +1341,18 @@ class Collection:
         # populate_result_kvs): lambda trades relevance vs. pairwise
         # similarity computed per configured field
         if params.get("diversity"):
-            raw = self._apply_diversity(raw, params["diversity"], fetch)
+            dspec = params["diversity"]
+            if params.get("diversity_lambda") is not None:
+                import json as _json
+                if isinstance(dspec, str):
+                    try:
+                        dspec = _json.loads(dspec)
+                    except _json.JSONDecodeError:
+                        raise BadRequest(
+                            "The `diversity` parameter is malformed.")
+                dspec = {**dspec,
+                         "_lambda_override": params["diversity_lambda"]}
+            raw = self._apply_diversity(raw, dspec, fetch)
 
         # group_by (topster.h:252 group_kv_map; grouped over the ranked set)
         group_limit = int(params.get("group_limit", 3)) if group_fields else 0
@@ -1731,6 +1742,16 @@ class Collection:
             except _json.JSONDecodeError:
                 raise BadRequest("The `diversity` parameter is malformed.")
         lam = float(spec.get("lambda", 0.5))
+        # diversity_lambda query param overrides the spec's lambda when in
+        # [0, 1]; out-of-range values are silently ignored
+        # (collection.cpp:8609-8616 DIVERSITY_LAMBDA stof + range check)
+        if spec.get("_lambda_override") is not None:
+            try:
+                lo = float(spec["_lambda_override"])
+                if 0.0 <= lo <= 1.0:
+                    lam = lo
+            except (TypeError, ValueError):
+                pass
         eq = spec.get("similarity_equation", [])
         if not eq:
             raise BadRequest("`diversity.similarity_equation` is required.")
@@ -2552,6 +2573,20 @@ class Collection:
         if not (0 <= sample_pct <= 100):
             raise BadRequest("Value of `facet_sample_percent` must be "
                              "less than 100.")
+        # facet_sample_slope: dynamic percent from corpus size
+        # (collection.cpp:2660-2662 — percent = max(5, 100 - slope/100 *
+        # (num_docs - threshold) / threshold))
+        sample_slope = int(params.get("facet_sample_slope", 0))
+        if sample_slope > 100:
+            raise BadRequest("Value of `facet_sample_slope` must be less "
+                             "than 100.")
+        if sample_slope > 0 and sample_thresh == 0:
+            raise BadRequest("Value of `facet_sample_threshold` must be "
+                             "greater than 0 with `facet_sample_slope`.")
+        if sample_slope > 0 and sample_thresh > 0:
+            sample_pct = int(max(
+                5.0, 100 - (sample_slope / 100.0)
+                * (len(self.docs) - sample_thresh) / sample_thresh))
         would_sample = 0 < sample_pct < 100 and raw.found > sample_thresh
         if facet_specs is None:
             facet_specs = [{"name": n, "ranges": [], "sort_field": "count",

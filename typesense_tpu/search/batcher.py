@@ -27,17 +27,22 @@ with no tiers compiled the path is exactly the solo dispatch.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 
+log = logging.getLogger("typesense_tpu.batcher")
 
-# batch tiers: powers of two keep the compile grid small. Each tier is one
-# background compile (~40-90 s through this toolchain) per signature, so
-# the grid stays minimal; 8 already amortizes the latency-bound plane
-# passes well below 1x-per-query.
-TIERS = (4, 8)
+
+# batch tiers: ONE tier keeps the compile bill minimal — each tier is a
+# background compile (~40-90 s through this toolchain) per signature. B=8
+# already amortizes the latency-bound plane passes well below
+# 1x-per-query; smaller takes pad up to 8 (padding costs only the
+# duplicated lanes' compute, not a second dispatch).
+TIERS = (8,)
 WINDOW_S = 0.004          # straggler-collection window
 MIN_DEMAND = 2            # waiters present at once before tiers compile
+HOT_HITS = 8              # or: total hits on one signature before compile
 
 
 class _Slot:
@@ -54,7 +59,8 @@ class _SigState:
     """Per-kernel-signature queue + tier cache."""
 
     __slots__ = ("queue", "tiers", "tier_building", "tiers_done", "lock",
-                 "dispatching", "inflight")
+                 "dispatching", "inflight", "hits", "tier_error",
+                 "batched_served")
 
     def __init__(self):
         self.queue: list[_Slot] = []
@@ -64,6 +70,9 @@ class _SigState:
         self.lock = threading.Lock()
         self.dispatching = False
         self.inflight = 0                        # concurrent run() callers
+        self.hits = 0                            # total run() calls
+        self.tier_error: Exception | None = None
+        self.batched_served = 0                  # queries served batched
 
 
 class QueryBatcher:
@@ -93,7 +102,11 @@ class QueryBatcher:
         st = self._sig(key)
         with st.lock:
             st.inflight += 1
-            if (not st.tier_building and st.inflight >= MIN_DEMAND):
+            st.hits += 1
+            # demand = concurrent waiters now, or a signature hot enough
+            # that batching will pay even if arrivals never overlap exactly
+            if (not st.tier_building and
+                    (st.inflight >= MIN_DEMAND or st.hits >= HOT_HITS)):
                 st.tier_building = True
                 threading.Thread(
                     target=self._compile_tiers,
@@ -127,13 +140,36 @@ class QueryBatcher:
     def _compile_tiers(self, st: _SigState, build_batched):
         try:
             for b in TIERS:
+                t0 = time.time()
                 fn = build_batched(b)
+                log.info("batch tier B=%d compiled in %.1fs", b,
+                         time.time() - t0)
                 with st.lock:
                     st.tiers[b] = fn
-        except Exception:  # noqa: BLE001 — tier stays absent; solo serves
-            pass
+        except Exception as e:  # noqa: BLE001 — tier stays absent; solo
+            # serves. Loud: a silent failure here caused round-3's
+            # "with-tiers=0" mystery — the only evidence was this branch.
+            st.tier_error = e
+            log.warning("batch tier compile failed: %r", e)
         finally:
             st.tiers_done = True
+
+    def stats(self) -> dict:
+        """Telemetry snapshot: per-signature hit counts, tier readiness,
+        batched-service counts, and any tier-compile error (debuggability —
+        `with-tiers=0` must never again be a mystery)."""
+        with self._glock:
+            sigs = list(self._sigs.values())
+        return {
+            "signatures": len(sigs),
+            "with_tiers": sum(1 for s in sigs if s.tiers),
+            "building": sum(1 for s in sigs
+                            if s.tier_building and not s.tiers_done),
+            "batched_served": sum(s.batched_served for s in sigs),
+            "hits_top": sorted((s.hits for s in sigs), reverse=True)[:8],
+            "errors": [repr(s.tier_error) for s in sigs
+                       if s.tier_error is not None][:4],
+        }
 
     def wait_tiers(self, timeout: float = 1200.0) -> bool:
         """Block until every signature that started tier compilation has
@@ -179,6 +215,7 @@ class QueryBatcher:
             qbufs = [s.qbuf for s in take]
             qbufs += [qbufs[-1]] * (tier - len(qbufs))
             results = batched_call(st.tiers[tier], qbufs)
+            st.batched_served += len(take)
             for s, r in zip(take, results):
                 s.result = r
                 s.event.set()

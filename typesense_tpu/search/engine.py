@@ -433,11 +433,18 @@ class IndexEngine:
         if mode == "dense2":
             # descriptor pads are FREE at run time (trip counts are dynamic:
             # ceil(n_sc/G) and n_big), so use ONE wide tier per buffer —
-            # each extra (SCB, SCBB) combination is another ~40s compile
-            SCB = bucket4(n_sc, lo=1024, hi=1 << 22) if n_sc else 0
-            SCBB = bucket4(n_big, lo=64, hi=1 << 16) if n_big else 0
+            # each extra (SCB, SCBB) combination is another ~40s compile.
+            # Zero is NOT special-cased: an all-head or all-big query would
+            # otherwise fork a separate compile signature whose only
+            # difference is a loop that runs zero times.
+            SCB = bucket4(max(n_sc, 1), lo=1024, hi=1 << 22)
+            SCBB = bucket4(max(n_big, 1), lo=64, hi=1 << 16)
             HPF = max((len(v) for v in head_slots.values()), default=0)
             HPF = 1 << (HPF - 1).bit_length() if HPF > 1 else HPF
+            # head-plane slot width: collapsing 0 -> 1 costs one masked
+            # plane pass for the rare no-head query; a distinct signature
+            # costs a whole compile
+            HPF = max(HPF, 1)
         else:
             SCB = bucket4(max(n_sc, 1), lo=64, hi=1 << 22)
             SCBB = bucket4(max(n_big, 1), lo=8, hi=1 << 16)
@@ -611,12 +618,17 @@ class IndexEngine:
                 prioritize_token_position, exclude_flags, k)
             if res is not None:
                 return res
+            # CAP_H is pinned: the cumsum-rank heavy rescore ignores it
+            # (kernels.dense2_kernel_body uses HC only), so letting the
+            # per-query heavy-length bucket into the statics forked up to
+            # 7 spurious compile signatures per Q (each ~40-90s through
+            # the tunnel) for byte-identical programs.
             static = (Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
                       K, 1024, MAX_POS_PER_POSTING, self._iters,
                       tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                       prioritize_num_fields, len(facet_fields), f_sizes,
                       tuple(exclude_flags), self.N, pack2, match_type,
-                      prioritize_token_position, prep["CAP_H"],
+                      prioritize_token_position, 1024,
                       prep["CAP_M"])
             kern = kernels.build_dense2_kernel(*static)
             pre = (self.dev.post_doc_ids, self.dev.post_meta,
