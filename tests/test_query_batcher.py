@@ -134,6 +134,7 @@ def test_batched_dense2_matches_solo(coll, monkeypatch):
 
     fresh = B.QueryBatcher()
     monkeypatch.setattr(eng_mod, "QUERY_BATCHER", fresh)
+    monkeypatch.setattr(eng_mod, "DENSE2_BATCH", True)
 
     def wave(n):
         out = [None] * n

@@ -612,7 +612,8 @@ class Collection:
         # persistent compilation cache makes this a fast load after the
         # first-ever boot)
         from typesense_tpu.search import engine as _eng
-        if _eng.QUERY_BATCHER.enabled and eng.N > 100_000:
+        if _eng.QUERY_BATCHER.enabled and _eng.DENSE2_BATCH \
+                and eng.N > 100_000:
             import concurrent.futures as _cf
             t0 = _t.time()
             try:
@@ -2365,6 +2366,11 @@ class Collection:
                     s.geo_field, s.geo_target[0], s.geo_target[1],
                     np.asarray(page_ids))
 
+        # one typo-match memo for the whole page of hits (highlight.py
+        # TokenMatcher) — hit tokens repeat heavily across docs
+        from typesense_tpu.search.highlight import TokenMatcher
+        hl_matcher = TokenMatcher(q_tokens) if q_tokens else None
+
         for rank, seq_id in enumerate(page_ids):
             doc = self.docs.get(int(seq_id))
             if doc is None:
@@ -2402,7 +2408,8 @@ class Collection:
                 hl, legacy = highlight_doc(self._flat_doc(doc), hl_targets,
                                            q_tokens, self.field_map,
                                            hl_start, hl_end, snippet_threshold,
-                                           affix_tokens, highlight_full)
+                                           affix_tokens, highlight_full,
+                                           matcher=hl_matcher)
                 hit["highlight"] = hl
                 if ehv1:
                     hit["highlights"] = legacy

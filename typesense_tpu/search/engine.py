@@ -31,10 +31,14 @@ TOPK = 256              # topster size ~ max(250, fetch) (index.cpp:3506-3514)
 SCORE_CHUNK_MAX = 8192
 SCORE_CHUNK_WIDE = 32768
 
-# process-wide query coalescer: concurrent same-signature dense2 dispatches
-# ride one batched program (TS_BATCH=0 disables)
+# process-wide query coalescer: concurrent same-signature vector-kNN
+# dispatches ride one batched program (TS_BATCH=0 disables). Brute kNN
+# amortizes 7x batched (12.6ms solo -> 1.7ms/q at B=16 on-chip); dense2
+# does NOT (per-query whole-N scan: B=8 measured 7.98ms/q vs 5.32 solo),
+# so keyword batching is opt-in via TS_BATCH_DENSE2=1 and default-off.
 import os as _os
 QUERY_BATCHER = QueryBatcher(enabled=_os.environ.get("TS_BATCH", "1") != "0")
+DENSE2_BATCH = _os.environ.get("TS_BATCH_DENSE2", "0") == "1"
 
 
 @jax.jit
@@ -311,15 +315,17 @@ class IndexEngine:
         CAP = force.get("CAP") or bucket4(max(drv_total, 1), lo=256,
                                           hi=1 << 25)
 
-        # strategy by estimated cost (measured axon-TPU throughputs: random
-        # gather/scatter ~60-90M ops/s, sequential streams ~8x cheaper,
-        # lax.top_k over the whole corpus ~1 ms):
-        #   probe   — drv_total * (Q*F*C) * iters random gathers; wins for
-        #             rare drivers.
-        #   dense2  — whole-corpus fused scan over meta planes: head rows
-        #             read from the build-time plane cache, mid rows
-        #             scattered per query; exact top-K via top_k cascade.
-        #             Fixed ~O(N) cost, wins for high-volume queries.
+        # strategy by PREDICTED DEVICE MS, calibrated on-chip (v5e via axon,
+        # 2.2M docs, round-4 profq cmd_06/cmd_09): the probe kernel's random
+        # plane gathers stream at ~7M lanes/s — NOT the 60-90M/s the round-3
+        # model assumed, which misrouted ~75% of queries to probe (measured
+        # 1-token probe 1568ms vs dense2 6.3ms; typo-2tok 1036ms vs 21ms).
+        #   probe   — drv_total * (Q*F*C) * iters random gathers at ~7M/s;
+        #             wins only for genuinely rare drivers.
+        #   dense2  — whole-corpus fused scan: ~2.85ms per Mdoc per token
+        #             plane + ~2.0ms/Mdoc per extra token of proximity
+        #             (fit: 1/2/3-token = 6.26/16.93/26.95ms at 2.2M), plus
+        #             mid-row scatters at ~25M postings/s.
         #   scatter — driver-stream kernel; kept for phrase queries (exact
         #             CSR adjacency), multi-value/high-cardinality facets,
         #             and the sharded force path.
@@ -333,9 +339,12 @@ class IndexEngine:
                     if row_lens[q, f, c] > 0 and \
                             int(cand_rows[q, f, c]) in head_map:
                         head_post += int(row_lens[q, f, c])
-        probe_cost = drv_total * (Q * Fq * C) * self._iters
-        dense_cost = (total_postings - head_post) + self.N // 2
-        use_probe = probe_cost < dense_cost
+        q_valid = int(token_valid.sum()) or 1
+        probe_ms = drv_total * (Q * Fq * C) * self._iters / 7e3
+        dense_ms = (self.N / 1e6) * (2.85 * q_valid
+                                     + 2.0 * max(q_valid - 1, 0)) \
+            + (total_postings - head_post) / 25e3
+        use_probe = probe_ms < dense_ms
         plane_bytes = Q * Fq * self.N * 8
         if plane_bytes > 900_000_000:
             use_probe = True  # plane memory guard (many tokens x fields)
@@ -652,14 +661,17 @@ class IndexEngine:
                 out = fn(*pre, stacked, *post, heavy_ids=heavy)
                 return [out[i] for i in range(len(qbufs))]
 
-            # same-signature concurrent queries coalesce into one batched
-            # dispatch; arrays ride by identity (index-cached objects), so
-            # the key only needs the static tuple + their ids
-            bkey = static + tuple(id(a) for a in pre) + \
-                tuple(id(a) for a in post[:3]) + \
-                tuple(id(a) for a in f_single) + (id(heavy),)
-            buf = QUERY_BATCHER.run(bkey, prep["qbuf"], solo_call,
-                                    build_batched, batched_call)
+            if DENSE2_BATCH:
+                # same-signature concurrent queries coalesce into one
+                # batched dispatch; arrays ride by identity (index-cached
+                # objects), so the key only needs the static tuple + ids
+                bkey = static + tuple(id(a) for a in pre) + \
+                    tuple(id(a) for a in post[:3]) + \
+                    tuple(id(a) for a in f_single) + (id(heavy),)
+                buf = QUERY_BATCHER.run(bkey, prep["qbuf"], solo_call,
+                                        build_batched, batched_call)
+            else:
+                buf = solo_call(prep["qbuf"])
             rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
                 buf, K, f_sizes)
             return self._collect(rid, r0, r1, r2, found, f_acc,

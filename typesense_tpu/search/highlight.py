@@ -17,24 +17,42 @@ from typesense_tpu.text.tokenizer import Tokenizer
 
 
 def _edit_distance_le(a: str, b: str, limit: int) -> bool:
-    """Banded Levenshtein with early exit (highlighting must also mark
+    """Myers bit-parallel Levenshtein (highlighting must also mark
     typo-corrected matches — the reference re-tokenizes against the
-    CORRECTED query tokens, collection.cpp:3338-3430)."""
+    CORRECTED query tokens, collection.cpp:3338-3430). Python ints are
+    arbitrary-precision, so the bit-vector recurrence needs no word cap;
+    ~10 int ops per char of `a` vs the previous DP row's len(b) mins
+    (highlighting was ~5.5ms/query of GIL-bound host time at c=16)."""
     if abs(len(a) - len(b)) > limit:
         return False
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        row_min = i
-        for j, cb in enumerate(b, 1):
-            v = min(prev[j] + 1, cur[j - 1] + 1,
-                    prev[j - 1] + (ca != cb))
-            cur.append(v)
-            row_min = min(row_min, v)
-        if row_min > limit:
-            return False
-        prev = cur
-    return prev[-1] <= limit
+    if limit <= 0 or a == b:
+        return a == b
+    m = len(b)
+    if m == 0:
+        return len(a) <= limit
+    peq: dict[str, int] = {}
+    for i, c in enumerate(b):
+        peq[c] = peq.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for c in a:
+        eq = peq.get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        elif mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score <= limit
 
 
 @lru_cache(maxsize=4096)
@@ -44,31 +62,48 @@ def _typo_budget(n: int) -> int:
     return 1 if n < 7 else 2
 
 
+class TokenMatcher:
+    """Query-token matcher with a memo shared across every value/doc of one
+    response — result tokens repeat heavily (456 highlight_doc calls per
+    60-query profile shared a few hundred distinct tokens), so per-value
+    memos recomputed the same edit distances 10-20x."""
+
+    __slots__ = ("q_tokens", "qset", "last_tok", "budgets", "memo")
+
+    def __init__(self, q_tokens: list[str]):
+        self.q_tokens = q_tokens
+        self.qset = set(q_tokens)
+        self.last_tok = q_tokens[-1] if q_tokens else ""
+        self.budgets = [(qt, _typo_budget(len(qt))) for qt in q_tokens]
+        self.memo: dict[str, bool] = {}
+
+    def __call__(self, tok: str) -> bool:
+        hit = self.memo.get(tok)
+        if hit is not None:
+            return hit
+        ok = tok in self.qset or \
+            (bool(self.last_tok) and tok.startswith(self.last_tok))
+        if not ok:
+            for qt, budget in self.budgets:
+                if _edit_distance_le(tok, qt, budget):
+                    ok = True
+                    break
+        self.memo[tok] = ok
+        return ok
+
+
 def _highlight_value(value: str, q_tokens: list[str], field: Field,
                      start_tag: str, end_tag: str, snippet_threshold: int,
-                     affix_tokens: int, want_full: bool):
+                     affix_tokens: int, want_full: bool,
+                     is_match: TokenMatcher | None = None):
     toks = Tokenizer(value, locale=field.locale,
                      symbols_to_index=field.symbols_to_index,
                      separators=field.token_separators).tokenize_with_offsets()
     if not toks:
         return None
 
-    qset = set(q_tokens)
-    last_tok = q_tokens[-1] if q_tokens else ""
-    memo: dict[str, bool] = {}
-
-    def is_match(tok: str) -> bool:
-        hit = memo.get(tok)
-        if hit is not None:
-            return hit
-        ok = tok in qset or (last_tok and tok.startswith(last_tok))
-        if not ok:
-            for qt in q_tokens:
-                if _edit_distance_le(tok, qt, _typo_budget(len(qt))):
-                    ok = True
-                    break
-        memo[tok] = ok
-        return ok
+    if is_match is None:
+        is_match = TokenMatcher(q_tokens)
 
     matched_idx = []
     matched_tokens = []
@@ -116,10 +151,14 @@ def _highlight_value(value: str, q_tokens: list[str], field: Field,
 def highlight_doc(doc: dict, field_names: list[str], q_tokens: list[str],
                   field_map: dict[str, Field], start_tag: str, end_tag: str,
                   snippet_threshold: int, affix_tokens: int,
-                  full_fields: set[str]):
-    """Returns (highlight_obj, legacy_highlights_list)."""
+                  full_fields: set[str],
+                  matcher: TokenMatcher | None = None):
+    """Returns (highlight_obj, legacy_highlights_list). Pass one `matcher`
+    per response so the typo-match memo spans all hits."""
     highlight: dict = {}
     legacy: list = []
+    if matcher is None:
+        matcher = TokenMatcher(q_tokens)
     for fname in field_names:
         f = field_map.get(fname)
         if f is None or not f.is_string:
@@ -131,7 +170,8 @@ def highlight_doc(doc: dict, field_names: list[str], q_tokens: list[str],
         if isinstance(raw, list):
             entries = [
                 _highlight_value(str(v), q_tokens, f, start_tag, end_tag,
-                                 snippet_threshold, affix_tokens, want_full)
+                                 snippet_threshold, affix_tokens, want_full,
+                                 is_match=matcher)
                 for v in raw
             ]
             if any(e is not None for e in entries):
@@ -148,7 +188,8 @@ def highlight_doc(doc: dict, field_names: list[str], q_tokens: list[str],
                                "snippets": [entries[i]["snippet"] for i in indices]})
         else:
             e = _highlight_value(str(raw), q_tokens, f, start_tag, end_tag,
-                                 snippet_threshold, affix_tokens, want_full)
+                                 snippet_threshold, affix_tokens, want_full,
+                                 is_match=matcher)
             if e is not None:
                 highlight[fname] = e
                 legacy.append({"field": fname,
