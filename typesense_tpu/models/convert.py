@@ -255,6 +255,58 @@ def convert_clip_state_dict(sd: dict, n_heads: int, image_size: int,
     return out
 
 
+def convert_clip_text_state_dict(sd: dict, n_heads: int, vocab: list[str],
+                                 bos_id: int, eos_id: int, unk_id: int,
+                                 precision: str = "bf16") -> dict:
+    """CLIPTextModel state_dict (+ text_projection) -> flat npz dict for
+    embedder._clip_text_forward. The vocab sidecar rides inside the npz the
+    same way BERT checkpoints carry WordPiece (convert_hf)."""
+    def t(key):
+        return np.asarray(sd[key].detach().cpu().numpy(), np.float32)
+
+    pfx = "text_model."
+    if not any(k.startswith(pfx) for k in sd):
+        pfx = ""
+    out = {
+        "arch": np.asarray("clip_text"),
+        "precision": np.asarray(precision),
+        "n_heads": np.asarray(n_heads, np.int32),
+        "vocab": np.asarray("\n".join(vocab)),
+        "bos_id": np.asarray(bos_id, np.int32),
+        "eos_id": np.asarray(eos_id, np.int32),
+        "unk_id": np.asarray(unk_id, np.int32),
+        "tok_emb": t(pfx + "embeddings.token_embedding.weight"),
+        "pos_emb": t(pfx + "embeddings.position_embedding.weight"),
+        "final_ln_g": t(pfx + "final_layer_norm.weight"),
+        "final_ln_b": t(pfx + "final_layer_norm.bias"),
+        "text_proj": t("text_projection.weight").T,
+    }
+    i = 0
+    while f"{pfx}encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"{pfx}encoder.layers.{i}."
+        out.update({
+            f"blocks.{i}.wq": t(p + "self_attn.q_proj.weight").T,
+            f"blocks.{i}.bq": t(p + "self_attn.q_proj.bias"),
+            f"blocks.{i}.wk": t(p + "self_attn.k_proj.weight").T,
+            f"blocks.{i}.bk": t(p + "self_attn.k_proj.bias"),
+            f"blocks.{i}.wv": t(p + "self_attn.v_proj.weight").T,
+            f"blocks.{i}.bv": t(p + "self_attn.v_proj.bias"),
+            f"blocks.{i}.wo": t(p + "self_attn.out_proj.weight").T,
+            f"blocks.{i}.bo": t(p + "self_attn.out_proj.bias"),
+            f"blocks.{i}.ln1_g": t(p + "layer_norm1.weight"),
+            f"blocks.{i}.ln1_b": t(p + "layer_norm1.bias"),
+            f"blocks.{i}.w1": t(p + "mlp.fc1.weight").T,
+            f"blocks.{i}.b1": t(p + "mlp.fc1.bias"),
+            f"blocks.{i}.w2": t(p + "mlp.fc2.weight").T,
+            f"blocks.{i}.b2": t(p + "mlp.fc2.bias"),
+            f"blocks.{i}.ln2_g": t(p + "layer_norm2.weight"),
+            f"blocks.{i}.ln2_b": t(p + "layer_norm2.bias"),
+        })
+        i += 1
+    out["n_layers"] = np.asarray(i, np.int32)
+    return out
+
+
 def convert_clip(model_dir_or_name: str, out_path: str,
                  precision: str = "bf16") -> str:
     """Local HF CLIP checkpoint (CLIPModel or CLIPVisionModel) ->

@@ -36,6 +36,10 @@ BUILTIN_MODELS = {
     # genuine from-scratch contrastive encoder shipped with the repo
     # (models/train_encoder.py; checkpoint in models/checkpoints/)
     "ts/ts-mini": (128, 2, 4, 4),
+    # from-scratch contrastive CLIP (models/train_clip.py; text+vision
+    # checkpoints in models/checkpoints/) — image search runs with REAL
+    # learned weights by default, like ts-mini does for text
+    "ts/clip-mini": (128, 2, 4, 2),
     "ts/all-MiniLM-L12-v2": (384, 12, 6, 4),
     "ts/all-MiniLM-L6-v2": (384, 6, 6, 4),
     "ts/e5-small": (384, 6, 6, 4),
@@ -198,13 +202,93 @@ def _bert_forward(params, token_ids, n_heads: int):
     return pooled / jnp.maximum(norm, 1e-12)
 
 
+def _clip_text_forward(params, token_ids, n_heads: int, eos_id: int):
+    """CLIP text tower (transformers CLIPTextTransformer layout): token+pos
+    embed -> pre-LN blocks with CAUSAL attention and quick_gelu -> final LN
+    -> hidden state at each sequence's EOS position -> text projection ->
+    L2 normalize. Shares one embedding space with _clip_vision_forward
+    (reference: the CLIP text ONNX session queries ride through,
+    image_embedder.h CLIPImageEmbedder). Parity vs transformers.CLIPModel
+    .get_text_features is asserted in tests/test_clip_mini.py."""
+    B, L = token_ids.shape
+    mask = (token_ids != PAD_ID)
+    dt = params["tok_emb"].dtype
+    x = params["tok_emb"][token_ids] + params["pos_emb"][None, :L]
+    x = x.astype(dt)
+    neg = jnp.float32(-1e9)
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    ok = mask[:, None, None, :] & causal[None, None, :, :]
+    attn_bias = jnp.where(ok, 0.0, neg)
+
+    for blk in params["blocks"]:
+        h = _layer_norm(x, blk["ln1_g"], blk["ln1_b"], eps=1e-5)
+        dim = h.shape[-1]
+        hd = dim // n_heads
+
+        def proj(w, b):
+            y = jnp.einsum("bld,de->ble", h, w,
+                           preferred_element_type=jnp.float32) + b
+            return y.reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+
+        q = proj(blk["wq"], blk["bq"])
+        k = proj(blk["wk"], blk["bk"])
+        v = proj(blk["wv"], blk["bv"])
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) / np.sqrt(hd) + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v.astype(dt))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        x = x + (jnp.einsum("bld,de->ble", ctx, blk["wo"],
+                            preferred_element_type=jnp.float32)
+                 + blk["bo"]).astype(x.dtype)
+        h2 = _layer_norm(x, blk["ln2_g"], blk["ln2_b"], eps=1e-5)
+        ff = jnp.einsum("bld,de->ble", h2, blk["w1"],
+                        preferred_element_type=jnp.float32) + blk["b1"]
+        ff = (ff * jax.nn.sigmoid(1.702 * ff)).astype(dt)   # quick_gelu
+        ff = jnp.einsum("bld,de->ble", ff, blk["w2"],
+                        preferred_element_type=jnp.float32) + blk["b2"]
+        x = x + ff.astype(x.dtype)
+
+    x = _layer_norm(x, params["final_ln_g"], params["final_ln_b"], eps=1e-5)
+    eos_pos = jnp.argmax((token_ids == eos_id).astype(jnp.int32), axis=1)
+    pooled = x[jnp.arange(B), eos_pos]
+    pooled = jnp.einsum("bd,de->be", pooled.astype(dt), params["text_proj"],
+                        preferred_element_type=jnp.float32)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+class _WordVocabTokenizer:
+    """Whitespace word-level tokenizer for from-scratch CLIP checkpoints
+    (the vocab rides inside the .npz; public CLIP ships BPE merges instead,
+    which convert.py would carry the same way)."""
+
+    def __init__(self, words: list[str], bos_id: int, eos_id: int,
+                 unk_id: int, max_len: int):
+        self.vocab = {w: i for i, w in enumerate(words)}
+        self.bos_id, self.eos_id = bos_id, eos_id
+        self.unk_id, self.max_len = unk_id, max_len
+
+    def encode(self, text: str) -> np.ndarray:
+        from typesense_tpu.index.builder import fast_tokenize
+        ids = [self.bos_id]
+        for tok in fast_tokenize(text)[:self.max_len - 2]:
+            ids.append(self.vocab.get(tok, self.unk_id))
+        ids.append(self.eos_id)
+        out = np.full(self.max_len, PAD_ID, dtype=np.int32)
+        out[:len(ids)] = ids[:self.max_len]
+        return out
+
+
 class TextEncoder:
     """One embedding model instance (TextEmbedder equivalent)."""
 
     def __init__(self, model_name: str, models_dir: str = ""):
         spec = BUILTIN_MODELS.get(model_name)
         if spec is None:
-            if model_name.startswith("ts/"):
+            safe = model_name.replace("/", "_")
+            has_ckpt = models_dir and os.path.exists(
+                os.path.join(models_dir, f"{safe}.npz"))
+            if model_name.startswith("ts/") and not has_ckpt:
                 raise BadRequest(f"Model `{model_name}` is not a supported "
                                  f"built-in embedding model.")
             spec = (DEFAULT_DIM, 6, 6, 4)
@@ -213,9 +297,14 @@ class TextEncoder:
         self.num_dim = dim
         self.n_heads = heads
         self.tokenizer = None   # WordPiece when a real checkpoint is loaded
+        self._arch = "bert"
         self.params = self._load_or_init(model_name, models_dir, dim, layers,
                                          heads, ff_mult)
-        fwd = _bert_forward if self.tokenizer is not None else _encoder_forward
+        if self._arch == "clip_text":
+            fwd = partial(_clip_text_forward, eos_id=self._eos_id)
+        else:
+            fwd = _bert_forward if self.tokenizer is not None \
+                else _encoder_forward
         self._fwd = jax.jit(partial(fwd, n_heads=self.n_heads))
 
     def _load_or_init(self, name, models_dir, dim, layers, heads, ff_mult):
@@ -233,6 +322,8 @@ class TextEncoder:
             raw = np.load(path, allow_pickle=False)
             if "arch" in raw and str(raw["arch"]) == "bert":
                 return self._load_bert(raw)
+            if "arch" in raw and str(raw["arch"]) == "clip_text":
+                return self._load_clip_text(raw)
             params = {"tok_emb": jnp.asarray(raw["tok_emb"], jnp.bfloat16),
                       "pos_emb": jnp.asarray(raw["pos_emb"], jnp.bfloat16),
                       "blocks": []}
@@ -265,6 +356,37 @@ class TextEncoder:
             "type_emb": jnp.asarray(raw["type_emb"], dt),
             "emb_ln_g": jnp.asarray(raw["emb_ln_g"], jnp.float32),
             "emb_ln_b": jnp.asarray(raw["emb_ln_b"], jnp.float32),
+            "blocks": [],
+        }
+        for i in range(int(raw["n_layers"])):
+            params["blocks"].append({
+                k: jnp.asarray(raw[f"blocks.{i}.{k}"],
+                               jnp.float32 if k.startswith(("ln", "b"))
+                               else dt)
+                for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                          "w1", "b1", "w2", "b2",
+                          "ln1_g", "ln1_b", "ln2_g", "ln2_b")})
+        return params
+
+    def _load_clip_text(self, raw):
+        """CLIP text checkpoint (convert.convert_clip_text_state_dict):
+        blocks in the CLIPEncoderLayer layout + final LN + text projection
+        + a word-level vocab sidecar."""
+        dt = jnp.float32 if str(raw["precision"]) == "f32" else jnp.bfloat16
+        self._arch = "clip_text"
+        self.n_heads = int(raw["n_heads"])
+        self.num_dim = int(raw["text_proj"].shape[1])
+        self._eos_id = int(raw["eos_id"])
+        max_len = int(raw["pos_emb"].shape[0])
+        self.tokenizer = _WordVocabTokenizer(
+            str(raw["vocab"]).split("\n"), bos_id=int(raw["bos_id"]),
+            eos_id=self._eos_id, unk_id=int(raw["unk_id"]), max_len=max_len)
+        params = {
+            "tok_emb": jnp.asarray(raw["tok_emb"], dt),
+            "pos_emb": jnp.asarray(raw["pos_emb"], dt),
+            "final_ln_g": jnp.asarray(raw["final_ln_g"], jnp.float32),
+            "final_ln_b": jnp.asarray(raw["final_ln_b"], jnp.float32),
+            "text_proj": jnp.asarray(raw["text_proj"], dt),
             "blocks": [],
         }
         for i in range(int(raw["n_layers"])):
@@ -719,12 +841,20 @@ class ImageEncoder:
     def __init__(self, model_name: str = "ts/clip-vit-b-p32",
                  models_dir: str = ""):
         safe = model_name.replace("/", "_")
-        path = os.path.join(models_dir or "", f"{safe}.npz")
-        if models_dir and os.path.exists(path):
-            raw = np.load(path, allow_pickle=False)
-            if "arch" in raw and str(raw["arch"]) == "clip_vision":
-                self._init_clip(model_name, raw)
-                return
+        # `<safe>.vision.npz` holds the vision tower when the text tower
+        # occupies `<safe>.npz` (full CLIP checkpoints); vision-only
+        # converts keep the plain name. Repo-shipped checkpoints
+        # (ts/clip-mini trained by models/train_clip.py) are the fallback.
+        pkg_dir = os.path.join(os.path.dirname(__file__), "checkpoints")
+        for d in ([models_dir] if models_dir else []) + [pkg_dir]:
+            for fn in (f"{safe}.vision.npz", f"{safe}.npz"):
+                path = os.path.join(d, fn)
+                if not os.path.exists(path):
+                    continue
+                raw = np.load(path, allow_pickle=False)
+                if "arch" in raw and str(raw["arch"]) == "clip_vision":
+                    self._init_clip(model_name, raw)
+                    return
         self._init_seeded(model_name)
 
     def _init_clip(self, model_name, raw):
