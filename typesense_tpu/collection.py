@@ -999,6 +999,23 @@ class Collection:
                      True),
         )
         prefixes = [_as_bool(p) for p in _as_list(params.get("prefix"))] or [True]
+        # rank_tokens_by (collection.cpp:8706-8711): how candidate caps rank
+        # competing typo/prefix expansions. FREQUENCY (our default — the
+        # device kernel evaluates every candidate in the cost band within a
+        # posting budget, so the cap ordering matters later than in the
+        # reference's leaf traversal) or DEFAULT_SORTING_FIELD (ART
+        # MAX_SCORE leaf order, art.h:143-148).
+        rtb = str(params.get("rank_tokens_by", "") or "").upper()
+        if rtb and rtb not in ("DEFAULT_SORTING_FIELD", "FREQUENCY"):
+            raise BadRequest("rank_tokens_by must be `DEFAULT_SORTING_FIELD`"
+                             " or `FREQUENCY`.")
+        # enable_lazy_filter (index.cpp:2522, tsconfig.cpp:274) picks lazy
+        # vs materialized filter iteration in the reference — a perf-only
+        # strategy knob. Our filters always compile to fused device masks
+        # (one strategy), so both values are accepted and yield identical
+        # results; validate the type so typos don't pass silently.
+        if params.get("enable_lazy_filter") is not None:
+            _as_bool(params.get("enable_lazy_filter"))
         max_candidates = int(params.get("max_candidates", 0) or 0)
         if _as_bool(params.get("exhaustive_search")) and not max_candidates:
             # collection.h:928: exhaustive_search lifts max_candidates to
@@ -1231,6 +1248,9 @@ class Collection:
                         vdm, [])
             typo_thresh = int(params.get("typo_tokens_threshold",
                                          TYPO_TOKENS_THRESHOLD))
+            rank_scores = (eng.term_rank_max_score(self.default_sorting_field)
+                           if rtb == "DEFAULT_SORTING_FIELD"
+                           and self.default_sorting_field else None)
             raw_e = self._keyword_with_drop_tokens(
                 eng, q_toks, search_fields, weights, slots,
                 fm, dispatch_facet_fields, k, num_typos, prefixes,
@@ -1240,7 +1260,8 @@ class Collection:
                 drop_tokens_mode=drop_tokens_mode, typo_opts=typo_opts,
                 match_type=match_type, prioritize_token_position=ptp,
                 split_join_mode=str(params.get("split_join_tokens",
-                                               "fallback") or "fallback"))
+                                               "fallback") or "fallback"),
+                rank_scores=rank_scores)
             # synonym expansion (do_synonym_search, index.cpp:6088)
             if self.manager is not None and _as_bool(params.get("enable_synonyms"), True):
                 syn_sets = _as_list(params.get("synonym_sets")) or \
@@ -1434,6 +1455,7 @@ class Collection:
                                   match_type: int = 0,
                                   prioritize_token_position: bool = False,
                                   split_join_mode: str = "fallback",
+                                  rank_scores=None,
                                   ) -> RawResult:
         """Run keyword search; drop tokens while below threshold
         (index.cpp:3925-3990 drop_tokens loop: one token at a time from the
@@ -1504,7 +1526,8 @@ class Collection:
             cands = token_candidate_sets(
                 engine, tokens, search_fields, num_typos, pass_prefixes,
                 max_candidates, typo_tokens_threshold, exact_only=exact_only,
-                memo=cand_memo, typo_tokens=mask, typo_opts=typo_opts)
+                memo=cand_memo, typo_tokens=mask, typo_opts=typo_opts,
+                rank_scores=rank_scores)
             raw = dispatch(cands)
             if raw is None or raw.found < threshold:
                 mask2 = [budgets[i] > 0 and len(cands[i][0]) == 0
@@ -1514,7 +1537,8 @@ class Collection:
                         engine, tokens, search_fields, num_typos,
                         pass_prefixes, max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
-                        typo_tokens=mask2, typo_opts=typo_opts)
+                        typo_tokens=mask2, typo_opts=typo_opts,
+                        rank_scores=rank_scores)
                     raw = dispatch(cands) or raw
                     mask = mask2
             if raw is None or raw.found < threshold:
@@ -1524,7 +1548,8 @@ class Collection:
                         engine, tokens, search_fields, num_typos,
                         pass_prefixes, max_candidates, typo_tokens_threshold,
                         exact_only=exact_only, memo=cand_memo,
-                        typo_tokens=mask3, typo_opts=typo_opts)
+                        typo_tokens=mask3, typo_opts=typo_opts,
+                        rank_scores=rank_scores)
                     raw = dispatch(cands) or raw
             raw = raw if raw is not None else empty_raw
             if raw.found > 0 and len(tokens) < len(q_tokens):
@@ -1561,7 +1586,8 @@ class Collection:
             for alt in self._split_join_alternatives(engine, list(q_tokens)):
                 cands = token_candidate_sets(
                     engine, alt, search_fields, num_typos, prefixes,
-                    max_candidates, typo_tokens_threshold)
+                    max_candidates, typo_tokens_threshold,
+                    rank_scores=rank_scores)
                 raw = engine.keyword_search(
                     cands, search_fields, weights, sort_slots,
                     filter_mask=filter_mask, facet_fields=facet_fields, k=k,

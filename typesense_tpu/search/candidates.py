@@ -50,15 +50,21 @@ def _sorted_terms(engine) -> list[str]:
     return terms
 
 
-def prefix_candidates(engine, token: str, max_candidates: int) -> tuple[np.ndarray, np.ndarray]:
-    """Term-id range covering `token*`, frequency-ranked, capped."""
+def prefix_candidates(engine, token: str, max_candidates: int,
+                      rank_scores: np.ndarray | None = None,
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Term-id range covering `token*`, capped by rank — doc frequency by
+    default, or the per-term max default-sorting-field column when
+    rank_tokens_by=DEFAULT_SORTING_FIELD supplies `rank_scores`
+    (art.h:143-148 leaf ordering)."""
     terms = _sorted_terms(engine)
     lo = bisect_left(terms, token)
     hi = bisect_left(terms, token + "￿")
     if hi <= lo:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     ids = np.arange(lo, hi, dtype=np.int64)
-    freqs = engine.seg.term_doc_freq[lo:hi]
+    freqs = (rank_scores[lo:hi] if rank_scores is not None
+             else engine.seg.term_doc_freq[lo:hi])
     if len(ids) > max_candidates:
         top = np.argpartition(-freqs, max_candidates - 1)[:max_candidates]
         # keep the exact token (== lo when present) if it made the range
@@ -77,6 +83,7 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
                          memo: dict | None = None,
                          typo_tokens: list[bool] | None = None,
                          typo_opts: tuple = (4, 7, True, True),
+                         rank_scores: np.ndarray | None = None,
                          ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per query token -> (term_ids, typo_costs). The last token is treated
     as a prefix when `prefix` is enabled (instant-search semantics).
@@ -119,7 +126,8 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
             continue
 
         if is_last and prefix_on:
-            pids, pcosts = prefix_candidates(engine, tok, max_candidates)
+            pids, pcosts = prefix_candidates(engine, tok, max_candidates,
+                                             rank_scores=rank_scores)
             for pid, pc in zip(pids, pcosts):
                 if pid != exact_id:
                     ids.append(int(pid))
@@ -143,6 +151,14 @@ def token_candidate_sets(engine, tokens: list[str], field_names: list[str],
             engine, [(tok, b, p) for _, tok, b, p in fuzzy_req], max_candidates)
         for (ti, _tok, _b, _p), (fids, fcosts) in zip(fuzzy_req, results):
             ids, costs, kinds = partial[ti]
+            if rank_scores is not None and len(fids):
+                # MAX_SCORE leaf ordering: within a typo-cost band prefer
+                # the term whose best doc sorts highest, not the most
+                # frequent one (art.h:143-148)
+                fids = np.asarray(fids, dtype=np.int64)
+                fcosts = np.asarray(fcosts, dtype=np.int64)
+                order = np.lexsort((-rank_scores[fids], fcosts))
+                fids, fcosts = fids[order], fcosts[order]
             seen = set(ids)
             # bound the scan work a typo expansion can trigger: take
             # candidates in the kernel's (cost, frequency) order until the

@@ -875,6 +875,30 @@ class IndexEngine:
             ids = ids[np.argsort(-freq, kind="stable")][:limit]
         return ids
 
+    def term_rank_max_score(self, sort_field: str) -> np.ndarray | None:
+        """Per-term max of the default sorting field across every posting —
+        the ART leaf MAX_SCORE ordering (art.h:143-148) selected by
+        rank_tokens_by=DEFAULT_SORTING_FIELD (collection.cpp:8706-8711).
+        Candidate caps rank by this column instead of doc frequency. Lazy
+        (one O(P) host pass) and cached per segment."""
+        cached = getattr(self, "_term_max_score", None)
+        if cached is not None and cached[0] == sort_field:
+            return cached[1]
+        col = self.seg.num_columns.get(sort_field)
+        if col is None:
+            return None
+        T = self.seg.num_terms
+        F = len(self.seg.search_fields)
+        offs = self.seg.post_offsets[:F * T + 1]
+        tid_per_post = np.repeat(np.arange(F * T, dtype=np.int64) % T,
+                                 np.diff(offs))
+        out = np.full(T, np.finfo(np.float64).min)
+        np.maximum.at(out, tid_per_post,
+                      col[self.seg.post_doc_ids[:offs[-1]]]
+                      .astype(np.float64))
+        self._term_max_score = (sort_field, out)
+        return out
+
     # ------------------------------------------------------------------
     def wildcard_search(self, sort_slots: list[SortSpec], filter_mask=None,
                         facet_fields: list[str] | None = None,
