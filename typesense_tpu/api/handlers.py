@@ -129,6 +129,7 @@ def patch_update_collection(server, req):
     for name in doomed:
         coll.fields = [f for f in coll.fields if f.name != name]
         coll.field_map.pop(name, None)
+    coll._schema_stamp += 1   # invalidate cached per-doc schema plans
     coll._dirty = True
     server.manager.persist_collection_meta(coll)
     return body

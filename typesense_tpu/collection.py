@@ -14,6 +14,7 @@ just do it per commit) plus the host doc store for hydration.
 
 from __future__ import annotations
 
+import json as _json
 import threading
 import time
 
@@ -143,6 +144,11 @@ class Collection:
             if not (f.is_numeric or f.is_bool):
                 raise BadRequest(f"Default sorting field `{default_sorting_field}` must be a single valued numerical field.")
 
+        # schema-derived per-document plans (dynamic-field list, validator
+        # field list) are cached and invalidated by stamp bumps at every
+        # fields-list mutation site — the write pipeline is per-doc hot
+        self._schema_stamp = 0
+        self._schema_plan_cache: tuple | None = None
         self.next_seq_id = 0
         self.docs: dict[int, dict] = {}        # seq_id -> document
         self.id_to_seq: dict[str, int] = {}    # doc id -> seq_id
@@ -224,12 +230,19 @@ class Collection:
                 d[fn] = base + dv
 
         # auto/dynamic schema: materialize concrete fields from this doc
-        # (.* / pattern fields, collection.cpp auto schema handling)
-        from typesense_tpu.schema.nested import materialize_dynamic_fields
-        new_fields = materialize_dynamic_fields(self, doc)
-        for nf in new_fields:
-            self.fields.append(nf)
-            self.field_map[nf.name] = nf
+        # (.* / pattern fields, collection.cpp auto schema handling) —
+        # skipped outright for static schemas (plan caches the check)
+        has_dynamic, _ = self._schema_plan()
+        if has_dynamic:
+            from typesense_tpu.schema.nested import materialize_dynamic_fields
+            new_fields = materialize_dynamic_fields(self, doc)
+            for nf in new_fields:
+                self.fields.append(nf)
+                self.field_map[nf.name] = nf
+            if new_fields:
+                self._schema_stamp += 1
+        else:
+            new_fields = []
 
         old_seq = None
         if exists and operation in ("upsert", "update", "emplace"):
@@ -267,9 +280,8 @@ class Collection:
             self.id_to_seq[doc_id] = seq_id
 
         if self.store is not None:
-            import json
             puts = {
-                self._doc_key(seq_id): json.dumps(doc, ensure_ascii=False),
+                self._doc_key(seq_id): _json.dumps(doc, ensure_ascii=False),
                 self._id_key(doc["id"]): str(seq_id),
             }
             dels = [self._doc_key(old_seq)] if old_seq is not None else []
@@ -291,17 +303,32 @@ class Collection:
         else:
             self._dirty = True
         self._join_cache_dirty = True
-        self._write_version = getattr(self, "_write_version", 0) + 1
+        self._write_version += 1   # set in __init__ before any add
         return doc
+
+    def _schema_plan(self) -> tuple[bool, list[Field]]:
+        """(has_dynamic_fields, validator field list) — derived from the
+        schema once per stamp; both are consulted per imported document."""
+        key = (self._schema_stamp, len(self.fields))
+        cached = self._schema_plan_cache
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        has_dynamic = any(f.is_dynamic for f in self.fields) or (
+            self.enable_nested_fields and any(f.is_object for f in self.fields))
+        vplan = [f for f in self.fields
+                 if not (f.name == ".*" or f.is_dynamic or f.is_object)]
+        self._schema_plan_cache = (key, has_dynamic, vplan)
+        return has_dynamic, vplan
 
     def _validate(self, doc: dict, dirty_values: str):
         """Validate against the flattened view so dotted/nested fields resolve
         (validator_t::validate_index_in_memory over flattened fields)."""
+        _, vplan = self._schema_plan()
         if not self._needs_flatten():
-            validate_document(doc, self.fields, dirty_values)
+            validate_document(doc, vplan, dirty_values, prefiltered=True)
             return
         flat = self._flat_doc(doc)
-        validate_document(flat, self.fields, dirty_values)
+        validate_document(flat, vplan, dirty_values, prefiltered=True)
         for k, v in flat.items():
             if "." not in k:
                 doc[k] = v
@@ -326,8 +353,9 @@ class Collection:
             try:
                 for doc in docs:
                     try:
-                        self.add(doc, operation=operation,
-                                 dirty_values=dirty_values)
+                        # lock already held for the whole chunk — skip the
+                        # per-doc RLock reentry in add()
+                        self._add_locked(doc, operation, dirty_values)
                         results.append({"success": True})
                     except Exception as e:  # noqa: BLE001 — per-doc isolation
                         results.append({"success": False,

@@ -105,12 +105,15 @@ def _validate_geopoint(f: Field, v: Any) -> list:
 
 
 def validate_document(doc: dict, fields: list[Field],
-                      dirty_values: str = COERCE_OR_REJECT) -> dict:
-    """Validate & coerce `doc` in place against the schema; raises BadRequest."""
+                      dirty_values: str = COERCE_OR_REJECT,
+                      prefiltered: bool = False) -> dict:
+    """Validate & coerce `doc` in place against the schema; raises BadRequest.
+    `prefiltered=True` means the caller already removed dynamic/object/`.*`
+    entries (Collection._schema_plan caches that filter per schema)."""
     if not isinstance(doc, dict):
         raise BadRequest("Document is not a valid JSON object.")
     for f in fields:
-        if f.name == ".*" or f.is_dynamic or f.is_object:
+        if not prefiltered and (f.name == ".*" or f.is_dynamic or f.is_object):
             continue
         present = f.name in doc and doc[f.name] is not None
         if not present:
