@@ -289,6 +289,14 @@ class WhisperModel:
         fname = model_name.replace("ts/", "").replace("/", "-") + ".npz"
         path = os.path.join(models_dir, fname)
         if not os.path.exists(path):
+            # repo-shipped checkpoints (ts/whisper-mini trained from scratch
+            # by models/train_voice.py — the reference instead downloads
+            # ggml checkpoints at runtime, vq_model.h:39-51)
+            pkg = os.path.join(os.path.dirname(__file__), "checkpoints",
+                               model_name.replace("/", "_") + ".npz")
+            if os.path.exists(pkg):
+                path = pkg
+        if not os.path.exists(path):
             raise BadRequest(
                 f"Voice query model `{model_name}` is not available: no "
                 f"checkpoint at {path}. Convert a local HuggingFace Whisper "
