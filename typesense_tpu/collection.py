@@ -594,10 +594,17 @@ class Collection:
             eng = self._ensure_index()
         except Exception:  # noqa: BLE001 — empty/broken schema: nothing to warm
             return 0.0
-        terms = [t for t, tid in sorted(
-            self.seg_top_terms(eng), key=lambda kv: -kv[1])][:4]
+        ranked = sorted(self.seg_top_terms(eng), key=lambda kv: -kv[1])
+        terms = [t for t, _ in ranked][:4]
         if not terms:
             return 0.0
+        # mid-band terms (frequent but below the head-plane floor) drive
+        # the dense2 wide-scatter variant; top terms alone would only warm
+        # the all-head (SCB=0) signature added for them
+        n_docs = max(eng.N, 1)
+        head_floor = min(65536, max(n_docs // 8, 4096))
+        mids = [t for t, fr in ranked
+                if 2048 <= fr < head_floor and t not in terms][:2]
         string_fields = [f.name for f in self.fields
                          if f.type in ("string", "string[]") and f.index]
         if not string_fields:
@@ -617,6 +624,12 @@ class Collection:
             {"q": " ".join((terms * 2)[:2]), "prefix": "true",
              "num_typos": "2"},
         ]
+        if mids:
+            mixes.append({"q": f"{terms[0]} {mids[0]}", "prefix": "false",
+                          "num_typos": "0"})
+            mixes.append({"q": f"{terms[0]} {terms[1]} {mids[0]}"
+                          if len(terms) > 1 else f"{terms[0]} {mids[0]}",
+                          "prefix": "false", "num_typos": "0"})
         if facet_f:
             mixes.append({"q": terms[0], "prefix": "false", "num_typos": "0",
                           "facet_by": facet_f})
