@@ -306,3 +306,199 @@ def test_alter_added_embed_field_with_dangling_source_rejected(tmp_path):
         "fields": [{"name": "title", "drop": True},
                    {"name": "title", "type": "string"}]})
     assert code == 200, res
+
+
+def test_drop_specific_dynamic_materialized_field(tmp_path):
+    """Dropping one field that a dynamic pattern materialized keeps the
+    pattern itself alive for future docs
+    (collection_schema_change_test.cpp DropSpecificDynamicField)."""
+    store = Store(str(tmp_path / "dyn"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "dyn",
+        "fields": [{"name": ".*_int", "type": "int32", "facet": True}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/dyn/documents",
+                   body={"id": "0", "quantity_int": 1000})
+    assert code == 201
+    code, _ = call(s, "PATCH", "/collections/dyn", body={
+        "fields": [{"name": "quantity_int", "drop": True}]})
+    assert code == 200
+    # the pattern still matches new docs
+    code, _ = call(s, "POST", "/collections/dyn/documents",
+                   body={"id": "1", "year_int": 2020})
+    assert code == 201
+    code, res = call(s, "GET", "/collections/dyn/documents/search",
+                     query={"q": "*", "query_by": "",
+                            "filter_by": "year_int:2020"})
+    assert code == 200 and res["found"] == 1
+
+
+def test_add_dynamic_field_matching_multiple_fields(tmp_path):
+    """Alter-adding `.*_int` indexes every stored field the pattern matches
+    (collection_schema_change_test.cpp AddDynamicFieldMatchingMultipleFields)."""
+    store = Store(str(tmp_path / "dyn2"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "dyn2",
+        "fields": [{"name": "title", "type": "string"},
+                   {"name": "points", "type": "int32"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/dyn2/documents",
+                   body={"id": "0", "title": "The quick brown fox",
+                         "points": 100, "quantity_int": 1000,
+                         "year_int": 2020})
+    assert code == 201
+    code, _ = call(s, "PATCH", "/collections/dyn2", body={
+        "fields": [{"name": ".*_int", "type": "int32", "optional": True}]})
+    assert code == 200
+    for fexpr in ("quantity_int:1000", "year_int:2020"):
+        code, res = call(s, "GET", "/collections/dyn2/documents/search",
+                         query={"q": "*", "query_by": "",
+                                "filter_by": fexpr})
+        assert code == 200 and res["found"] == 1, (fexpr, res)
+
+
+def test_alter_primitive_to_string_star_and_back(tmp_path):
+    """string -> string* -> string round-trip keeps the data searchable
+    (collection_schema_change_test.cpp ChangeFromPrimitiveToDynamicField)."""
+    store = Store(str(tmp_path / "star"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "star",
+        "fields": [{"name": "tags", "type": "string"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/star/documents",
+                   body={"id": "0", "tags": "123"})
+    assert code == 201
+    for new_type in ("string*", "string"):
+        code, res = call(s, "PATCH", "/collections/star", body={
+            "fields": [{"name": "tags", "drop": True},
+                       {"name": "tags", "type": new_type, "facet": True}]})
+        assert code == 200, res
+        code, res = call(s, "GET", "/collections/star/documents/search",
+                         query={"q": "123", "query_by": "tags"})
+        assert code == 200 and res["found"] == 1, (new_type, res)
+
+
+def test_alter_primitive_to_auto_and_back(tmp_path):
+    """string -> auto -> string round-trip
+    (collection_schema_change_test.cpp ChangeFromPrimitiveToAutoField)."""
+    store = Store(str(tmp_path / "auto"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "aut",
+        "fields": [{"name": "tags", "type": "string"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/aut/documents",
+                   body={"id": "0", "tags": "123"})
+    assert code == 201
+    for new_type in ("auto", "string"):
+        code, res = call(s, "PATCH", "/collections/aut", body={
+            "fields": [{"name": "tags", "drop": True},
+                       {"name": "tags", "type": new_type}]})
+        assert code == 200, res
+        code, res = call(s, "GET", "/collections/aut/documents/search",
+                         query={"q": "123", "query_by": "tags"})
+        assert code == 200 and res["found"] == 1, (new_type, res)
+
+
+def test_drop_geopoint_array_add_optional_replacement(tmp_path):
+    """Dropping a geopoint[] field while adding an optional replacement in
+    one alter succeeds (collection_schema_change_test.cpp
+    DropGeoPointArrayField)."""
+    store = Store(str(tmp_path / "geo"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "geoc",
+        "fields": [{"name": "geoloc", "type": "geopoint[]"}]})
+    assert code == 201
+    for i in range(2):
+        code, _ = call(s, "POST", "/collections/geoc/documents",
+                       body={"id": str(i), "geoloc": [[10, 20]]})
+        assert code == 201
+    code, res = call(s, "PATCH", "/collections/geoc", body={
+        "fields": [{"name": "geoloc", "drop": True},
+                   {"name": "_geoloc", "type": "geopoint[]",
+                    "optional": True}]})
+    assert code == 200, res
+
+
+def test_add_field_with_existing_null_value_then_upsert(tmp_path):
+    """A stored null for a later-added optional field must not poison
+    upserts or filtering (collection_schema_change_test.cpp
+    AddingFieldWithExistingNullValue)."""
+    store = Store(str(tmp_path / "nul"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "nul",
+        "fields": [{"name": "title", "type": "string"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/nul/documents",
+                   body={"id": "0", "title": "Sample Title 1", "num": None})
+    assert code == 201
+    code, res = call(s, "PATCH", "/collections/nul", body={
+        "fields": [{"name": "num", "type": "int32", "optional": True}]})
+    assert code == 200, res
+    code, _ = call(s, "POST", "/collections/nul/documents",
+                   query={"action": "upsert"},
+                   body={"id": "0", "title": "Sample Title 1", "num": 100})
+    assert code == 201
+    code, res = call(s, "GET", "/collections/nul/documents/search",
+                     query={"q": "*", "query_by": "",
+                            "filter_by": "num:100"})
+    assert code == 200 and res["found"] == 1
+
+
+def test_alter_incompatible_existing_data_rejected(tmp_path):
+    """Adding a field whose stored values cannot coerce to the new type is
+    rejected atomically; dropping the bad field first unblocks it
+    (collection_schema_change_test.cpp DropIntegerFieldAndAddStringValues)."""
+    store = Store(str(tmp_path / "mix"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "mix",
+        "fields": [{"name": "title", "type": "string"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/mix/documents",
+                   body={"id": "0", "title": "Foo", "label": "hello"})
+    assert code == 201
+    # label holds a non-numeric string -> adding it as int32 must fail
+    code, res = call(s, "PATCH", "/collections/mix", body={
+        "fields": [{"name": "label", "type": "int32", "optional": True}]})
+    assert code == 400
+    assert "cannot be coerced" in res["message"]
+    # schema unchanged by the failed alter (atomicity)
+    code, res = call(s, "GET", "/collections/mix")
+    assert code == 200
+    assert [f["name"] for f in res["fields"]] == ["title"]
+    # adding it as string works
+    code, res = call(s, "PATCH", "/collections/mix", body={
+        "fields": [{"name": "label", "type": "string", "optional": True}]})
+    assert code == 200, res
+    code, res = call(s, "GET", "/collections/mix/documents/search",
+                     query={"q": "hello", "query_by": "label"})
+    assert code == 200 and res["found"] == 1
+
+
+def test_alter_coercible_existing_data_allowed(tmp_path):
+    """Numeric strings coerce into an added int field; alter validation
+    uses coercion semantics, not strict typing
+    (collection_schema_change_test.cpp ChangeFieldToCoercableTypeIsAllowed /
+    AlterValidationShouldNotRejectBadValues)."""
+    store = Store(str(tmp_path / "coer"))
+    s = make_server(store)
+    code, _ = call(s, "POST", "/collections", body={
+        "name": "coer",
+        "fields": [{"name": "title", "type": "string"}]})
+    assert code == 201
+    code, _ = call(s, "POST", "/collections/coer/documents",
+                   body={"id": "0", "title": "Foo", "year": "1999"})
+    assert code == 201
+    code, res = call(s, "PATCH", "/collections/coer", body={
+        "fields": [{"name": "year", "type": "int32", "optional": True}]})
+    assert code == 200, res
+    code, res = call(s, "GET", "/collections/coer/documents/search",
+                     query={"q": "*", "query_by": "",
+                            "filter_by": "year:1999"})
+    assert code == 200 and res["found"] == 1

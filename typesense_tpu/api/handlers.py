@@ -105,13 +105,49 @@ def patch_update_collection(server, req):
                     raise BadRequest(
                         f"Field `{src}` referenced in `embed.from` of field "
                         f"`{fj['name']}` does not exist in the schema.")
+    # existing stored data must be coercible into every ADDED field's type
+    # (the reference's validate_alter_payload re-validates stored docs,
+    # collection.cpp — DropIntegerFieldAndAddStringValues pins the error)
+    new_fields = [Field.from_json(fj) for fj in adds]
+    check = [f for f in new_fields
+             if f.index and f.type not in ("auto", "string*")
+             and not (f.name == ".*" or f.is_dynamic
+                      or f.is_object or f.embed or f.is_vector)]
+    if check and coll.docs:
+        from typesense_tpu.schema.validator import validate_document
+        for _seq, doc in coll.docs.items():
+            for f in check:
+                v = doc.get(f.name)
+                if v is None:
+                    continue
+                try:
+                    validate_document({f.name: v}, [f], "coerce_or_reject")
+                except BadRequest:
+                    art = "an" if f.type[:1] in "aio" else "a"
+                    raise BadRequest(
+                        "Schema change is incompatible with the type of "
+                        "documents already stored in this collection. "
+                        f"Existing data for field `{f.name}` cannot be "
+                        f"coerced into {art} {f.type}.") from None
     for name in drops:
         coll.fields = [f for f in coll.fields if f.name != name]
         coll.field_map.pop(name, None)
-    for fj in adds:
-        f = Field.from_json(fj)
+    for f in new_fields:
         coll.fields.append(f)
         coll.field_map[f.name] = f
+    # an alter-added dynamic pattern / auto field materializes concrete
+    # fields from every STORED doc, not just future ones
+    # (collection_schema_change_test.cpp AddDynamicFieldMatchingMultipleFields)
+    if coll.docs and any(f.is_dynamic or f.name == ".*" or f.type == "auto"
+                         for f in new_fields):
+        from typesense_tpu.schema.nested import materialize_dynamic_fields
+        for _seq, doc in coll.docs.items():
+            for nf in materialize_dynamic_fields(coll, doc):
+                if nf.name in coll.field_map:   # concrete-named auto/string*
+                    coll.fields = [f for f in coll.fields
+                                   if f.name != nf.name]
+                coll.fields.append(nf)
+                coll.field_map[nf.name] = nf
     # dropping a source field prunes it from dependent embed `from` lists;
     # an embed field whose last source drops is dropped with it
     # (schema_change_test.cpp DropFieldUsedForEmbedding)

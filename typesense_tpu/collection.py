@@ -237,6 +237,9 @@ class Collection:
             from typesense_tpu.schema.nested import materialize_dynamic_fields
             new_fields = materialize_dynamic_fields(self, doc)
             for nf in new_fields:
+                if nf.name in self.field_map:   # concrete-named auto/string*
+                    self.fields = [f for f in self.fields
+                                   if f.name != nf.name]
                 self.fields.append(nf)
                 self.field_map[nf.name] = nf
             if new_fields:
@@ -579,7 +582,39 @@ class Collection:
                 finally:
                     if hold_writes:
                         lock.release()
+            self._prewarm_joins()
         return self._engine
+
+    def _prewarm_joins(self):
+        """Build reference CSR maps right after an index rebuild instead of
+        on the first `$Coll(...)` query (reference_index is maintained
+        inline at index time, index.h:446): the key-map dict build is
+        O(corpus) host work, a multi-second stall when it lands inside a
+        query at 2.2M docs. No-op for collections without references."""
+        mgr = self.manager
+        if mgr is None:
+            return
+        from typesense_tpu.search.joins import _ref_csr
+        try:
+            for f in self.fields:
+                if not f.reference:
+                    continue
+                cname, _, kfield = f.reference.partition(".")
+                target = mgr.get_collection(cname)
+                if target is not None:
+                    _ref_csr(self, target, "forward", f.name, kfield or "id")
+            for other in list(mgr.collections.values()):
+                if other is self:
+                    continue
+                for f in other.fields:
+                    if not f.reference:
+                        continue
+                    cname, _, kfield = f.reference.partition(".")
+                    if cname == self.name:
+                        _ref_csr(self, other, "reverse", f.name,
+                                 kfield or "id")
+        except Exception:  # noqa: BLE001 — prewarm is best-effort
+            pass
 
     def warmup(self, log=None) -> float:
         """Precompile the common kernel-shape grid so first queries don't

@@ -81,7 +81,27 @@ def materialize_dynamic_fields(coll, doc: dict) -> list[Field]:
         flat.update(flatten_paths(doc))
     new_fields: list[Field] = []
     for key, value in flat.items():
-        if key == "id" or key in coll.field_map:
+        if key == "id":
+            continue
+        cur = coll.field_map.get(key)
+        if cur is not None and not (cur.is_auto or cur.type == ftypes.STRING_STAR):
+            continue
+        if cur is not None:
+            # a concrete-NAMED auto/string* field types itself from the
+            # first value seen (reference keeps the dynamic entry plus a
+            # materialized concrete field of the same name; we replace)
+            if cur.is_auto:
+                ft = infer_type(value)
+            else:
+                ft = (ftypes.STRING_ARRAY if isinstance(value, list)
+                      else ftypes.STRING)
+            if ft is None:
+                continue
+            new_fields.append(Field(
+                name=key, type=ft, facet=cur.facet, optional=True,
+                index=cur.index, sort=cur.sort if cur.sort else None,
+                infix=cur.infix, locale=cur.locale,
+                nested=("." in key and coll.enable_nested_fields)))
             continue
         if isinstance(value, dict) or value is None:
             continue
