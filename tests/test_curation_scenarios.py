@@ -73,12 +73,23 @@ def test_exact_match_include_pins(srv):
 def test_contains_match(srv):
     _put_set(srv, [{
         "id": "c",
+        "rule": {"query": "sneakers", "match": "contains"},
+        "includes": [{"id": "2", "position": 1}]}])
+    res = search(srv, q="best sneakers")
+    # 'sneakers' contained as a WORD in the query -> rule fires; doc 2
+    # pinned even though 'best' matches nothing
+    assert "2" in ids(res) and ids(res)[0] == "2"
+
+
+def test_contains_is_word_boundary(srv):
+    # StringUtils::contains_word: 'sneak' is NOT a word of 'best sneakers',
+    # so the rule must not fire (substring match would be wrong)
+    _put_set(srv, [{
+        "id": "c2",
         "rule": {"query": "sneak", "match": "contains"},
         "includes": [{"id": "2", "position": 1}]}])
     res = search(srv, q="best sneakers")
-    # 'sneak' contained in query -> rule fires; doc 2 pinned even though
-    # 'best' matches nothing (curated doc rides above organic results)
-    assert "2" in ids(res) and ids(res)[0] == "2"
+    assert ids(res)[0] != "2"
 
 
 def test_excludes_hide_doc(srv):
@@ -119,6 +130,21 @@ def test_enable_overrides_false_skips_rules(srv):
 
 
 def test_multiple_rules_combine(srv):
+    # stop_processing defaults TRUE (curation.h:40): rule `a` must opt out
+    # for rule `b` to also apply
+    _put_set(srv, [
+        {"id": "a", "rule": {"query": "sneakers", "match": "exact"},
+         "includes": [{"id": "3", "position": 1}],
+         "stop_processing": False},
+        {"id": "b", "rule": {"query": "sneakers", "match": "exact"},
+         "excludes": [{"id": "1"}]},
+    ])
+    res = search(srv)
+    assert ids(res)[0] == "3"
+    assert "1" not in ids(res)
+
+
+def test_stop_processing_default_halts(srv):
     _put_set(srv, [
         {"id": "a", "rule": {"query": "sneakers", "match": "exact"},
          "includes": [{"id": "3", "position": 1}]},
@@ -127,7 +153,7 @@ def test_multiple_rules_combine(srv):
     ])
     res = search(srv)
     assert ids(res)[0] == "3"
-    assert "1" not in ids(res)
+    assert "1" in ids(res)  # rule b never ran
 
 
 def test_item_crud_roundtrip(srv):
@@ -234,3 +260,145 @@ def test_curation_tags_select_rules(srv):
     # enable_curations=false skips everything
     res = search(srv, enable_curations="false")
     assert ids(res)[0] == "0"
+
+
+# --- dynamic filtering ({field} placeholders), static sorting, metadata ---
+# reference collection_curation_test.cpp DynamicFilteringExactMatchBasics /
+# StaticFiltering / StaticSorting / MetadataValidation / BothFilterByAndQueryMatch
+
+@pytest.fixture()
+def dsrv(tmp_path):
+    s = make_server(Store(str(tmp_path / "db2")))
+    call(s, "POST", "/collections", body={
+        "name": "prods",
+        "fields": [{"name": "name", "type": "string"},
+                   {"name": "category", "type": "string", "facet": True},
+                   {"name": "brand", "type": "string", "facet": True},
+                   {"name": "points", "type": "int32"}],
+        "default_sorting_field": "points",
+        "metadata": {"curation_sets": ["index"]}})
+    for d in [
+        {"id": "0", "name": "Amazing Shoes", "category": "shoes",
+         "brand": "Nike", "points": 3},
+        {"id": "1", "name": "Track Gym", "category": "shoes",
+         "brand": "Adidas", "points": 5},
+        {"id": "2", "name": "Running Shoes", "category": "sports",
+         "brand": "Nike", "points": 5},
+    ]:
+        call(s, "POST", "/collections/prods/documents", body=d)
+    return s
+
+
+def _put_index_set(s, items):
+    code, body = call(s, "PUT", "/curation_sets/index",
+                      body={"items": items})
+    assert code == 200, body
+
+
+def dsearch(s, q, **params):
+    code, res = call(s, "GET", "/collections/prods/documents/search",
+                     query={"q": q, "query_by": "name,category,brand",
+                            "prefix": "false", "num_typos": "0",
+                            "sort_by": "_text_match:desc,points:desc",
+                            **params})
+    assert code == 200, res
+    return res
+
+
+DYN_RULES = [
+    {"id": "dynamic-cat-filter",
+     "rule": {"query": "{category}", "match": "exact"},
+     "remove_matched_tokens": True,
+     "filter_by": "category: {category}"},
+    {"id": "dynamic-brand-cat-filter",
+     "rule": {"query": "{brand} {category}", "match": "exact"},
+     "remove_matched_tokens": True,
+     "filter_by": "category: {category} && brand: {brand}"},
+    {"id": "dynamic-brand-filter",
+     "rule": {"query": "{brand}", "match": "exact"},
+     "remove_matched_tokens": True,
+     "filter_by": "brand: {brand}",
+     "includes": [{"id": "0", "position": 1}]},
+]
+
+
+def test_dynamic_filtering_category_placeholder(dsrv):
+    _put_index_set(dsrv, DYN_RULES)
+    # 'shoes' binds {category}; matched tokens removed -> wildcard over
+    # filter category:shoes, sorted by points desc -> [1, 0]
+    res = dsearch(dsrv, "shoes")
+    assert ids(res) == ["1", "0"], res
+
+
+def test_dynamic_filtering_brand_and_category(dsrv):
+    _put_index_set(dsrv, DYN_RULES)
+    # 'adidas shoes': first rule fails exact resolution ('adidas' is not a
+    # category), second binds brand+category -> only doc 1
+    res = dsearch(dsrv, "adidas shoes")
+    assert ids(res) == ["1"], res
+
+
+def test_dynamic_filtering_with_include(dsrv):
+    _put_index_set(dsrv, DYN_RULES)
+    # 'adidas' binds {brand}; the rule also pins doc 0 at position 1
+    res = dsearch(dsrv, "adidas")
+    assert ids(res) == ["0", "1"], res
+
+
+def test_dynamic_filtering_nonexact_query_no_match(dsrv):
+    _put_index_set(dsrv, DYN_RULES)
+    # 'running shoes': 'running' is not a category/brand value -> no rule
+    # resolves -> unfiltered results
+    res = dsearch(dsrv, "running shoes", drop_tokens_threshold="10")
+    assert res["found"] == 3, res
+
+
+def test_static_filtering_with_remove_matched_tokens(dsrv):
+    # reference StaticFilterWithAndWithoutQueryStringMutation
+    _put_index_set(dsrv, [{
+        "id": "static-brand",
+        "rule": {"query": "really amazing shoes", "match": "contains"},
+        "remove_matched_tokens": True,
+        "filter_by": "category: shoes"}])
+    res = dsearch(dsrv, "really amazing shoes")
+    # rule tokens stripped -> wildcard over category:shoes
+    assert sorted(ids(res)) == ["0", "1"], res
+
+
+def test_curation_metadata_in_response(dsrv):
+    # reference MetadataValidation: matching rule's metadata rides the
+    # search response under `metadata`
+    _put_index_set(dsrv, [{
+        "id": "meta-rule",
+        "rule": {"query": "shoes", "match": "contains"},
+        "metadata": {"message": "buy more shoes!"},
+        "includes": [{"id": "2", "position": 1}]}])
+    res = dsearch(dsrv, "amazing shoes")
+    assert res.get("metadata") == {"message": "buy more shoes!"}, res
+
+
+def test_static_sorting_override(dsrv):
+    # reference StaticSorting: the rule's sort_by replaces the search sort
+    _put_index_set(dsrv, [{
+        "id": "sort-rule",
+        "rule": {"query": "shoes", "match": "contains"},
+        "sort_by": "points:asc"}])
+    res = dsearch(dsrv, "amazing shoes")
+    pts = [h["document"]["points"] for h in res["hits"]]
+    assert pts == sorted(pts), res
+
+
+def test_rule_filter_by_is_a_condition(dsrv):
+    # reference BothFilterByAndQueryMatch: rule.filter_by must EQUAL the
+    # incoming filter_by param for the rule to fire
+    _put_index_set(dsrv, [{
+        "id": "cond-rule",
+        "rule": {"query": "shoes", "match": "contains",
+                 "filter_by": "brand: Nike"},
+        "includes": [{"id": "2", "position": 1}]}])
+    # without the filter param: rule must NOT fire
+    res = dsearch(dsrv, "amazing shoes")
+    assert ids(res)[0] != "2", res
+    # with the exact filter param: rule fires and pins doc 2
+    res = dsearch(dsrv, "amazing shoes", filter_by="brand: Nike")
+    assert ids(res)[0] == "2", res

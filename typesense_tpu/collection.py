@@ -1249,6 +1249,9 @@ class Collection:
             hidden_ids.add(did.strip())
         # enable_curations is the newer alias of enable_overrides
         # (collection.h ENABLE_CURATIONS); either disables curation rules
+        curated_sort_by = None
+        curation_metadata = None
+        curated_filter_flag = False
         if self.manager is not None and \
                 _as_bool(params.get("enable_overrides"), True) and \
                 _as_bool(params.get("enable_curations"), True):
@@ -1257,18 +1260,86 @@ class Collection:
             if cur_sets:
                 ctags = tuple(_as_list(params.get("curation_tags")) or
                               _as_list(params.get("override_tags")))
-                for rule in self.manager.curations.matching_rules(
-                        str(q), cur_sets, tags=ctags):
-                    for inc in rule.get("includes", []):
+                from typesense_tpu.search import curation as cur_mod
+                q_norm = cur_mod.normalize_rule_query(str(q))
+                q_tokens = q_norm.split()
+                known_fields = set(self.field_map)
+                for it in self.manager.curations.candidate_rules(
+                        cur_sets, tags=ctags):
+                    rule = it.get("rule", {})
+                    rq = cur_mod.normalize_rule_query(rule.get("query", ""))
+                    match = rule.get("match")
+                    rfb = str(rule.get("filter_by", "") or "")
+                    tags_only = bool(rule.get("tags")) and not rq and not rfb
+                    dynamic = "{" in rq and "}" in rq
+                    bound: dict = {}
+                    absorbed: set = set()
+                    if tags_only and ctags:
+                        matched = True
+                    elif dynamic:
+                        res = cur_mod.resolve_dynamic_query(
+                            engine, rq.split(), q_tokens,
+                            exact=(match == "exact"),
+                            known_fields=known_fields)
+                        matched = res is not None
+                        if matched:
+                            bound, absorbed = res
+                    else:
+                        fb_match = (not rq and not match and rfb
+                                    and rfb == str(filter_by or ""))
+                        query_match = (
+                            (match == "exact" and q_norm == rq) or
+                            (match == "contains"
+                             and cur_mod.contains_word(q_norm, rq)))
+                        matched = fb_match or query_match
+                        # a rule-level filter_by is a CONDITION on the
+                        # incoming filter param (does_curation_match,
+                        # collection.cpp:919)
+                        if matched and rfb and rfb != str(filter_by or ""):
+                            matched = False
+                    if not matched:
+                        continue
+                    for inc in it.get("includes", []):
                         pinned_ids.append((inc.get("position", 1), inc["id"]))
-                    for exc in rule.get("excludes", []):
+                    for exc in it.get("excludes", []):
                         hidden_ids.add(exc["id"])
-                    if rule.get("filter_by"):
-                        extra = rule["filter_by"]
-                        filter_by = (f"({filter_by}) && ({extra})"
-                                     if filter_by else extra)
-                    if rule.get("replace_query"):
-                        q = rule["replace_query"]
+                    if it.get("filter_by"):
+                        extra = cur_mod.substitute_placeholders(
+                            it["filter_by"], bound) if dynamic \
+                            else it["filter_by"]
+                        if extra:
+                            filter_by = (f"({filter_by}) && ({extra})"
+                                         if filter_by else extra)
+                    if it.get("sort_by"):
+                        sb = cur_mod.substitute_placeholders(
+                            it["sort_by"], bound) if dynamic \
+                            else it["sort_by"]
+                        if sb:
+                            curated_sort_by = sb
+                    if it.get("replace_query"):
+                        q = it["replace_query"]
+                        q_norm = cur_mod.normalize_rule_query(str(q))
+                        q_tokens = q_norm.split()
+                    elif it.get("remove_matched_tokens"):
+                        strip = absorbed if dynamic else set(rq.split())
+                        q_tokens = cur_mod.remove_matched_tokens(
+                            q_tokens, strip)
+                        q = "*" if q_tokens == ["*"] else " ".join(q_tokens)
+                        q_norm = cur_mod.normalize_rule_query(str(q))
+                    if it.get("filter_curated_hits"):
+                        curated_filter_flag = True
+                    if curation_metadata is None and it.get("metadata"):
+                        curation_metadata = it["metadata"]
+                    # first matching rule halts further processing unless
+                    # explicitly told otherwise (curation_t stop_processing
+                    # defaults true, curation.h:40)
+                    if it.get("stop_processing", True):
+                        break
+                if curated_sort_by:
+                    sort_slots = self._parse_sort_by(
+                        curated_sort_by, is_wildcard=(q == "*"),
+                        engine=engine)
+                    params = {**params, "sort_by": curated_sort_by}
         pinned_ids = [d for _, d in sorted(pinned_ids, key=lambda x: x[0])] \
             if pinned_ids else []
 
@@ -1421,7 +1492,8 @@ class Collection:
         if pinned_ids or hidden_ids:
             eff_pinned = pinned_ids
             if pinned_ids and filter_by and \
-                    _as_bool(params.get("filter_curated_hits")):
+                    (curated_filter_flag or
+                     _as_bool(params.get("filter_curated_hits"))):
                 fm0 = self._filter_mask_for(engines[0], filter_by,
                                             max_filter_by_candidates=mfbc,
                                             validate=vfn)
@@ -1481,6 +1553,8 @@ class Collection:
             return self.search({**params, "_group_k": 16384})
         resp["search_time_ms"] = int((time.monotonic() - t0) * 1000)
         resp["search_cutoff"] = time.monotonic() > self._deadline
+        if curation_metadata is not None:
+            resp["metadata"] = curation_metadata
         # exclude_fields can also drop response-level meta keys
         # (MustExcludeOutOf: exclude_fields=out_of)
         for meta in ("out_of", "search_time_ms", "found"):

@@ -224,6 +224,43 @@ class CurationSetManager:
         if self.store is not None:
             self.store.remove(f"{CURATION_PREFIX}_{name}")
 
+    def candidate_rules(self, set_names: list[str],
+                        tags: tuple = ()) -> list[dict]:
+        """Tag- and activity-window-filtered rule items in set order; query
+        matching (static/dynamic) happens in the collection, which owns the
+        engine needed for placeholder binding (curate_results tag selection,
+        collection.cpp:1056-1124)."""
+        import time as _time
+        now = int(_time.time())
+        tag_set = set(tags)
+        items = []
+        for name in set_names:
+            s = self.sets.get(name)
+            if s:
+                items.extend(s["items"])
+        if tag_set:
+            exact = [it for it in items
+                     if set(it.get("rule", {}).get("tags", [])) == tag_set]
+            if len(tag_set) > 1 and exact:
+                items = exact
+            else:
+                items = [it for it in items
+                         if set(it.get("rule", {}).get("tags", [])) & tag_set
+                         or it.get("rule", {}).get("tags") == ["*"]]
+        else:
+            items = [it for it in items
+                     if not it.get("rule", {}).get("tags")
+                     or it["rule"]["tags"] == ["*"]]
+        out = []
+        for it in items:
+            frm = it.get("effective_from_ts", -1)
+            to = it.get("effective_to_ts")
+            if (frm is not None and frm >= 0 and now < int(frm)) or \
+                    (to is not None and now > int(to)):
+                continue
+            out.append(it)
+        return out
+
     def matching_rules(self, q: str, set_names: list[str],
                        tags: tuple = ()) -> list[dict]:
         """Rules whose query condition matches `q` (override_t semantics,
