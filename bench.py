@@ -200,9 +200,12 @@ def main():
         res = coll.add_many(docs[i:i + B])
         bad = [r for r in res if not r.get("success")]
         assert not bad, bad[:1]
+    import_s = time.time() - t0
     engine = coll._ensure_index()
     build_s = time.time() - t0
     RESULTS["build_s"] = round(build_s, 1)
+    RESULTS["import_s"] = round(import_s, 1)
+    RESULTS["index_s"] = round(build_s - import_s, 1)
     shutil.rmtree(store_dir, ignore_errors=True)
 
     def seg_bytes(seg):
@@ -256,8 +259,11 @@ def main():
             [" ".join(rng.sample(head[:50], 3)) for _ in range(6)])
     deadline = T_START + BUDGET_S - 60
     n_warm = 0
-    for wq in warm + queries:
+    warm_all = warm + queries
+    warm_cut = False
+    for wq in warm_all:
         if time.time() >= deadline:
+            warm_cut = True
             note(f"warmup cut short by budget after {n_warm} queries")
             break
         try:
@@ -265,7 +271,33 @@ def main():
         except Exception as e:  # noqa: BLE001
             note(f"warm error: {e}")
         n_warm += 1
-    note(f"warmup={time.time() - t0:.1f}s")
+    warmup_s = time.time() - t0
+    RESULTS["warmup_s"] = round(warmup_s, 1)
+    note(f"warmup={warmup_s:.1f}s")
+    # WARMTH VERIFICATION (round-4 postmortem: compiles inside the timed
+    # window produced a 4.2-QPS headline that measured XLA, not the engine).
+    # A re-run of a handful of already-warmed queries must be compile-free
+    # fast; if not — or warmup was cut short — the timed sections are
+    # SKIPPED and the emitted record carries cold_cache=1 + qps 0 so a
+    # polluted number can never become the headline.
+    probe = [q for q in queries[:8]]
+    t0 = time.time()
+    for q in probe:
+        try:
+            coll.search({**params, "q": q})
+        except Exception as e:  # noqa: BLE001
+            note(f"probe error: {e}")
+    probe_ms = (time.time() - t0) * 1000 / max(len(probe), 1)
+    RESULTS["warm_probe_ms"] = round(probe_ms, 1)
+    if warm_cut or probe_ms > 1000:
+        RESULTS["cold_cache"] = 1
+        note(f"COLD CACHE (warm_cut={warm_cut} probe={probe_ms:.0f}ms) — "
+             f"timed sections skipped; run bench again with a warm "
+             f".jax_cache for a valid headline")
+        if os.environ.get("BENCH_EXTRAS", "1") != "0" and remaining() > 120:
+            run_extra_configs(coll, queries, rng, conc)
+        emit()
+        return
 
     # batch-tier warm: concurrent same-signature waves make the query
     # coalescer start its background vmapped-tier compiles; wait for them
@@ -288,26 +320,51 @@ def main():
         t = time.perf_counter()
         coll.search({**params, "q": q})
         lats.append((time.perf_counter() - t) * 1000)
-        if remaining() < 45 and len(lats) >= 50:
+        if remaining() < 45:
             break
     lats.sort()
-    RESULTS["p50_ms"] = round(lats[len(lats) // 2], 3)
-    RESULTS["p99_ms"] = round(lats[int(len(lats) * 0.99)], 3)
+    if len(lats) >= 30:
+        RESULTS["p50_ms"] = round(lats[len(lats) // 2], 3)
+        RESULTS["p99_ms"] = round(lats[int(len(lats) * 0.99)], 3)
+    else:
+        note(f"single-stream section under-sampled ({len(lats)}) — skipped")
 
     # concurrent throughput (headline — matches the reference's published
     # "104 concurrent QPS" config on 2.2M recipes / 4 vCPUs, BASELINE.md):
-    # in-flight queries pipeline over the tunnel, hiding the RTT.
-    def worker(qs):
+    # in-flight queries pipeline over the tunnel, hiding the RTT. The loop
+    # is deadline-gated: workers stop when the budget runs dry and QPS is
+    # computed over COMPLETED queries only (round-4's unguarded loop let
+    # compile stalls burn the whole budget inside the timed window).
+    if remaining() < 20:
+        note("no budget left for the concurrent section — headline omitted")
+        RESULTS["cold_cache"] = 1
+        emit()
+        return
+    import threading
+    done_n = [0] * conc
+    c_deadline = time.time() + max(remaining() - 15, 10)
+
+    def worker(wi):
+        qs = queries[wi::conc]
         for q in qs:
+            if time.time() >= c_deadline:
+                return
             coll.search({**params, "q": q})
-    chunks = [queries[i::conc] for i in range(conc)]
+            done_n[wi] += 1
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=conc) as ex:
-        list(ex.map(worker, chunks))
-    qps = len(queries) / (time.time() - t0)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    n_done = sum(done_n)
+    qps = n_done / (time.time() - t0)
+    if n_done < len(queries):
+        RESULTS["concurrent_completed"] = n_done
     RESULTS["_qps"] = qps
 
-    note(f"p50={RESULTS['p50_ms']:.2f}ms p99={RESULTS['p99_ms']:.2f}ms "
+    note(f"p50={RESULTS.get('p50_ms', -1):.2f}ms "
+         f"p99={RESULTS.get('p99_ms', -1):.2f}ms "
          f"qps(c={conc})={qps:.1f} t={time.time() - T_START:.0f}s")
     note(f"batcher={QUERY_BATCHER.stats()}")
 
