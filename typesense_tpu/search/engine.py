@@ -570,7 +570,195 @@ class IndexEngine:
             prep["hrow"] = hrow if HPF else np.zeros(0, np.int64)
             prep["hcost"] = hcost if HPF else np.zeros(0, np.int64)
             prep["token_valid"] = token_valid
+            # host-rescore protocol inputs (heavy docs come back as ids;
+            # the engine rescores them exactly on the host)
+            prep["cand_starts"] = cand_starts
+            prep["cand_ends"] = cand_ends
+            prep["cand_costs"] = cand_costs
+            prep["weights"] = weights
+            prep["exclude_flags"] = tuple(exclude_flags)
         return prep
+
+    def _host_rescore_heavy(self, prep, doc_ids, slot_kinds, slot_signs,
+                            cols, match_type, ptp, prioritize_exact,
+                            prioritize_num_fields, exclude_flags):
+        """Exact rescore of heavy docs on the HOST — the other half of the
+        dense2 kernel's heavy-out protocol. Heavy docs (meta64 can't hold
+        all their positions) are ~0.04% of postings; walking their CSR
+        positions here costs microseconds where the in-kernel walk cost
+        ~9.5 ms of device time per query (two ~21-step sequential wide
+        binary-search chains). Scoring reuses the SAME ops.match functions
+        as the device kernels (bit-identical packing), run on the CPU
+        backend. Returns (k0, k1, k2) int64 arrays aligned with doc_ids.
+        """
+        seg = self.seg
+        d = np.asarray(doc_ids, np.int64)
+        H = len(d)
+        cs, ce = prep["cand_starts"], prep["cand_ends"]
+        cc = prep["cand_costs"]
+        Q, Fq, C = cs.shape
+        P = MAX_POS_PER_POSTING
+        post = seg.post_doc_ids
+        fnd = np.zeros((Q, Fq, C, H), bool)
+        pidx = np.zeros((Q, Fq, C, H), np.int64)
+        for q in range(Q):
+            for f in range(Fq):
+                for c in range(C):
+                    s0, e0 = int(cs[q, f, c]), int(ce[q, f, c])
+                    if e0 <= s0 or cc[q, c] >= 255:
+                        continue
+                    ix = s0 + np.searchsorted(post[s0:e0], d)
+                    ok = ix < e0
+                    ok &= post[np.minimum(ix, len(post) - 1)] == d
+                    pidx[q, f, c] = ix
+                    fnd[q, f, c] = ok
+        excl = np.zeros((Q, 1), bool)
+        for qi, ex in enumerate(exclude_flags[:Q]):
+            excl[qi, 0] = bool(ex)
+        tvalid = np.asarray(prep["token_valid"][:Q], bool)
+        tv = tvalid[:, None] & ~excl
+        tok_field = fnd.any(axis=2)                    # (Q, Fq, H)
+        tok_any = tok_field.any(axis=1)                # (Q, H)
+        tok_field = tok_field & ~excl[:, :, None]
+        cost_qc = np.where(fnd, cc[:, None, :, None], 255)
+        mc = cost_qc.min(axis=(1, 2))                  # (Q, H)
+        tc = np.where(tok_any & tv, mc, 0).sum(axis=0)
+        first_c = fnd.argmax(axis=2)
+        sp = np.take_along_axis(pidx, first_c[:, :, None, :],
+                                axis=2)[:, :, 0]       # (Q, Fq, H)
+        query_len = (tok_any & tv).sum(axis=0)
+
+        from typesense_tpu.index.artifacts import MAX_POS, POS_BITS
+        from typesense_tpu.ops.match import match_components
+        pos_offsets, positions = seg.pos_offsets, seg.positions
+        post_flags = seg.post_flags
+        fis = prep["fis"]
+        ftc = seg.field_token_counts[
+            np.clip(d, 0, self.N - 1)][:, [max(fi, 0) for fi in fis]]
+        weights = prep["weights"]
+        cpu = jax.devices("cpu")[0]
+        single_token = Q == 1
+        with jax.default_device(cpu):
+            best_score = jnp.zeros(H, jnp.int64)
+            best_weight = jnp.zeros(H, jnp.int64)
+            for f in range(Fq):
+                mf = tok_field[:, f]                   # (Q, H)
+                gp = np.clip(sp[:, f], 0, len(pos_offsets) - 2)
+                base = pos_offsets[gp]
+                cnt = pos_offsets[gp + 1] - base
+                cnt = np.where(mf, cnt, 0)
+                moff = np.zeros(H, np.int32)
+                if single_token:
+                    wp = jnp.ones(H, jnp.int32)
+                    dist = jnp.zeros(H, jnp.int32)
+                    banchor = None
+                    if ptp:
+                        lidx = np.clip(base + cnt - 1, 0,
+                                       len(positions) - 1)
+                        moff = np.where(
+                            mf, np.minimum(positions[lidx], 255),
+                            255).min(axis=0).astype(np.int32)
+                else:
+                    pidx2 = base[:, :, None] + np.arange(P)
+                    pvalid = np.arange(P)[None, None, :] < cnt[:, :, None]
+                    pos = np.where(
+                        pvalid,
+                        positions[np.clip(pidx2, 0, len(positions) - 1)], 0)
+                    pos = pos.transpose(1, 0, 2)       # (H, Q, P)
+                    pv = pvalid.transpose(1, 0, 2)
+                    wp, dist, moffj, banchor = match_components(
+                        jnp.asarray(pos, jnp.int32), jnp.asarray(pv),
+                        jnp.asarray(mf.T))
+                    if ptp:
+                        moff = np.asarray(moffj)
+                uw = mf.sum(axis=0).astype(np.int32)
+                single = uw <= 1
+                wp = jnp.where(jnp.asarray(single), 1, wp)
+                dist = jnp.where(jnp.asarray(single), 0, dist)
+                flags = post_flags[np.clip(sp[:, f], 0,
+                                           len(post_flags) - 1)]
+                last_q = ((flags & 1) > 0) & mf
+                has_last = last_q.any(axis=0)
+                total_off = np.where(mf, cnt, 0).sum(axis=0)
+                ftc_f = ftc[:, f]
+                if prioritize_exact:
+                    hl = jnp.asarray(has_last)
+                    exact_multi = (hl & jnp.asarray(ftc_f == uw) &
+                                   (((jnp.asarray(total_off == uw)) &
+                                     (dist == jnp.asarray(uw) - 1)) |
+                                    (dist < jnp.asarray(uw) - 1)))
+                    if not single_token:
+                        belem = (banchor >> POS_BITS)[:, None, None]
+                        posj = jnp.asarray(pos, jnp.int32)
+                        pvj = jnp.asarray(pv)
+                        occ_e = pvj & ((posj >> POS_BITS) == belem) & \
+                            jnp.asarray(mf.T)[:, :, None]
+                        tok_e = jnp.any(occ_e, axis=2)
+                        n_e = jnp.sum(tok_e, axis=1).astype(jnp.int32)
+                        total_e = jnp.sum(occ_e, axis=(1, 2)).astype(
+                            jnp.int32)
+                        off_e = jnp.where(occ_e, posj & MAX_POS, -1)
+                        maxoff_e = jnp.max(jnp.max(off_e, axis=2), axis=1)
+                        minoff_e = jnp.min(jnp.min(
+                            jnp.where(occ_e, posj & MAX_POS, 1 << 30),
+                            axis=2), axis=1)
+                        mo_q = jnp.max(off_e, axis=2)
+                        flag_ok = jnp.any(
+                            tok_e & jnp.asarray(last_q.T) &
+                            (mo_q == (n_e - 1)[:, None]), axis=1)
+                        exact_elem = ((minoff_e == 0) & (total_e == n_e) &
+                                      (maxoff_e == n_e - 1) & flag_ok &
+                                      (n_e == wp) & (dist == n_e - 1))
+                        exact_multi = exact_multi | exact_elem
+                    exact_single = jnp.asarray(
+                        has_last & (ftc_f == 1) & (tc == 0) &
+                        (tv.sum() == 1))
+                    exact = jnp.where(jnp.asarray(single), exact_single,
+                                      exact_multi).astype(jnp.int32)
+                else:
+                    exact = jnp.zeros(H, jnp.int32)
+                if ptp:
+                    off_score = 255 - jnp.clip(jnp.asarray(moff), 0, 255)
+                else:
+                    off_score = jnp.zeros(H, jnp.int32)
+                fs = kernels.pack_field_score(
+                    wp, jnp.asarray(uw), jnp.asarray(tc, jnp.int32), dist,
+                    exact, off_score, jnp.ones(H, jnp.int32))
+                fs = jnp.where(jnp.asarray(mf.any(axis=0)), fs, 0)
+                w64 = jnp.int64(int(weights[f]))
+                if match_type == 1:
+                    better = (fs > 0) & (w64 > best_weight)
+                    best_score = jnp.where(better, fs, best_score)
+                    best_weight = jnp.where(better, w64, best_weight)
+                elif match_type == 2:
+                    best_score = best_score + w64 * fs
+                else:
+                    better = fs > best_score
+                    best_weight = jnp.where(better, w64, best_weight)
+                    best_score = jnp.maximum(best_score, fs)
+            if prioritize_num_fields:
+                nmf = jnp.asarray(
+                    tok_field.any(axis=0).sum(axis=0).astype(np.int32))
+            else:
+                nmf = jnp.zeros(H, jnp.int32)
+            ql = jnp.where(best_score > 0,
+                           jnp.minimum(jnp.asarray(query_len), 15), 0)
+            text_match = np.asarray(kernels.pack_aggregated_score(
+                ql, best_score, best_weight, nmf, match_type))
+
+        def slot_key(i):
+            kind, sign = slot_kinds[i], slot_signs[i]
+            if kind == kernels.SLOT_TEXT:
+                return text_match
+            if kind == kernels.SLOT_COLUMN:
+                vals = np.asarray(jax.device_get(
+                    cols[i][jnp.asarray(np.clip(d, 0, self.N - 1))]))
+                return np.clip(vals, -(2**61), 2**61) * sign
+            if kind == kernels.SLOT_SEQ_ID:
+                return d * sign
+            return np.zeros(H, np.int64)
+
+        return slot_key(0), slot_key(1), slot_key(2)
 
     def keyword_search(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
                        field_names: list[str], field_weights: list[int],
@@ -640,13 +828,19 @@ class IndexEngine:
             # per-query heavy-length bucket into the statics forked up to
             # 7 spurious compile signatures per Q (each ~40-90s through
             # the tunnel) for byte-identical programs.
+            # per-field array-ness lets the kernel skip the per-element
+            # verbatim pass for single-value fields (where whole-field
+            # coverage already implies it)
+            fia = tuple(bool(self.fields[fn].is_array)
+                        if fn in self.fields else True
+                        for fn in field_names)
             static = (Q, Fq, C, prep["HPF"], SCB, prep["SCBB"], prep["SSB"],
                       K, 1024, MAX_POS_PER_POSTING, self._iters,
                       tuple(slot_kinds), tuple(slot_signs), prioritize_exact,
                       prioritize_num_fields, len(facet_fields), f_sizes,
                       tuple(exclude_flags), self.N, pack2, match_type,
                       prioritize_token_position, 1024,
-                      prep["CAP_M"])
+                      prep["CAP_M"], fia, True)
             kern = kernels.build_dense2_kernel(*static)
             pre = (self.dev.post_doc_ids, self.dev.post_meta,
                    self.dev.pos_offsets, self.dev.positions, ftc_dev,
@@ -669,6 +863,16 @@ class IndexEngine:
                 out = fn(*pre, stacked, *post, heavy_ids=heavy)
                 return [out[i] for i in range(len(qbufs))]
 
+            _rep = int(_os.environ.get("TS_PROF_REPEAT", "0"))
+            if _rep:
+                import time as _t
+                jax.block_until_ready(solo_call(prep["qbuf"]))
+                t0 = _t.perf_counter()
+                for _ in range(_rep):
+                    buf = solo_call(prep["qbuf"])
+                jax.block_until_ready(buf)
+                import typesense_tpu.search.engine as _E
+                _E.LAST_DEV_MS = (_t.perf_counter() - t0) * 1000 / _rep
             if DENSE2_BATCH:
                 # same-signature concurrent queries coalesce into one
                 # batched dispatch; arrays ride by identity (index-cached
@@ -680,8 +884,40 @@ class IndexEngine:
                                         build_batched, batched_call)
             else:
                 buf = solo_call(prep["qbuf"])
-            rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
-                buf, K, f_sizes)
+            rid, r0, r1, r2, found, f_acc, h_ids, nh = \
+                kernels.unpack_result(buf, K, f_sizes, heavy_out=True)
+            if nh > len(h_ids):
+                # heavy-out paging: re-dispatch the SAME program with the
+                # cursor below the last returned id until all nh eligible
+                # heavy docs are in hand (h_ids come back id-descending)
+                coll = [h_ids]
+                got = len(h_ids)
+                while got < nh and len(coll[-1]):
+                    qb = np.array(prep["qbuf"], copy=True)
+                    qb[-1] = int(coll[-1].min())
+                    buf2 = solo_call(qb)
+                    _, _, _, _, _, _, h2, nh2 = kernels.unpack_result(
+                        buf2, K, f_sizes, heavy_out=True)
+                    if not len(h2):
+                        break
+                    coll.append(h2)
+                    got += len(h2)
+                h_ids = np.concatenate(coll)
+            if len(h_ids):
+                hk0, hk1, hk2 = self._host_rescore_heavy(
+                    prep, h_ids, slot_kinds, slot_signs, cols,
+                    match_type, prioritize_token_position,
+                    prioritize_exact, prioritize_num_fields,
+                    exclude_flags)
+                keep = rid >= 0
+                ids_all = np.concatenate([rid[keep].astype(np.int64),
+                                          h_ids])
+                k0a = np.concatenate([r0[keep], hk0])
+                k1a = np.concatenate([r1[keep], hk1])
+                k2a = np.concatenate([r2[keep], hk2])
+                order = np.lexsort((-ids_all, -k2a, -k1a, -k0a))[:K]
+                rid = ids_all[order].astype(np.int32)
+                r0, r1, r2 = k0a[order], k1a[order], k2a[order]
             return self._collect(rid, r0, r1, r2, found, f_acc,
                                  facet_fields, k)
         else:
@@ -697,6 +933,19 @@ class IndexEngine:
                    self.dev.positions, ftc_dev, fmask,
                    jnp.asarray(prep["qbuf"]), cols[0], cols[1], cols[2],
                    f_offs, f_vals)
+        _rep = int(_os.environ.get("TS_PROF_REPEAT", "0"))
+        if _rep:
+            import time as _t
+            jax.block_until_ready(buf)
+            t0 = _t.perf_counter()
+            for _ in range(_rep):
+                buf = kern(self.dev.post_doc_ids, self.dev.post_flags,
+                           self.dev.pos_offsets, self.dev.positions,
+                           ftc_dev, fmask, jnp.asarray(prep["qbuf"]),
+                           cols[0], cols[1], cols[2], f_offs, f_vals)
+            jax.block_until_ready(buf)
+            import typesense_tpu.search.engine as _E
+            _E.LAST_DEV_MS = (_t.perf_counter() - t0) * 1000 / _rep
         rid, r0, r1, r2, found, f_acc = kernels.unpack_result(buf, K, f_sizes)
         return self._collect(rid, r0, r1, r2, found, f_acc, facet_fields, k)
 

@@ -654,6 +654,7 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
         hv_starts.ravel(), hv_lens.ravel(), hv_flag.ravel(),
+        np.array([2**62], dtype=np.int64),   # h_cursor (heavy-out paging)
     ]).astype(np.int64)
 
 
@@ -701,7 +702,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                         exclude_flags: tuple, N: int, pack2: bool,
                         match_type: int = 0,
                         prioritize_token_position: bool = False,
-                        CAP_H: int = 1024, CAP_M: int = 0):
+                        CAP_H: int = 1024, CAP_M: int = 0,
+                        field_is_array: tuple = (), heavy_out: bool = False):
     """Dense whole-corpus keyword kernel — the TPU-native path for
     high-volume queries (common tokens, large intersections).
 
@@ -753,7 +755,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             post_doc_ids, post_meta, pos_offsets, positions,
             field_token_counts, head_a, head_b, filter_mask, qbuf,
             sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base,
-            heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M)
+            heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M,
+            field_is_array=field_is_array, heavy_out=heavy_out)
 
     return kernel
 
@@ -766,7 +769,9 @@ def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                                 facet_sizes: tuple, exclude_flags: tuple,
                                 N: int, pack2: bool, match_type: int = 0,
                                 prioritize_token_position: bool = False,
-                                CAP_H: int = 1024, CAP_M: int = 0):
+                                CAP_H: int = 1024, CAP_M: int = 0,
+                                field_is_array: tuple = (),
+                                heavy_out: bool = False):
     """Batched dense2: B same-signature queries vmapped over the query
     buffer in ONE whole-corpus program. The index planes (head planes,
     postings, sort/facet columns, filter mask) are shared across the batch,
@@ -791,7 +796,8 @@ def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 post_doc_ids, post_meta, pos_offsets, positions,
                 field_token_counts, head_a, head_b, filter_mask, qbuf,
                 sort_col0, sort_col1, sort_col2, facet_cols,
-                heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M)
+                heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M,
+                field_is_array=field_is_array, heavy_out=heavy_out)
         return jax.vmap(one)(qbufs)
 
     return kernel
@@ -806,7 +812,8 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                        field_token_counts, head_a, head_b, filter_mask,
                        qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
                        doc_base=None, heavy_ids=None, CAP_H: int = 1024,
-                       CAP_M: int = 0):
+                       CAP_M: int = 0, field_is_array: tuple = (),
+                       heavy_out: bool = False):
     """Traceable dense2 program shared by the single-chip jit wrapper
     (build_dense2_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per doc shard and merges the
@@ -816,9 +823,14 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
     has_scatter = SCB > 0 or SCBB > 0
     need_text = SLOT_TEXT in slot_kinds
     ptp = prioritize_token_position
+    # profiling-only component toggles (TS_PROF_SKIP=a,b,...) — read at
+    # trace time; callers must build_dense2_kernel.cache_clear() after
+    # changing. NEVER set in production (alters scoring).
+    import os as _prof_os
+    _skip = set(_prof_os.environ.get("TS_PROF_SKIP", "").split(","))
     # token-position scoring reads offsets even for single-token queries,
     # so heavy docs (meta can't hold all positions) must rescore then too
-    need_heavy = need_text and (Q > 1 or ptp)
+    need_heavy = need_text and (Q > 1 or ptp) and "heavy" not in _skip
     HSLOTS = Q * F * HPF
     if True:
         o = 0
@@ -846,6 +858,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         hv_starts = qbuf[o:o + HV].astype(jnp.int32); o += HV
         hv_lens = qbuf[o:o + HV].astype(jnp.int32); o += HV
         hv_flag = qbuf[o:o + HV].astype(jnp.int32); o += HV
+        h_cursor = qbuf[o]; o += 1    # heavy-out paging cursor (gid <)
 
         excl = jnp.asarray(exclude, bool)[:, None]             # (Q, 1)
         tv = token_valid[:, None] & ~excl
@@ -983,127 +996,144 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         # used to SKIP the exact CSR rescore for heavy docs that provably
         # cannot reach the stage-1 threshold (the rescore loop measured
         # ~6.6 ms of a 19.6 ms 2-token query before this gate)
-        need_ub = need_heavy and slot_kinds[0] == SLOT_TEXT
+        need_ub = need_heavy and slot_kinds[0] == SLOT_TEXT and \
+            "ub" not in _skip
 
-        def text_score_lanes(va_l, vb_l, incm_l, tc_l, qlen_l, ftc_l):
-            """Packed text_match (+ ub when need_heavy) for L lanes.
-            va_l/vb_l (Q, F, L), incm_l (Q, F, L) bool, tc_l/qlen_l (L,),
-            ftc_l (L, F). L is either N (whole-corpus) or CAP_M (compacted
-            matched lanes) — the proximity/packing math is identical."""
+        fia = tuple(bool(x) for x in field_is_array) + \
+            (True,) * (F - len(field_is_array))
+
+        def field_comp(f, va_l, vb_l, incm_l, tc_l, ftc_l):
+            """Per-field Match components for L lanes (all int32):
+            (wp, uw, dist, exact, any_mf, moff)."""
             L = va_l.shape[-1]
             from typesense_tpu.ops.match import (INF as MATCH_INF,
                                                  match_components_p4)
+            mf = incm_l[:, f]                              # (Q, L)
+            cntf = ((va_l[:, f] >> MA_CNT_SHIFT) & 3) + 1
+            uw = jnp.sum(mf, axis=0).astype(jnp.int32)
+            single = uw <= 1
+            moff = jnp.zeros(L, jnp.int32)
+            if Q == 1:
+                wp = jnp.ones(L, jnp.int32)
+                dist = jnp.zeros(L, jnp.int32)
+                if ptp:
+                    # last occurrence from the meta positions
+                    # (cnt > 3 is heavy -> exact rescore)
+                    p0 = va_l[0, f] & 0xFFF
+                    p1 = vb_l[0, f] & 0xFFF
+                    p2 = (vb_l[0, f] >> 12) & 0xFFF
+                    last = jnp.where(cntf[0] > 2, p2,
+                                     jnp.where(cntf[0] > 1, p1, p0))
+                    moff = jnp.where(mf[0], jnp.minimum(last, 255), 0)
+            else:
+                pos = [[jnp.where(mf[q], va_l[q, f] & 0xFFF, MATCH_INF),
+                        jnp.where(mf[q] & (cntf[q] > 1),
+                                  vb_l[q, f] & 0xFFF, MATCH_INF),
+                        jnp.where(mf[q] & (cntf[q] > 2),
+                                  (vb_l[q, f] >> 12) & 0xFFF, MATCH_INF)]
+                       for q in range(Q)]
+                if "prox" in _skip:
+                    wp, dist = uw, jnp.zeros(L, jnp.int32)
+                elif ptp:
+                    wp, dist, moff = match_components_p4(
+                        pos, want_offset=True)
+                else:
+                    wp, dist = match_components_p4(pos)
+                wp = jnp.where(single, 1, wp)
+                dist = jnp.where(single, 0, dist)
+            total_off = jnp.sum(jnp.where(mf, cntf, 0),
+                                axis=0).astype(jnp.int32)
+            has_last = jnp.any(
+                mf & ((va_l[:, f] >> MA_LAST_SHIFT) & 1).astype(bool),
+                axis=0)
+            ftc_f = ftc_l[:, f]
+            if prioritize_exact and "exact" not in _skip:
+                exact_multi = (has_last & (ftc_f == uw) &
+                               (((total_off == uw) & (dist == uw - 1)) |
+                                (dist < uw - 1)))
+                if Q > 1 and fia[f] and "exact_elem" not in _skip:
+                    # per-ELEMENT verbatim, ARRAY fields only (single-value
+                    # fields: the element IS the field, and full coverage
+                    # there implies ftc == uw with a last flag at uw-1 —
+                    # already exact_multi). Reference: score_results2
+                    # element loop + Match exact_match, index.cpp:5351.
+                    # Some element whose matched occurrences are exactly
+                    # offsets 0..n_e-1 with a last-of-value token at n_e-1.
+                    # Meta positions are (elem:5 << 7 | off:7); anchors =
+                    # occurrences at local offset 0. Heavy docs (>3
+                    # positions) take the CSR rescore, same rule.
+                    lastq = [mf[q] & ((va_l[q, f] >> MA_LAST_SHIFT) & 1)
+                             .astype(bool) for q in range(Q)]
+                    exact_elem = jnp.zeros(L, bool)
+                    for qa in range(Q):
+                        for ka in range(3):
+                            pa = pos[qa][ka]
+                            aok = (pa < MATCH_INF) & ((pa & 127) == 0)
+                            e = pa >> 7
+                            per_q = []
+                            for q in range(Q):
+                                inn = [(pos[q][k] < MATCH_INF) &
+                                       ((pos[q][k] >> 7) == e)
+                                       for k in range(3)]
+                                any_in = inn[0] | inn[1] | inn[2]
+                                cnt_in = (inn[0].astype(jnp.int32) +
+                                          inn[1].astype(jnp.int32) +
+                                          inn[2].astype(jnp.int32))
+                                moq = jnp.maximum(
+                                    jnp.maximum(
+                                        jnp.where(inn[0],
+                                                  pos[q][0] & 127, -1),
+                                        jnp.where(inn[1],
+                                                  pos[q][1] & 127, -1)),
+                                    jnp.where(inn[2],
+                                              pos[q][2] & 127, -1))
+                                per_q.append((any_in, cnt_in, moq))
+                            n_e = sum(a.astype(jnp.int32)
+                                      for a, _, _ in per_q)
+                            tot = sum(cq for _, cq, _ in per_q)
+                            mx = per_q[0][2]
+                            for _, _, moq in per_q[1:]:
+                                mx = jnp.maximum(mx, moq)
+                            fok = jnp.zeros(L, bool)
+                            for q in range(Q):
+                                a_in, _, moq = per_q[q]
+                                fok = fok | (lastq[q] & a_in &
+                                             (moq == n_e - 1))
+                            # the covering element must BE the winning
+                            # window (the reference maxes full packed
+                            # per-element scores — a fully-covered
+                            # 1-token element loses to a 2-word window
+                            # elsewhere and must not donate its bit)
+                            exact_elem = exact_elem | (
+                                aok & (tot == n_e) & (mx == n_e - 1) &
+                                fok & (n_e == wp) & (dist == n_e - 1))
+                    exact_multi = exact_multi | exact_elem
+                exact_single = (has_last & (ftc_f == 1) & (tc_l == 0) &
+                                (jnp.sum(tv) == 1))
+                exact = jnp.where(single, exact_single,
+                                  exact_multi).astype(jnp.int32)
+            else:
+                exact = jnp.zeros(L, jnp.int32)
+            any_mf = jnp.any(mf, axis=0)
+            return wp, uw, dist, exact, any_mf, moff
+
+        def text_score_lanes(va_l, vb_l, incm_l, tc_l, qlen_l, ftc_l):
+            """Packed int64 text_match (+ ub when need_heavy) for L lanes.
+            va_l/vb_l (Q, F, L), incm_l (Q, F, L) bool, tc_l/qlen_l (L,),
+            ftc_l (L, F). L is N (whole-corpus), CAP_M (compacted matched
+            lanes), or the cascade candidate pool — identical math."""
+            L = va_l.shape[-1]
             best_score = jnp.zeros(L, jnp.int64)
             best_weight = jnp.zeros(L, jnp.int64)
             best_ub = jnp.zeros(L, jnp.int64)
             for f in range(F):
-                mf = incm_l[:, f]                              # (Q, L)
-                cntf = ((va_l[:, f] >> MA_CNT_SHIFT) & 3) + 1
-                uw = jnp.sum(mf, axis=0).astype(jnp.int32)
-                single = uw <= 1
-                moff = jnp.zeros(L, jnp.int32)
-                if Q == 1:
-                    wp = jnp.ones(L, jnp.int32)
-                    dist = jnp.zeros(L, jnp.int32)
-                    if ptp:
-                        # last occurrence from the meta positions
-                        # (cnt > 3 is heavy -> exact rescore)
-                        p0 = va_l[0, f] & 0xFFF
-                        p1 = vb_l[0, f] & 0xFFF
-                        p2 = (vb_l[0, f] >> 12) & 0xFFF
-                        last = jnp.where(cntf[0] > 2, p2,
-                                         jnp.where(cntf[0] > 1, p1, p0))
-                        moff = jnp.where(mf[0], jnp.minimum(last, 255), 0)
-                else:
-                    pos = [[jnp.where(mf[q], va_l[q, f] & 0xFFF, MATCH_INF),
-                            jnp.where(mf[q] & (cntf[q] > 1),
-                                      vb_l[q, f] & 0xFFF, MATCH_INF),
-                            jnp.where(mf[q] & (cntf[q] > 2),
-                                      (vb_l[q, f] >> 12) & 0xFFF, MATCH_INF)]
-                           for q in range(Q)]
-                    if ptp:
-                        wp, dist, moff = match_components_p4(
-                            pos, want_offset=True)
-                    else:
-                        wp, dist = match_components_p4(pos)
-                    wp = jnp.where(single, 1, wp)
-                    dist = jnp.where(single, 0, dist)
-                total_off = jnp.sum(jnp.where(mf, cntf, 0),
-                                    axis=0).astype(jnp.int32)
-                has_last = jnp.any(
-                    mf & ((va_l[:, f] >> MA_LAST_SHIFT) & 1).astype(bool),
-                    axis=0)
-                ftc_f = ftc_l[:, f]
-                if prioritize_exact:
-                    exact_multi = (has_last & (ftc_f == uw) &
-                                   (((total_off == uw) & (dist == uw - 1)) |
-                                    (dist < uw - 1)))
-                    if Q > 1:
-                        # per-ELEMENT verbatim for array fields
-                        # (score_results2 element loop + Match exact_match,
-                        # index.cpp:5351): some element whose matched
-                        # occurrences are exactly offsets 0..n_e-1 with a
-                        # last-of-value token at n_e-1. Meta positions are
-                        # (elem:5 << 7 | off:7); anchors = occurrences at
-                        # local offset 0. Heavy docs (>3 positions) take
-                        # the CSR rescore, which applies the same rule.
-                        lastq = [mf[q] & ((va_l[q, f] >> MA_LAST_SHIFT) & 1)
-                                 .astype(bool) for q in range(Q)]
-                        exact_elem = jnp.zeros(L, bool)
-                        for qa in range(Q):
-                            for ka in range(3):
-                                pa = pos[qa][ka]
-                                aok = (pa < MATCH_INF) & ((pa & 127) == 0)
-                                e = pa >> 7
-                                per_q = []
-                                for q in range(Q):
-                                    inn = [(pos[q][k] < MATCH_INF) &
-                                           ((pos[q][k] >> 7) == e)
-                                           for k in range(3)]
-                                    any_in = inn[0] | inn[1] | inn[2]
-                                    cnt_in = (inn[0].astype(jnp.int32) +
-                                              inn[1].astype(jnp.int32) +
-                                              inn[2].astype(jnp.int32))
-                                    moq = jnp.maximum(
-                                        jnp.maximum(
-                                            jnp.where(inn[0],
-                                                      pos[q][0] & 127, -1),
-                                            jnp.where(inn[1],
-                                                      pos[q][1] & 127, -1)),
-                                        jnp.where(inn[2],
-                                                  pos[q][2] & 127, -1))
-                                    per_q.append((any_in, cnt_in, moq))
-                                n_e = sum(a.astype(jnp.int32)
-                                          for a, _, _ in per_q)
-                                tot = sum(cq for _, cq, _ in per_q)
-                                mx = per_q[0][2]
-                                for _, _, moq in per_q[1:]:
-                                    mx = jnp.maximum(mx, moq)
-                                fok = jnp.zeros(L, bool)
-                                for q in range(Q):
-                                    a_in, _, moq = per_q[q]
-                                    fok = fok | (lastq[q] & a_in &
-                                                 (moq == n_e - 1))
-                                # the covering element must BE the winning
-                                # window (the reference maxes full packed
-                                # per-element scores — a fully-covered
-                                # 1-token element loses to a 2-word window
-                                # elsewhere and must not donate its bit)
-                                exact_elem = exact_elem | (
-                                    aok & (tot == n_e) & (mx == n_e - 1) &
-                                    fok & (n_e == wp) & (dist == n_e - 1))
-                        exact_multi = exact_multi | exact_elem
-                    exact_single = (has_last & (ftc_f == 1) & (tc_l == 0) &
-                                    (jnp.sum(tv) == 1))
-                    exact = jnp.where(single, exact_single,
-                                      exact_multi).astype(jnp.int32)
-                else:
-                    exact = jnp.zeros(L, jnp.int32)
+                wp, uw, dist, exact, any_mf, moff = field_comp(
+                    f, va_l, vb_l, incm_l, tc_l, ftc_l)
                 off_sc = (255 - jnp.clip(moff, 0, 255)) if ptp else \
                     jnp.zeros(L, jnp.int32)
                 fs = pack_field_score(wp, uw, tc_l, dist, exact,
                                       off_sc, jnp.ones(L, jnp.int32))
-                fs = jnp.where(jnp.any(mf, axis=0), fs, 0)
+                fs = jnp.where(any_mf, fs, 0)
                 w64 = field_weights[f].astype(jnp.int64)
                 if need_ub:
                     fs_ub = pack_field_score(
@@ -1112,7 +1142,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                                  jnp.int32),
                         jnp.full(L, 255 if ptp else 0, jnp.int32),
                         jnp.ones(L, jnp.int32))
-                    fs_ub = jnp.where(jnp.any(mf, axis=0), fs_ub, 0)
+                    fs_ub = jnp.where(any_mf, fs_ub, 0)
                 if match_type == 1:
                     better = (fs > 0) & (w64 > best_weight)
                     best_score = jnp.where(better, fs, best_score)
@@ -1146,6 +1176,76 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 ub = None
             return tm, ub
 
+        def text_keys32(va_l, vb_l, incm_l, tc_l, qlen_l, ftc_l):
+            """int32 selection keys, order-equivalent to the int64 packed
+            text_match (khi, klo lexicographic == pack_aggregated_score
+            order). The whole-N scoring chain runs ENTIRELY in int32 — the
+            int64 packing (2x VPU cost per op on this chip) happens later,
+            on the few-thousand-lane candidate pool only.
+
+            Layouts (match_type 0 / max_score):
+              khi = ql(4b) << 24 | wp(4b) << 20 | uw(4b) << 16 |
+                    (255-tc)(8b) << 8 | (100-dist)(7b) << 1 | ex(1b)
+              klo = weight(7b) << 3 | nmf(3b)
+            (match_type 1 / max_weight):
+              khi = ql(4b) << 7 | weight(7b)
+              klo = fs32(24b) << 3 | nmf(3b)
+            Valid because wp/uw <= Q <= 10 < 16, weight <= 15 (collection
+            FIELD_MAX_WEIGHT), dist/tc clipped exactly as the int64 pack,
+            and off/syn are constants when not ptp (fast32 excludes ptp).
+            Returns (khi, klo, ub_khi) — ub_khi is the best-possible-
+            proximity upper bound used to gate the heavy CSR rescore."""
+            L = va_l.shape[-1]
+            best32 = jnp.zeros(L, jnp.int32)
+            bw32 = jnp.zeros(L, jnp.int32)
+            bub32 = jnp.zeros(L, jnp.int32)
+            tc32 = jnp.clip(255 - tc_l, 0, 255)
+            for f in range(F):
+                wp, uw, dist, exact, any_mf, _ = field_comp(
+                    f, va_l, vb_l, incm_l, tc_l, ftc_l)
+                fs32 = ((jnp.clip(wp, 0, 15) << 20)
+                        | (jnp.clip(uw, 0, 15) << 16)
+                        | (tc32 << 8)
+                        | ((100 - jnp.clip(dist, 0, 100)) << 1) | exact)
+                fs32 = jnp.where(any_mf, fs32, 0)
+                w32 = field_weights[f]
+                if need_ub:
+                    ubf = ((jnp.clip(uw, 0, 15) << 20)
+                           | (jnp.clip(uw, 0, 15) << 16)
+                           | (tc32 << 8) | (100 << 1)
+                           | (1 if prioritize_exact else 0))
+                    ubf = jnp.where(any_mf, ubf, 0)
+                if match_type == 1:
+                    better = (fs32 > 0) & (w32 > bw32)
+                    best32 = jnp.where(better, fs32, best32)
+                    bw32 = jnp.where(better, w32, bw32)
+                    if need_ub:
+                        bub32 = jnp.where(better, ubf, bub32)
+                else:
+                    better = fs32 > best32
+                    bw32 = jnp.where(better, w32, bw32)
+                    best32 = jnp.maximum(best32, fs32)
+                    if need_ub:
+                        bub32 = jnp.maximum(bub32, ubf)
+            if prioritize_num_fields:
+                nmf = jnp.sum(jnp.any(incm_l, axis=0),
+                              axis=0).astype(jnp.int32)
+                nmf = jnp.clip(nmf, 0, 7)
+            else:
+                nmf = jnp.zeros(L, jnp.int32)
+            ql = jnp.where(best32 > 0, jnp.minimum(qlen_l, 15), 0)
+            if match_type == 1:
+                khi = (ql << 7) | jnp.clip(bw32, 0, 127)
+                klo = (best32 << 3) | nmf
+                ub_khi = (jnp.where(bub32 > 0, jnp.minimum(qlen_l, 15), 0)
+                          << 7) | 127 if need_ub else None
+            else:
+                khi = (ql << 24) | best32
+                klo = (jnp.clip(bw32, 0, 127) << 3) | nmf
+                ub_khi = ((jnp.where(bub32 > 0, jnp.minimum(qlen_l, 15), 0)
+                           << 24) | bub32) if need_ub else None
+            return khi, klo, ub_khi
+
         # MATCHED-LANE COMPACTION: proximity + int64 packing are the VPU
         # bottleneck of this kernel (measured ~15 ms of a ~20 ms 2-token
         # query at 2.2M docs; membership min-merge is HBM-bound and cheap).
@@ -1157,7 +1257,24 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         # cascade. CAP_M == 0 disables (bound >= N, or single-token queries
         # whose scoring is already trivial).
         use_compact = CAP_M > 0 and CAP_M < N and need_text and need_pos
-        if need_text and use_compact:
+        # FAST32 whole-N scoring: when the sort tuple leads with the text
+        # score (and no text slot elsewhere), match_type packs into int32
+        # keys, and ptp is off, the whole-N chain computes ONLY the two
+        # int32 selection keys (text_keys32). The exact int64 packed score
+        # is recomputed on the few-thousand-lane candidate pool after the
+        # cascade — int64 whole-N VPU chains (2x op cost) disappear from
+        # the hot path.
+        use_fast32 = (need_text and not use_compact and not ptp
+                      and match_type in (0, 1)
+                      and slot_kinds[0] == SLOT_TEXT
+                      and SLOT_TEXT not in slot_kinds[1:]
+                      and "fast32" not in _skip)
+        khi32 = klo32 = ub_khi32 = None
+        if need_text and use_fast32:
+            khi32, klo32, ub_khi32 = text_keys32(
+                va, vb, inc_member, tc, query_len, field_token_counts)
+            text_match = None
+        elif need_text and use_compact:
             mi32 = m.astype(jnp.int32)
             cpos = jnp.cumsum(mi32) - mi32
             lane_ids = jnp.arange(N, dtype=jnp.int32)
@@ -1200,7 +1317,8 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 return gid.astype(jnp.int64) * sign
             return jnp.zeros(N, jnp.int64)
 
-        k0 = whole_key(slot_kinds[0], slot_signs[0], sort_col0)
+        k0 = None if use_fast32 else \
+            whole_key(slot_kinds[0], slot_signs[0], sort_col0)
         k1 = whole_key(slot_kinds[1], slot_signs[1], sort_col1)
         k2 = whole_key(slot_kinds[2], slot_signs[2], sort_col2)
 
@@ -1252,10 +1370,50 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 return block_stage(key, mask, KT, N, BW, NB, PADN)
             return stage_direct(key, mask)
 
+        KEY_MIN32 = np.int32(-(2**31))
+
+        def stage32(key, mask):
+            """int32 stage: exact KT-th threshold + candidate pool. Block
+            selection (int32 block max + int32 top_k — the cheap kind on
+            this chip) above BLOCK_SELECT_MIN_N; one direct int32 top_k
+            below (top_k lane indices are distinct, so its KT-th value IS
+            the exact distinct threshold)."""
+            if use_block:
+                km = jnp.where(mask, key, KEY_MIN32)
+                kp_ = jnp.pad(km, (0, PADN), constant_values=KEY_MIN32) \
+                    if PADN else km
+                bm = jnp.max(kp_.reshape(NB, BW), axis=1)
+                _, ib = lax.top_k(bm, KT)
+                idx = (ib[:, None] * BW +
+                       jnp.arange(BW, dtype=jnp.int32)[None, :]).reshape(-1)
+                ck = kp_[idx].astype(jnp.int64)
+                nidx = jnp.where(ck == int(KEY_MIN32), jnp.int64(2**62),
+                                 idx.astype(jnp.int64))
+                sk, sidx = lax.sort((-ck, nidx), num_keys=2)
+                t = (-sk[KT - 1]).astype(jnp.int32)
+                take = min(2 * KT, KT * BW)
+                cand = jnp.where(sidx[:take] == 2**62, -1,
+                                 sidx[:take]).astype(jnp.int32)
+                if take < 2 * KT:
+                    cand = jnp.pad(cand, (0, 2 * KT - take),
+                                   constant_values=-1)
+                return cand, t
+            km = jnp.where(mask, key, KEY_MIN32)
+            vh, ih = lax.top_k(km, KT)
+            return ih.astype(jnp.int32), vh[KT - 1]
+
         cand_all = []
-        cand0, t0 = stage(k0, m_light)
-        cand_all.append(cand0)
-        tie0 = m_light & (k0 == t0)
+        if use_fast32:
+            cand0, t_hi = stage32(khi32, m_light)
+            cand_all.append(cand0)
+            tie0 = m_light & (khi32 == t_hi)
+            cand0b, t_lo = stage32(klo32, tie0)
+            cand_all.append(cand0b)
+            tie0 = tie0 & (klo32 == t_lo)
+        else:
+            cand0, t0 = stage(k0, m_light)
+            cand_all.append(cand0)
+            tie0 = m_light & (k0 == t0)
         if pack2:
             kp = ((k1 + PACK2_BIAS) << 22) | gid.astype(jnp.int64)
             cand1, _ = stage(kp, tie0)
@@ -1283,7 +1441,19 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         csafe = jnp.clip(cand, 0, N - 1)
         cvalidm = (cand >= 0) & m_light[csafe]
         cid = jnp.where(cvalidm, gid[csafe], -1)
-        ck0 = jnp.where(cvalidm, k0[csafe], KEY_MIN)
+        if use_fast32:
+            # exact int64 packed text score, recomputed on the candidate
+            # pool only (a few thousand lanes — the int64 chain is off the
+            # whole-N path entirely)
+            va_p = va[:, :, csafe]
+            vb_p = vb[:, :, csafe] if vb is not None else None
+            incm_p = inc_member[:, :, csafe] & cvalidm[None, None, :]
+            tm_p, _ub_p = text_score_lanes(
+                va_p, vb_p, incm_p, tc[csafe], query_len[csafe],
+                field_token_counts[csafe, :])
+            ck0 = jnp.where(cvalidm, tm_p, KEY_MIN)
+        else:
+            ck0 = jnp.where(cvalidm, k0[csafe], KEY_MIN)
         ck1 = jnp.where(cvalidm, k1[csafe], KEY_MIN)
         ck2 = jnp.where(cvalidm, k2[csafe], KEY_MIN)
 
@@ -1306,8 +1476,13 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             ce = cand_ends.reshape(-1, 1)
             cvalid = (cand_costs < 255)[:, None, :, None]
             HCT = min(HC, N)
-            ub0 = text_ub if need_ub else k0
-            eligible = m & (ub0 >= t0)       # gathered per candidate below
+            if use_fast32:
+                # int32 gate on the stage-1 threshold: khi-only is coarser
+                # than the (khi, klo) pair — a sound superset
+                eligible = m & (ub_khi32 >= t_hi) if need_ub else m
+            else:
+                ub0 = text_ub if need_ub else k0
+                eligible = m & (ub0 >= t0)   # gathered per candidate below
 
             # phase 4a: rank the eligible heavy lanes by cumsum; each
             # rescore round recovers its lane ids by lower_bound into the
@@ -1324,6 +1499,36 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             # pays one extra wide search (~12 throughput-bound gather
             # steps), not a stream walk.
             eligible_h = eligible & heavy
+        if need_heavy and heavy_out:
+            # HOST-RESCORE PROTOCOL (single-chip fast path): the in-kernel
+            # CSR rescore costs ~9.5 ms/query at 2.2M docs even when only a
+            # handful of heavy docs exist (two sequential ~21-step wide
+            # binary-search chains + cumsum ranking, all latency-bound).
+            # Heavy matched docs are ~0.04% of postings, so instead the
+            # kernel returns the TOP-K eligible heavy doc ids (descending
+            # id) plus the total count; the engine rescores them exactly on
+            # the host (numpy CSR walk + the same ops.match scoring) and
+            # merges. Completeness: when nh > K the engine re-dispatches
+            # the SAME program with qbuf's h_cursor set below the last
+            # returned id — no extra compile signatures, exact results.
+            elig = eligible_h & (gid.astype(jnp.int64) < h_cursor)
+            nh64 = jnp.sum(elig, dtype=jnp.int64)
+            if use_block:
+                hk_cand, _th = stage32(gid, elig)
+            else:
+                _, hk_cand = lax.top_k(
+                    jnp.where(elig, gid, jnp.int32(-1)), KT)
+                hk_cand = hk_cand.astype(jnp.int32)
+            hsafe = jnp.clip(hk_cand, 0, N - 1)
+            hval = (hk_cand >= 0) & elig[hsafe]
+            hg = gid[hsafe].astype(jnp.int64)
+            sh = lax.sort(jnp.where(hval, -hg, jnp.int64(2**62)))
+            take_h = min(K, sh.shape[0])
+            h_ids = jnp.where(sh[:take_h] == 2**62, jnp.int64(-1),
+                              -sh[:take_h])
+            if take_h < K:
+                h_ids = jnp.pad(h_ids, (0, K - take_h), constant_values=-1)
+        elif need_heavy:
             ei32 = eligible_h.astype(jnp.int32)
             ecum = jnp.cumsum(ei32)                   # inclusive, (N,)
             nh = ecum[N - 1]
@@ -1395,6 +1600,13 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
 
         out = [rid.astype(jnp.int64), r0, r1, r2, found_count[None]]
         out.extend(f.astype(jnp.int64) for f in f_acc)
+        if heavy_out:
+            if need_heavy:
+                out.append(h_ids)
+                out.append(nh64[None])
+            else:
+                out.append(jnp.full((K,), -1, jnp.int64))
+                out.append(jnp.zeros((1,), jnp.int64))
         return jnp.concatenate(out)
 
 
@@ -1523,8 +1735,10 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
     return kernel
 
 
-def unpack_result(buf, K: int, facet_sizes: tuple):
-    """Host-side unpacking of the single packed result buffer."""
+def unpack_result(buf, K: int, facet_sizes: tuple, heavy_out: bool = False):
+    """Host-side unpacking of the single packed result buffer. With
+    heavy_out, also returns (heavy_ids (<=K, valid only), nh_total) — the
+    dense2 kernel's host-rescore protocol tail."""
     import numpy as np
     buf = np.asarray(buf)
     rid = buf[:K].astype(np.int32)
@@ -1535,6 +1749,12 @@ def unpack_result(buf, K: int, facet_sizes: tuple):
     for sz in facet_sizes:
         facets.append(buf[o:o + sz])
         o += sz
+    if heavy_out:
+        h_ids = buf[o:o + K]
+        o += K
+        nh = int(buf[o])
+        return rid, r0, r1, r2, found, facets, \
+            h_ids[h_ids >= 0].astype(np.int64), nh
     return rid, r0, r1, r2, found, facets
 
 
