@@ -28,14 +28,18 @@ while not os.path.exists("/tmp/prof_stop"):
             continue
         seen.add(i)
         log(f"--- cmd_{i} start ---")
-        buf = io.StringIO()
+
+        class _Live(io.TextIOBase):
+            def write(self, s):
+                with open(LOG, "a") as f:
+                    f.write(s)
+                return len(s)
         t0 = time.time()
         try:
-            with contextlib.redirect_stdout(buf):
+            with contextlib.redirect_stdout(_Live()):
                 exec(open(p).read(), globals())
         except Exception:
-            buf.write(traceback.format_exc())
-        log(buf.getvalue().rstrip("\n"))
+            log(traceback.format_exc())
         log(f"--- cmd_{i} done ({time.time()-t0:.1f}s) ---")
     time.sleep(0.5)
 log("driver exit")

@@ -329,8 +329,7 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
 
     rows = select_head_rows(seg)
     N = max(seg.num_docs, 1)
-    # planes are padded to a 128-multiple width so the pallas fused scan
-    # (search/pallas_scan.py) can view them as (H, N128/128, 128) tiles;
+    # planes are padded to a 128-multiple width (lane-aligned tiles);
     # pad cells stay MA_EMPTY / 0 (XLA kernels slice [:N] as before)
     NP = -(-N // 128) * 128
     if len(rows) == 0:

@@ -29,8 +29,7 @@ import jax.numpy as jnp
 
 WINDOW_SIZE = 10  # match_score.h:11
 # plain int, not jnp.int32: weak-typed literals behave identically in XLA
-# and are the only legal form inside pallas kernel bodies (a jnp scalar
-# would be a captured constant match_components_p4's pallas callers reject)
+# and avoid capturing an eager device-array constant in every kernel trace
 INF = 1 << 30
 
 

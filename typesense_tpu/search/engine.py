@@ -111,13 +111,10 @@ class IndexEngine:
 
         # sort-ready int64 device columns; _col_pack_ok marks columns whose
         # key magnitude fits the dense kernel's packed 2-key merge
-        # (|key| < 2^39, kernels.PACK2_BIAS); _col32_ok the stricter int32
-        # range the pallas fused path's tie kernel needs
+        # (|key| < 2^39, kernels.PACK2_BIAS)
         self._sort_cols: dict[str, jax.Array] = {}
         self._col_pack_ok: dict[str, bool] = {}
         self._col32_ok: dict[str, bool] = {}
-        self._pallas_cols: dict = {}      # (name, sign) -> (N128,) int32
-        self._pallas_aux: dict = {}       # ftc_p / facet planes / dummies
         self._ftc_cache: dict = {}        # fis tuple -> (N, Fq) int32
         for name, col in segment.num_columns.items():
             if col.dtype == np.float32:
@@ -565,8 +562,6 @@ class IndexEngine:
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total,
                 "fis": tuple(fis), "CAP_M": CAP_M}
         if mode == "dense2":
-            # the pallas fused path carries these as a separate int32
-            # scalar-prefetch buffer (search/pallas_scan.pack_pbuf)
             prep["hrow"] = hrow if HPF else np.zeros(0, np.int64)
             prep["hcost"] = hcost if HPF else np.zeros(0, np.int64)
             prep["token_valid"] = token_valid
@@ -816,13 +811,6 @@ class IndexEngine:
             pack2 = self._pack2_ok(sort_slots, slot_kinds, slot_signs)
             f_single = tuple(self.dev.facet_single[self._facet_idx[f]]
                              for f in facet_fields)
-            res = self._try_dense2_pallas(
-                prep, slot_kinds, slot_signs, sort_slots, cols,
-                facet_fields, f_sizes, fmask, match_type,
-                prioritize_exact, prioritize_num_fields,
-                prioritize_token_position, exclude_flags, k)
-            if res is not None:
-                return res
             # CAP_H is pinned: the cumsum-rank heavy rescore ignores it
             # (kernels.dense2_kernel_body uses HC only), so letting the
             # per-query heavy-length bucket into the statics forked up to
@@ -973,25 +961,6 @@ class IndexEngine:
         return self._col_pack_ok.get(s1.column, False)
 
     # ------------------------------------------------------------------
-    # pallas fused dense2 path (search/pallas_scan.py)
-    # ------------------------------------------------------------------
-    PALLAS_INTERPRET = False   # tests force interpret mode on CPU
-
-    def _pallas_enabled(self) -> bool:
-        # opt-in (TS_PALLAS=1): measured at 2.2M docs the fused scan is
-        # within ~8% of the XLA dense2 path but does not beat it — the
-        # dense2 bottleneck is VPU proximity math, not plane traffic
-        import os
-        if os.environ.get("TS_PALLAS", "0") != "1":
-            return False
-        if self.PALLAS_INTERPRET:
-            return True
-        import jax as _jax
-        return _jax.default_backend() not in ("cpu",)
-
-    def _n128(self) -> int:
-        return -(-max(self.N, 1) // 128) * 128
-
     def _ftc_for_fields(self, fis: tuple):
         """(N, Fq) token counts for the queried fields, cached per query_by
         combination — kernels index by query-field position (slot f must
@@ -1002,105 +971,6 @@ class IndexEngine:
             p = self._ftc_cache[fis] = jax.device_put(
                 self.dev.field_token_counts[:, jnp.asarray(cols)])
         return p
-
-    def _pallas_ftc_p(self, fis: tuple):
-        key = ("ftc", fis)
-        p = self._pallas_aux.get(key)
-        if p is None:
-            cols = [max(fi, 0) for fi in fis]
-            arr = np.zeros((max(len(fis), 1), self._n128()), np.int32)
-            arr[:, :self.N] = self.seg.field_token_counts.T[cols]
-            p = self._pallas_aux[key] = jax.device_put(arr)
-        return p
-
-    def _pallas_facet_p(self, name: str):
-        key = ("facet", name)
-        p = self._pallas_aux.get(key)
-        if p is None:
-            col = self.dev.facet_single[self._facet_idx[name]]
-            pad = self._n128() - self.N
-            V = len(self.seg.facet_values[name])
-            p = jnp.concatenate(
-                [col, jnp.full(pad, V, jnp.int32)]) if pad else col
-            p = self._pallas_aux[key] = jax.device_put(p)
-        return p
-
-    def _pallas_col32(self, name: str, sign: int):
-        key = (name, sign)
-        p = self._pallas_cols.get(key)
-        if p is None:
-            col = self._sort_cols[name]
-            pad = self._n128() - self.N
-            c32 = (col * sign).astype(jnp.int32)
-            if pad:
-                c32 = jnp.concatenate([c32, jnp.zeros(pad, jnp.int32)])
-            p = self._pallas_cols[key] = jax.device_put(c32)
-        return p
-
-    def _pallas_dummy_head(self):
-        p = self._pallas_aux.get("dummy_head")
-        if p is None:
-            import typesense_tpu.index.artifacts as A
-            p = (jax.device_put(jnp.full((1, self._n128()), A.MA_EMPTY,
-                                         jnp.int32)),
-                 jax.device_put(jnp.zeros((1, self._n128()), jnp.int32)))
-            self._pallas_aux["dummy_head"] = p
-        return p
-
-    def _try_dense2_pallas(self, prep, slot_kinds, slot_signs, sort_slots,
-                           cols, facet_fields, f_sizes, fmask, match_type,
-                           prioritize_exact, prioritize_num_fields,
-                           prioritize_token_position, exclude_flags, k):
-        """Dispatch through the pallas fused scan when supported; returns
-        None to fall back to the XLA dense2 kernel."""
-        if not self._pallas_enabled():
-            return None
-        from typesense_tpu.search import pallas_scan
-        sk = tuple(slot_kinds)
-        k1_ok = True
-        if sk[1] == kernels.SLOT_COLUMN:
-            s1 = sort_slots[1] if len(sort_slots) > 1 else None
-            k1_ok = (s1 is not None and s1.custom_col is None
-                     and s1.column is not None
-                     and self._col32_ok.get(s1.column, False))
-        if not pallas_scan.supported(
-                prep, sk, tuple(slot_signs), match_type,
-                prioritize_token_position, len(facet_fields),
-                tuple(f_sizes), self.N, k1_ok):
-            return None
-        n128 = self._n128()
-        if prep["HPF"] > 0 and self.dev.head_a.shape[1] != n128:
-            return None
-        Q, Fq, C, K = prep["Q"], prep["Fq"], prep["C"], prep["K"]
-        head_a, head_b = ((self.dev.head_a, self.dev.head_b)
-                          if prep["HPF"] > 0 else self._pallas_dummy_head())
-        col_p = (self._pallas_col32(sort_slots[1].column, slot_signs[1])
-                 if sk[1] == kernels.SLOT_COLUMN
-                 else jnp.zeros(1, jnp.int32))
-        ftc_p = self._pallas_ftc_p(prep["fis"]) if prioritize_exact else \
-            jnp.zeros(1, jnp.int32)
-        facet_p = tuple(self._pallas_facet_p(f) for f in facet_fields)
-        # HPF=0 still occupies one dummy head slot per (q, f) in the kernel:
-        # row -1 gates to MA_EMPTY against the all-empty dummy plane
-        hrow = prep["hrow"] if prep["HPF"] else np.full(Q * Fq, -1, np.int64)
-        hcost = prep["hcost"] if prep["HPF"] else np.zeros(Q * Fq, np.int64)
-        pbuf = pallas_scan.pack_pbuf(hrow, hcost, prep["token_valid"][:Q])
-        kern = pallas_scan.build_pallas_dense2_kernel(
-            Q, Fq, C, prep["HPF"], prep["SCB"], prep["SCBB"], prep["SSB"],
-            K, 1024, MAX_POS_PER_POSTING, self._iters, sk,
-            tuple(slot_signs), prioritize_exact, prioritize_num_fields,
-            len(facet_fields), tuple(f_sizes), tuple(exclude_flags),
-            self.N, prep["CAP_H"], interpret=self.PALLAS_INTERPRET)
-        buf = kern(self.dev.post_doc_ids, self.dev.post_meta,
-                   self.dev.pos_offsets, self.dev.positions,
-                   self._ftc_for_fields(prep["fis"]), head_a, head_b, fmask,
-                   jnp.asarray(prep["qbuf"]), jnp.asarray(pbuf), col_p,
-                   ftc_p, facet_p, cols[0], cols[1], cols[2],
-                   self.dev.heavy_ids)
-        rid, r0, r1, r2, found, f_acc = kernels.unpack_result(
-            buf, K, tuple(f_sizes))
-        return self._collect(rid, r0, r1, r2, found, f_acc,
-                             facet_fields, k)
 
     # ------------------------------------------------------------------
     def infix_term_ids(self, token: str, limit: int = 64,
