@@ -197,6 +197,77 @@ def _pair_closed_form(pos, B):
     return wp, dist
 
 
+def np_match_components(positions, pos_valid, token_matched):
+    """Pure-numpy mirror of match_components (bit-identical semantics) for
+    the engine's host-side heavy-doc rescore — the serving process may run
+    with only the TPU backend registered, so the host path cannot assume a
+    CPU jax backend, and numpy is faster at these few-thousand-lane sizes
+    anyway. np.argmax picks the first max, matching jnp.argmax."""
+    import numpy as np
+    B, Q, P = positions.shape
+    pos_valid = pos_valid & token_matched[:, :, None]
+    pos = np.where(pos_valid, positions.astype(np.int64), INF)
+    anchors = np.sort(pos.reshape(B, Q * P), axis=1)
+    anchor_valid = anchors < INF
+    ge = np.where(pos[:, None, :, :] >= anchors[:, :, None, None],
+                  pos[:, None, :, :], INF)
+    nxt = ge.min(axis=3)
+    alive = nxt < INF
+    alive_cnt = alive.sum(axis=2)
+    in_window = alive & ((nxt - anchors[:, :, None]) <= WINDOW_SIZE)
+    words = in_window.sum(axis=2).astype(np.int32)
+    max_in_win = np.where(in_window, nxt, -1).max(axis=2)
+    displacement = np.maximum(max_in_win - anchors, 0).astype(np.int32)
+    max_off = np.where(alive, nxt, -1).max(axis=2)
+    usable = anchor_valid & (alive_cnt >= 2)
+    key = np.where(usable,
+                   words.astype(np.int64) * (1 << 32)
+                   - displacement.astype(np.int64),
+                   np.int64(-1) << 40)
+    best_a = key.argmax(axis=1)
+    bidx = (np.arange(B), best_a)
+    any_usable = usable.any(axis=1)
+    words_present = np.where(any_usable, words[bidx], 1).astype(np.int32)
+    distance = np.where(any_usable, displacement[bidx], 0).astype(np.int32)
+    max_offset = np.where(any_usable,
+                          np.minimum(max_off[bidx], 255), 0).astype(np.int32)
+    best_anchor = np.where(any_usable, anchors[bidx], 0).astype(np.int32)
+    return words_present, distance, max_offset, best_anchor
+
+
+def np_pack_field_score(words_present, unique_words, total_cost, distance,
+                        exact_match, max_offset_score, synonym_score):
+    """numpy mirror of pack_field_score (match_score.h:56-68)."""
+    import numpy as np
+    wp = np.clip(words_present, 0, 255).astype(np.int64)
+    uw = np.clip(unique_words, 0, 255).astype(np.int64)
+    tc = np.clip(255 - total_cost, 0, 255).astype(np.int64)
+    dist = (100 - np.clip(distance, 0, 100)).astype(np.int64)
+    ex = np.clip(exact_match, 0, 15).astype(np.int64)
+    off = np.clip(max_offset_score, 0, 255).astype(np.int64)
+    syn = np.clip(synonym_score, 0, 15).astype(np.int64)
+    return (wp << 40) | (uw << 32) | (tc << 24) | (dist << 16) | \
+        (ex << 12) | (off << 4) | syn
+
+
+def np_pack_aggregated_score(query_len, best_field_score, best_field_weight,
+                             num_matching_fields, match_type: int = 0):
+    """numpy mirror of pack_aggregated_score (index.cpp:5344-5380)."""
+    import numpy as np
+    ql = np.clip(query_len, 0, 15).astype(np.int64)
+    nmf = np.clip(num_matching_fields, 0, 7).astype(np.int64)
+    if match_type == 1:
+        w = np.clip(best_field_weight, 0, 127).astype(np.int64)
+        return (ql << 59) | (w << 51) | \
+            (best_field_score.astype(np.int64) << 3) | nmf
+    if match_type == 2:
+        s = np.clip(best_field_score.astype(np.int64), 0, (1 << 56) - 1)
+        return (ql << 59) | (s << 3) | nmf
+    w = np.clip(best_field_weight, 0, 127).astype(np.int64)
+    return (ql << 59) | (best_field_score.astype(np.int64) << 11) | \
+        (w << 3) | nmf
+
+
 def pack_field_score(words_present, unique_words, total_cost, distance,
                      exact_match, max_offset_score, synonym_score):
     """match_score.h:56-68 — identical 48-bit packing (int64)."""

@@ -624,122 +624,107 @@ class IndexEngine:
         query_len = (tok_any & tv).sum(axis=0)
 
         from typesense_tpu.index.artifacts import MAX_POS, POS_BITS
-        from typesense_tpu.ops.match import match_components
+        from typesense_tpu.ops.match import (
+            np_match_components, np_pack_aggregated_score,
+            np_pack_field_score)
         pos_offsets, positions = seg.pos_offsets, seg.positions
         post_flags = seg.post_flags
         fis = prep["fis"]
         ftc = seg.field_token_counts[
             np.clip(d, 0, self.N - 1)][:, [max(fi, 0) for fi in fis]]
         weights = prep["weights"]
-        cpu = jax.devices("cpu")[0]
         single_token = Q == 1
-        with jax.default_device(cpu):
-            best_score = jnp.zeros(H, jnp.int64)
-            best_weight = jnp.zeros(H, jnp.int64)
-            for f in range(Fq):
-                mf = tok_field[:, f]                   # (Q, H)
-                gp = np.clip(sp[:, f], 0, len(pos_offsets) - 2)
-                base = pos_offsets[gp]
-                cnt = pos_offsets[gp + 1] - base
-                cnt = np.where(mf, cnt, 0)
-                moff = np.zeros(H, np.int32)
-                if single_token:
-                    wp = jnp.ones(H, jnp.int32)
-                    dist = jnp.zeros(H, jnp.int32)
-                    banchor = None
-                    if ptp:
-                        lidx = np.clip(base + cnt - 1, 0,
-                                       len(positions) - 1)
-                        moff = np.where(
-                            mf, np.minimum(positions[lidx], 255),
-                            255).min(axis=0).astype(np.int32)
-                else:
-                    pidx2 = base[:, :, None] + np.arange(P)
-                    pvalid = np.arange(P)[None, None, :] < cnt[:, :, None]
-                    pos = np.where(
-                        pvalid,
-                        positions[np.clip(pidx2, 0, len(positions) - 1)], 0)
-                    pos = pos.transpose(1, 0, 2)       # (H, Q, P)
-                    pv = pvalid.transpose(1, 0, 2)
-                    wp, dist, moffj, banchor = match_components(
-                        jnp.asarray(pos, jnp.int32), jnp.asarray(pv),
-                        jnp.asarray(mf.T))
-                    if ptp:
-                        moff = np.asarray(moffj)
-                uw = mf.sum(axis=0).astype(np.int32)
-                single = uw <= 1
-                wp = jnp.where(jnp.asarray(single), 1, wp)
-                dist = jnp.where(jnp.asarray(single), 0, dist)
-                flags = post_flags[np.clip(sp[:, f], 0,
-                                           len(post_flags) - 1)]
-                last_q = ((flags & 1) > 0) & mf
-                has_last = last_q.any(axis=0)
-                total_off = np.where(mf, cnt, 0).sum(axis=0)
-                ftc_f = ftc[:, f]
-                if prioritize_exact:
-                    hl = jnp.asarray(has_last)
-                    exact_multi = (hl & jnp.asarray(ftc_f == uw) &
-                                   (((jnp.asarray(total_off == uw)) &
-                                     (dist == jnp.asarray(uw) - 1)) |
-                                    (dist < jnp.asarray(uw) - 1)))
-                    if not single_token:
-                        belem = (banchor >> POS_BITS)[:, None, None]
-                        posj = jnp.asarray(pos, jnp.int32)
-                        pvj = jnp.asarray(pv)
-                        occ_e = pvj & ((posj >> POS_BITS) == belem) & \
-                            jnp.asarray(mf.T)[:, :, None]
-                        tok_e = jnp.any(occ_e, axis=2)
-                        n_e = jnp.sum(tok_e, axis=1).astype(jnp.int32)
-                        total_e = jnp.sum(occ_e, axis=(1, 2)).astype(
-                            jnp.int32)
-                        off_e = jnp.where(occ_e, posj & MAX_POS, -1)
-                        maxoff_e = jnp.max(jnp.max(off_e, axis=2), axis=1)
-                        minoff_e = jnp.min(jnp.min(
-                            jnp.where(occ_e, posj & MAX_POS, 1 << 30),
-                            axis=2), axis=1)
-                        mo_q = jnp.max(off_e, axis=2)
-                        flag_ok = jnp.any(
-                            tok_e & jnp.asarray(last_q.T) &
-                            (mo_q == (n_e - 1)[:, None]), axis=1)
-                        exact_elem = ((minoff_e == 0) & (total_e == n_e) &
-                                      (maxoff_e == n_e - 1) & flag_ok &
-                                      (n_e == wp) & (dist == n_e - 1))
-                        exact_multi = exact_multi | exact_elem
-                    exact_single = jnp.asarray(
-                        has_last & (ftc_f == 1) & (tc == 0) &
-                        (tv.sum() == 1))
-                    exact = jnp.where(jnp.asarray(single), exact_single,
-                                      exact_multi).astype(jnp.int32)
-                else:
-                    exact = jnp.zeros(H, jnp.int32)
+        best_score = np.zeros(H, np.int64)
+        best_weight = np.zeros(H, np.int64)
+        for f in range(Fq):
+            mf = tok_field[:, f]                   # (Q, H)
+            gp = np.clip(sp[:, f], 0, len(pos_offsets) - 2)
+            base = pos_offsets[gp]
+            cnt = pos_offsets[gp + 1] - base
+            cnt = np.where(mf, cnt, 0)
+            moff = np.zeros(H, np.int32)
+            if single_token:
+                wp = np.ones(H, np.int32)
+                dist = np.zeros(H, np.int32)
+                banchor = None
                 if ptp:
-                    off_score = 255 - jnp.clip(jnp.asarray(moff), 0, 255)
-                else:
-                    off_score = jnp.zeros(H, jnp.int32)
-                fs = kernels.pack_field_score(
-                    wp, jnp.asarray(uw), jnp.asarray(tc, jnp.int32), dist,
-                    exact, off_score, jnp.ones(H, jnp.int32))
-                fs = jnp.where(jnp.asarray(mf.any(axis=0)), fs, 0)
-                w64 = jnp.int64(int(weights[f]))
-                if match_type == 1:
-                    better = (fs > 0) & (w64 > best_weight)
-                    best_score = jnp.where(better, fs, best_score)
-                    best_weight = jnp.where(better, w64, best_weight)
-                elif match_type == 2:
-                    best_score = best_score + w64 * fs
-                else:
-                    better = fs > best_score
-                    best_weight = jnp.where(better, w64, best_weight)
-                    best_score = jnp.maximum(best_score, fs)
-            if prioritize_num_fields:
-                nmf = jnp.asarray(
-                    tok_field.any(axis=0).sum(axis=0).astype(np.int32))
+                    lidx = np.clip(base + cnt - 1, 0, len(positions) - 1)
+                    moff = np.where(
+                        mf, np.minimum(positions[lidx], 255),
+                        255).min(axis=0).astype(np.int32)
             else:
-                nmf = jnp.zeros(H, jnp.int32)
-            ql = jnp.where(best_score > 0,
-                           jnp.minimum(jnp.asarray(query_len), 15), 0)
-            text_match = np.asarray(kernels.pack_aggregated_score(
-                ql, best_score, best_weight, nmf, match_type))
+                pidx2 = base[:, :, None] + np.arange(P)
+                pvalid = np.arange(P)[None, None, :] < cnt[:, :, None]
+                pos = np.where(
+                    pvalid,
+                    positions[np.clip(pidx2, 0, len(positions) - 1)], 0)
+                pos = pos.transpose(1, 0, 2)       # (H, Q, P)
+                pv = pvalid.transpose(1, 0, 2)
+                wp, dist, moff_m, banchor = np_match_components(
+                    pos.astype(np.int32), pv, mf.T)
+                if ptp:
+                    moff = moff_m
+            uw = mf.sum(axis=0).astype(np.int32)
+            single = uw <= 1
+            wp = np.where(single, 1, wp)
+            dist = np.where(single, 0, dist)
+            flags = post_flags[np.clip(sp[:, f], 0, len(post_flags) - 1)]
+            last_q = ((flags & 1) > 0) & mf
+            has_last = last_q.any(axis=0)
+            total_off = np.where(mf, cnt, 0).sum(axis=0)
+            ftc_f = ftc[:, f]
+            if prioritize_exact:
+                exact_multi = (has_last & (ftc_f == uw) &
+                               (((total_off == uw) & (dist == uw - 1)) |
+                                (dist < uw - 1)))
+                if not single_token:
+                    belem = (banchor >> POS_BITS)[:, None, None]
+                    occ_e = pv & ((pos >> POS_BITS) == belem) & \
+                        mf.T[:, :, None]
+                    tok_e = occ_e.any(axis=2)
+                    n_e = tok_e.sum(axis=1).astype(np.int32)
+                    total_e = occ_e.sum(axis=(1, 2)).astype(np.int32)
+                    off_e = np.where(occ_e, pos & MAX_POS, -1)
+                    maxoff_e = off_e.max(axis=2).max(axis=1)
+                    minoff_e = np.where(occ_e, pos & MAX_POS,
+                                        1 << 30).min(axis=2).min(axis=1)
+                    mo_q = off_e.max(axis=2)
+                    flag_ok = (tok_e & last_q.T &
+                               (mo_q == (n_e - 1)[:, None])).any(axis=1)
+                    exact_elem = ((minoff_e == 0) & (total_e == n_e) &
+                                  (maxoff_e == n_e - 1) & flag_ok &
+                                  (n_e == wp) & (dist == n_e - 1))
+                    exact_multi = exact_multi | exact_elem
+                exact_single = (has_last & (ftc_f == 1) & (tc == 0) &
+                                (tv.sum() == 1))
+                exact = np.where(single, exact_single,
+                                 exact_multi).astype(np.int32)
+            else:
+                exact = np.zeros(H, np.int32)
+            off_score = (255 - np.clip(moff, 0, 255)) if ptp else \
+                np.zeros(H, np.int32)
+            fs = np_pack_field_score(wp, uw, tc.astype(np.int32), dist,
+                                     exact, off_score,
+                                     np.ones(H, np.int32))
+            fs = np.where(mf.any(axis=0), fs, 0)
+            w64 = np.int64(int(weights[f]))
+            if match_type == 1:
+                better = (fs > 0) & (w64 > best_weight)
+                best_score = np.where(better, fs, best_score)
+                best_weight = np.where(better, w64, best_weight)
+            elif match_type == 2:
+                best_score = best_score + w64 * fs
+            else:
+                better = fs > best_score
+                best_weight = np.where(better, w64, best_weight)
+                best_score = np.maximum(best_score, fs)
+        if prioritize_num_fields:
+            nmf = tok_field.any(axis=0).sum(axis=0).astype(np.int32)
+        else:
+            nmf = np.zeros(H, np.int32)
+        ql = np.where(best_score > 0, np.minimum(query_len, 15), 0)
+        text_match = np_pack_aggregated_score(ql, best_score, best_weight,
+                                              nmf, match_type)
 
         def slot_key(i):
             kind, sign = slot_kinds[i], slot_signs[i]
@@ -872,8 +857,9 @@ class IndexEngine:
                                         build_batched, batched_call)
             else:
                 buf = solo_call(prep["qbuf"])
+            HKT = min(max(K, 256), self.N)
             rid, r0, r1, r2, found, f_acc, h_ids, nh = \
-                kernels.unpack_result(buf, K, f_sizes, heavy_out=True)
+                kernels.unpack_result(buf, K, f_sizes, heavy_k=HKT)
             if nh > len(h_ids):
                 # heavy-out paging: re-dispatch the SAME program with the
                 # cursor below the last returned id until all nh eligible
@@ -885,7 +871,7 @@ class IndexEngine:
                     qb[-1] = int(coll[-1].min())
                     buf2 = solo_call(qb)
                     _, _, _, _, _, _, h2, nh2 = kernels.unpack_result(
-                        buf2, K, f_sizes, heavy_out=True)
+                        buf2, K, f_sizes, heavy_k=HKT)
                     if not len(h2):
                         break
                     coll.append(h2)

@@ -1513,21 +1513,30 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             # returned id — no extra compile signatures, exact results.
             elig = eligible_h & (gid.astype(jnp.int64) < h_cursor)
             nh64 = jnp.sum(elig, dtype=jnp.int64)
-            if use_block:
-                hk_cand, _th = stage32(gid, elig)
+            HKT = min(max(K, 256), N)   # page size >= 256: tiny K must not
+            # turn a large heavy set into dozens of cursor round trips
+            use_bh, BWH, NBH, PADNH = _block_params(N, HKT)
+            if use_bh:
+                km = jnp.where(elig, gid, KEY_MIN32)
+                kp_ = jnp.pad(km, (0, PADNH), constant_values=KEY_MIN32) \
+                    if PADNH else km
+                bm = jnp.max(kp_.reshape(NBH, BWH), axis=1)
+                _, ib = lax.top_k(bm, HKT)
+                idx = (ib[:, None] * BWH +
+                       jnp.arange(BWH, dtype=jnp.int32)[None, :]).reshape(-1)
+                ck = kp_[idx]
+                sh = lax.sort(jnp.where(ck == KEY_MIN32, jnp.int64(2**62),
+                                        -ck.astype(jnp.int64)))
+                h_ids = jnp.where(sh[:HKT] == 2**62, jnp.int64(-1),
+                                  -sh[:HKT])
             else:
-                _, hk_cand = lax.top_k(
-                    jnp.where(elig, gid, jnp.int32(-1)), KT)
-                hk_cand = hk_cand.astype(jnp.int32)
-            hsafe = jnp.clip(hk_cand, 0, N - 1)
-            hval = (hk_cand >= 0) & elig[hsafe]
-            hg = gid[hsafe].astype(jnp.int64)
-            sh = lax.sort(jnp.where(hval, -hg, jnp.int64(2**62)))
-            take_h = min(K, sh.shape[0])
-            h_ids = jnp.where(sh[:take_h] == 2**62, jnp.int64(-1),
-                              -sh[:take_h])
-            if take_h < K:
-                h_ids = jnp.pad(h_ids, (0, K - take_h), constant_values=-1)
+                tk = min(HKT, N)
+                vh, _ih = lax.top_k(jnp.where(elig, gid, jnp.int32(-1)), tk)
+                h_ids = jnp.where(vh >= 0, vh.astype(jnp.int64),
+                                  jnp.int64(-1))
+                if tk < HKT:
+                    h_ids = jnp.pad(h_ids, (0, HKT - tk),
+                                    constant_values=-1)
         elif need_heavy:
             ei32 = eligible_h.astype(jnp.int32)
             ecum = jnp.cumsum(ei32)                   # inclusive, (N,)
@@ -1605,7 +1614,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 out.append(h_ids)
                 out.append(nh64[None])
             else:
-                out.append(jnp.full((K,), -1, jnp.int64))
+                out.append(jnp.full((min(max(K, 256), N),), -1, jnp.int64))
                 out.append(jnp.zeros((1,), jnp.int64))
         return jnp.concatenate(out)
 
@@ -1735,10 +1744,10 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
     return kernel
 
 
-def unpack_result(buf, K: int, facet_sizes: tuple, heavy_out: bool = False):
+def unpack_result(buf, K: int, facet_sizes: tuple, heavy_k: int = 0):
     """Host-side unpacking of the single packed result buffer. With
-    heavy_out, also returns (heavy_ids (<=K, valid only), nh_total) — the
-    dense2 kernel's host-rescore protocol tail."""
+    heavy_k > 0 (the dense2 host-rescore protocol: heavy_k =
+    min(max(K, 256), N)), also returns (heavy_ids valid-only, nh_total)."""
     import numpy as np
     buf = np.asarray(buf)
     rid = buf[:K].astype(np.int32)
@@ -1749,9 +1758,9 @@ def unpack_result(buf, K: int, facet_sizes: tuple, heavy_out: bool = False):
     for sz in facet_sizes:
         facets.append(buf[o:o + sz])
         o += sz
-    if heavy_out:
-        h_ids = buf[o:o + K]
-        o += K
+    if heavy_k:
+        h_ids = buf[o:o + heavy_k]
+        o += heavy_k
         nh = int(buf[o])
         return rid, r0, r1, r2, found, facets, \
             h_ids[h_ids >= 0].astype(np.int64), nh
