@@ -206,6 +206,11 @@ def main():
     RESULTS["build_s"] = round(build_s, 1)
     RESULTS["import_s"] = round(import_s, 1)
     RESULTS["index_s"] = round(build_s - import_s, 1)
+    # stage breakdown of the index build proper (VERDICT r4 #4): token
+    # sweep, native counting-sort finalize, segment assembly, device upload
+    from typesense_tpu.index.builder import BUILD_TIMINGS
+    for bk, bv in BUILD_TIMINGS.items():
+        RESULTS[f"bt_{bk}"] = bv
     shutil.rmtree(store_dir, ignore_errors=True)
 
     def seg_bytes(seg):

@@ -134,6 +134,12 @@ def _string_sort_ranks(values: dict[int, str], num_docs: int,
     return col, (vals_list, np.asarray(ranks_list, dtype=np.int64))
 
 
+# last build's stage timings (seconds) — bench.py reports these as the
+# build_s breakdown (validate/store live in Collection.add_many; these
+# cover the index build proper)
+BUILD_TIMINGS: dict = {}
+
+
 def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
                   num_docs: int, use_native: bool = True,
                   str_sort_dicts: dict | None = None) -> SegmentArrays:
@@ -145,6 +151,9 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
     str_sort_dicts: the MAIN segment's string-sort dictionaries, passed when
     building a delta segment so ranks are cross-segment comparable.
     """
+    import time as _time
+    _t0 = _time.time()
+    BUILD_TIMINGS.clear()
     search_fields = [f for f in fields if f.index and f.is_string and not f.is_vector]
     field_idx = {f.name: i for i, f in enumerate(search_fields)}
     F = len(search_fields)
@@ -375,7 +384,11 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
                 acc[seq_id] = v
 
     if nb is not None:
+        BUILD_TIMINGS["sweep_s"] = round(_time.time() - _t0, 1)
+        _t1 = _time.time()
         res = nb.finalize()
+        BUILD_TIMINGS["native_finalize_s"] = round(_time.time() - _t1, 1)
+        _t1 = _time.time()
         T = res["num_terms"]
         term_chars = res["term_chars"]
         term_lens = res["term_lens"]
@@ -400,13 +413,15 @@ def build_segment(docs: list[tuple[int, dict]], fields: list[Field],
             term_doc_freq[:] = per_row.sum(axis=0)
         ftc = res["field_token_counts"]
         new_ids = {t: i for i, t in enumerate(res["terms"])}
-        return _assemble_segment(
+        seg = _assemble_segment(
             docs, fields, num_docs, search_fields, T, term_chars, term_lens,
             term_doc_freq, post_offsets, post_doc_ids, post_flags, pos_offsets,
             positions, live, ftc, num_cols, multi_acc, facet_acc, facet_vals,
             str_sort_acc, vec_acc, geo_cols, geopoly_acc, value_index_acc,
             new_ids, numeric_multi, facet_fields, vector_fields,
             str_sort_dicts, geo_multi_acc=geo_multi_acc)
+        BUILD_TIMINGS["assemble_s"] = round(_time.time() - _t1, 1)
+        return seg
 
     # ---- term table (sorted lexicographically; remap ids) ----
     terms = sorted(term_ids)

@@ -94,6 +94,8 @@ class RawResult:
 
 class IndexEngine:
     def __init__(self, segment: SegmentArrays, fields: list[Field]):
+        import time as _time
+        _t0 = _time.time()
         self.seg = segment
         self.fields = {f.name: f for f in fields}
         self.search_fields = segment.search_fields
@@ -154,6 +156,8 @@ class IndexEngine:
             # docs with >16 facet values); round up to a power of two so
             # compile shapes bucket
             self._facet_caps[name] = 1 << (cap - 1).bit_length() if cap > 1 else 1
+        from typesense_tpu.index import builder as _b
+        _b.BUILD_TIMINGS["device_upload_s"] = round(_time.time() - _t0, 1)
 
     # ------------------------------------------------------------------
     def mark_deleted(self, seq_ids: list[int]):
