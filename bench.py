@@ -372,6 +372,11 @@ def main():
          f"p99={RESULTS.get('p99_ms', -1):.2f}ms "
          f"qps(c={conc})={qps:.1f} t={time.time() - T_START:.0f}s")
     note(f"batcher={QUERY_BATCHER.stats()}")
+    from typesense_tpu.search.engine import PLANE_CACHE_STATS
+    note(f"plane_cache={PLANE_CACHE_STATS}")
+    h, m = PLANE_CACHE_STATS["hits"], PLANE_CACHE_STATS["misses"]
+    if h + m:
+        RESULTS["plane_cache_hit_pct"] = round(100 * h / (h + m), 1)
 
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         run_extra_configs(coll, queries, rng, conc)

@@ -28,6 +28,7 @@ incremental writes accumulate in a host-side delta and trigger rebuilds
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -318,10 +319,34 @@ def select_head_rows(seg: SegmentArrays) -> np.ndarray:
     return order[:n_max].astype(np.int64)
 
 
-def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
-    """Two (H, N) int32 dense meta planes (words A and B) for the selected
-    head rows, built on-device. Doc ids are unique within one posting row,
-    so the A/B pair scatters without any atomic-pair concern."""
+def plane_cache_rows(num_docs: int) -> int:
+    """Number of runtime LRU plane-cache slots appended after the build-time
+    head rows. The cache turns EVERY dense2 query into the all-head kernel
+    signature (SCB == SCBB == 0): the per-query scatter-plane path costs
+    ~19 ms/query at 2.2M docs in plane memset + merge-convert alone, while
+    a one-time on-device row densification costs ~1-5 ms and is reused
+    across queries (Zipf query mixes repeat tokens heavily)."""
+    import os
+    if num_docs < int(os.environ.get("TS_PLANE_CACHE_MIN_N", "200000")):
+        return 0
+    rows = os.environ.get("TS_PLANE_CACHE_ROWS")
+    if rows is not None:
+        return max(int(rows), 0)
+    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "2048")) * 1_000_000
+    NP = -(-max(num_docs, 1) // 128) * 128
+    return max(budget // (8 * NP), 0)
+
+
+def build_head_planes(seg: SegmentArrays, post_doc_ids_dev,
+                      extra_rows: int = 0):
+    """Two (H + extra_rows, N) int32 dense meta planes (words A and B): the
+    first H rows hold the selected build-time head rows; the extra rows are
+    EMPTY slots the engine's runtime plane cache fills in place (donated
+    dynamic_update_slice — see IndexEngine._plane_slot_for). Doc ids are
+    unique within one posting row, so the A/B pair scatters without any
+    atomic-pair concern. Returns (head_a, head_b, head_map, meta_ab) where
+    meta_ab is the (meta_a, meta_b) device pair when extra_rows > 0 (kept
+    resident for runtime row densification) else None."""
     import typesense_tpu.core.jaxcfg  # noqa: F401
     import jax
     import jax.numpy as jnp
@@ -332,9 +357,9 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
     # planes are padded to a 128-multiple width (lane-aligned tiles);
     # pad cells stay MA_EMPTY / 0 (XLA kernels slice [:N] as before)
     NP = -(-N // 128) * 128
-    if len(rows) == 0:
+    if len(rows) == 0 and extra_rows == 0:
         e = jax.device_put(np.full((1, 1), MA_EMPTY, np.int32))
-        return e, e, {}
+        return e, e, {}, None
     meta_a, meta_b = pack_post_meta_ab_device(
         seg.post_flags, seg.pos_offsets, seg.positions)
     po = seg.post_offsets
@@ -364,8 +389,63 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
                      post_doc_ids_dev, meta_a, meta_b)
         pa_list.append(pa)
         pb_list.append(pb)
+    for _ in range(extra_rows):
+        pa_list.append(jnp.full((NP,), MA_EMPTY, jnp.int32))
+        pb_list.append(jnp.zeros((NP,), jnp.int32))
     head_map = {int(r): h for h, r in enumerate(rows)}
-    return jnp.stack(pa_list), jnp.stack(pb_list), head_map
+    ha, hb = jnp.stack(pa_list), jnp.stack(pb_list)
+    if extra_rows > 0:
+        return ha, hb, head_map, (meta_a, meta_b)
+    return ha, hb, head_map, None
+
+
+@lru_cache(maxsize=8)
+def make_plane_row_writer(NP: int, n_rows: int):
+    """Jitted in-place densifier: builds one posting row's (A, B) meta
+    planes and writes them into slot `slot` of the (n_rows, NP) head-plane
+    pair. head_a/head_b are DONATED so XLA aliases the update in place —
+    an insert costs one row build, not a copy of the whole cache."""
+    import typesense_tpu.core.jaxcfg  # noqa: F401
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    CH = 1 << 18
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def write_row(head_a, head_b, slot, start, end, post_doc_ids,
+                  meta_a, meta_b):
+        lane = jnp.arange(CH, dtype=jnp.int64)
+
+        def step(i, planes):
+            pa, pb = planes
+            idx = start + i * CH + lane
+            valid = idx < end
+            safe = jnp.clip(idx, 0, post_doc_ids.shape[0] - 1)
+            docs = post_doc_ids[safe].astype(jnp.int64)
+            # invalid tail lanes map to unique ascending out-of-bounds
+            # indices: keeps the scatter's sorted+unique promise honest
+            # while mode="drop" discards them
+            flat = jnp.where(valid, docs, NP + lane)
+            pa = pa.at[flat].set(meta_a[safe], mode="drop",
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
+            pb = pb.at[flat].set(meta_b[safe], mode="drop",
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
+            return pa, pb
+
+        n = (end - start + CH - 1) // CH
+        pa, pb = lax.fori_loop(0, n, step,
+                               (jnp.full((NP,), MA_EMPTY, jnp.int32),
+                                jnp.zeros((NP,), jnp.int32)))
+        z = jnp.zeros((), slot.dtype)
+        ha = lax.dynamic_update_slice(head_a, pa[None], (slot, z))
+        hb = lax.dynamic_update_slice(head_b, pb[None], (slot, z))
+        return ha, hb
+
+    return write_row
 
 
 def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
@@ -405,7 +485,9 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         return put(col)
 
     post_doc_ids_dev = put(seg.post_doc_ids)
-    head_a, head_b, head_map = build_head_planes(seg, post_doc_ids_dev)
+    n_cache = plane_cache_rows(seg.num_docs)
+    head_a, head_b, head_map, plane_meta = build_head_planes(
+        seg, post_doc_ids_dev, extra_rows=n_cache)
     # the per-query scatter path (and heavy rescore's last-flag) uses the
     # 32-bit 2-position packing, which scatters ~9x faster than int64
     post_meta_dev = pack_post_meta32_device(seg.post_flags, seg.pos_offsets,
@@ -454,5 +536,6 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
         "num": num_names, "multi": multi_names, "facet": facet_names,
         "str_sort": str_sort_names, "vec": vec_names, "geo": geo_names,
         "geopoly": geopoly_names, "head_map": head_map,
+        "plane_cache_rows": n_cache, "plane_meta_ab": plane_meta,
     }
     return dev, names

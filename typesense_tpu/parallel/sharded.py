@@ -271,6 +271,7 @@ class _ShardView:
         self._iters = max(
             int(np.ceil(np.log2(max(len(seg.post_doc_ids), 2)))) + 1, 2)
         self.names = {}  # no head-plane cache on shard views (scatter path)
+        self._plane_cache_on = False  # runtime plane cache is single-device
         self.seg = SimpleNamespace(
             term_to_id=seg.term_to_id,
             term_doc_freq=seg.term_doc_freq,
@@ -439,7 +440,7 @@ class ShardedEngine:
             m32 = np.asarray(pack_post_meta32_device(
                 seg.post_flags, seg.pos_offsets, seg.positions))
             metas.append(pad(m32.astype(np.uint32), P_len))
-            ha, hb, hm = build_head_planes(seg, pd)
+            ha, hb, hm, _pm = build_head_planes(seg, pd)
             heads_a.append(np.asarray(ha))
             heads_b.append(np.asarray(hb))
             hp, ho = build_heavy_lists(seg)

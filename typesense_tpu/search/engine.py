@@ -40,6 +40,9 @@ import os as _os
 QUERY_BATCHER = QueryBatcher(enabled=_os.environ.get("TS_BATCH", "1") != "0")
 DENSE2_BATCH = _os.environ.get("TS_BATCH_DENSE2", "0") == "1"
 
+# runtime plane-cache telemetry (bench/stats read these)
+PLANE_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0, "starved": 0}
+
 
 @jax.jit
 def _geo_distance_keys(geo_col, lat, lng, exclude_radius_m, precision_m,
@@ -118,6 +121,10 @@ class IndexEngine:
         self._col_pack_ok: dict[str, bool] = {}
         self._col32_ok: dict[str, bool] = {}
         self._ftc_cache: dict = {}        # fis tuple -> (N, Fq) int32
+        # host mirrors of the sort keys: the heavy host-rescore reads its
+        # few hundred docs' keys here instead of paying a device gather +
+        # readback round trip (~28 ms over the axon tunnel)
+        self._sort_cols_host: dict[str, np.ndarray] = {}
         for name, col in segment.num_columns.items():
             if col.dtype == np.float32:
                 keys = float32_sortable_int64(col)
@@ -126,6 +133,7 @@ class IndexEngine:
             mx = int(np.abs(keys).max(initial=0))
             self._col_pack_ok[name] = mx < (1 << 39)
             self._col32_ok[name] = mx < (1 << 31) - 1
+            self._sort_cols_host[name] = np.asarray(keys, np.int64)
             self._sort_cols[name] = jax.device_put(jnp.asarray(keys, jnp.int64))
         for name, col in segment.str_sort_columns.items():
             # string ranks ascend with lexicographic order; missing (INT64_MAX)
@@ -134,6 +142,7 @@ class IndexEngine:
             mx = int(np.abs(keys).max(initial=0))
             self._col_pack_ok[name] = mx < (1 << 39)
             self._col32_ok[name] = mx < (1 << 31) - 1
+            self._sort_cols_host[name] = np.asarray(keys, np.int64)
             self._sort_cols[name] = jax.device_put(
                 jnp.asarray(keys, jnp.int64))
 
@@ -156,8 +165,81 @@ class IndexEngine:
             # docs with >16 facet values); round up to a power of two so
             # compile shapes bucket
             self._facet_caps[name] = 1 << (cap - 1).bit_length() if cap > 1 else 1
+        # ---- runtime LRU plane cache (all-head everywhere) ----
+        # Extra rows in dev.head_a/head_b are filled on demand with dense
+        # (A, B) meta planes for tokens a dense2 query needs: the per-query
+        # scatter-plane path costs ~19 ms/query at 2.2M docs in plane
+        # memset + merge-convert alone, while a cached row costs a one-time
+        # ~1-5 ms on-device densification and makes the query take the
+        # all-head kernel signature (SCB == SCBB == 0). Zipf query mixes
+        # repeat tokens heavily, so the hit rate dominates.
+        import threading
+        from collections import OrderedDict
+        self._plane_lock = threading.RLock()
+        self._plane_H = len(self.names.get("head_map", {}))
+        n_cache = self.names.get("plane_cache_rows", 0)
+        self._plane_free = list(range(self._plane_H,
+                                      self._plane_H + n_cache))
+        self._plane_lru: OrderedDict[int, int] = OrderedDict()  # row -> slot
+        self._plane_slot_row: dict[int, int] = {}               # slot -> row
+        self._plane_pins: dict[int, int] = {}                   # slot -> pins
+        self._plane_meta = self.names.get("plane_meta_ab")
+        self._plane_cache_on = n_cache > 0 and self._plane_meta is not None
         from typesense_tpu.index import builder as _b
         _b.BUILD_TIMINGS["device_upload_s"] = round(_time.time() - _t0, 1)
+
+    # ------------------------------------------------------------------
+    def _plane_slot_for(self, row: int, start: int, end: int) -> int | None:
+        """Return the plane-cache slot holding posting row `row`, densifying
+        it into a free/evicted slot on a miss. Caller must hold
+        self._plane_lock. Returns None when every slot is pinned (caller
+        falls back to the scatter path). The densify+write dispatch is
+        ASYNC — device program order guarantees any later query kernel
+        reads the completed row."""
+        slot = self._plane_lru.get(row)
+        if slot is not None:
+            self._plane_lru.move_to_end(row)
+            PLANE_CACHE_STATS["hits"] += 1
+            return slot
+        if self._plane_free:
+            slot = self._plane_free.pop()
+        else:
+            slot = None
+            for r, s in self._plane_lru.items():
+                if not self._plane_pins.get(s):
+                    slot = s
+                    del self._plane_lru[r]
+                    del self._plane_slot_row[s]
+                    PLANE_CACHE_STATS["evictions"] += 1
+                    break
+            if slot is None:
+                PLANE_CACHE_STATS["starved"] += 1
+                return None
+        PLANE_CACHE_STATS["misses"] += 1
+        from typesense_tpu.index.artifacts import make_plane_row_writer
+        writer = make_plane_row_writer(int(self.dev.head_a.shape[1]),
+                                       int(self.dev.head_a.shape[0]))
+        ma, mb = self._plane_meta
+        ha, hb = writer(self.dev.head_a, self.dev.head_b, jnp.int32(slot),
+                        jnp.int64(start), jnp.int64(end),
+                        self.dev.post_doc_ids, ma, mb)
+        self.dev = self.dev._replace(head_a=ha, head_b=hb)
+        self._plane_lru[row] = slot
+        self._plane_slot_row[slot] = row
+        return slot
+
+    def _plane_pin(self, slots):
+        for s in slots:
+            self._plane_pins[s] = self._plane_pins.get(s, 0) + 1
+
+    def _plane_unpin(self, slots):
+        with self._plane_lock:
+            for s in slots:
+                n = self._plane_pins.get(s, 0) - 1
+                if n <= 0:
+                    self._plane_pins.pop(s, None)
+                else:
+                    self._plane_pins[s] = n
 
     # ------------------------------------------------------------------
     def mark_deleted(self, seq_ids: list[int]):
@@ -331,23 +413,43 @@ class IndexEngine:
         #             CSR adjacency), multi-value/high-cardinality facets,
         #             and the sharded force path.
         head_map = self.names.get("head_map", {})
+        # runtime plane cache routes every eligible dense2 query through
+        # the all-head kernel signature; sharded force paths, phrase
+        # queries and the (opt-in) dense2 batcher keep the scatter path
+        cache_route = (self._plane_cache_on and not force
+                       and not DENSE2_BATCH and dense_ok
+                       and not phrase_pairs)
         total_postings = int(row_lens.sum())
-        # postings covered by the head-plane cache scatter for free
+        # postings covered by the head planes / runtime plane cache
         head_post = 0
+        uncached_post = 0
         for q in range(Q):
             for f in range(Fq):
                 for c in range(C):
-                    if row_lens[q, f, c] > 0 and \
-                            int(cand_rows[q, f, c]) in head_map:
-                        head_post += int(row_lens[q, f, c])
+                    rl = int(row_lens[q, f, c])
+                    if rl <= 0:
+                        continue
+                    rid = int(cand_rows[q, f, c])
+                    if rid in head_map or \
+                            (cache_route and rid in self._plane_lru):
+                        head_post += rl
+                    elif cache_route:
+                        uncached_post += rl
         q_valid = int(token_valid.sum()) or 1
         probe_ms = drv_total * (Q * Fq * C) * self._iters / 7e3
-        dense_ms = (self.N / 1e6) * (2.85 * q_valid
-                                     + 2.0 * max(q_valid - 1, 0)) \
-            + (total_postings - head_post) / 25e3
+        if cache_route:
+            # all-head scan (~1.5 + 0.5/token ms/Mdoc measured on-chip)
+            # plus one-time densification of uncached rows (~150M
+            # postings/s sorted-unique scatter, amortized across repeats)
+            dense_ms = (self.N / 1e6) * (1.5 + 0.5 * q_valid) \
+                + uncached_post / 150e3
+        else:
+            dense_ms = (self.N / 1e6) * (2.85 * q_valid
+                                         + 2.0 * max(q_valid - 1, 0)) \
+                + (total_postings - head_post) / 25e3
         use_probe = probe_ms < dense_ms
         plane_bytes = Q * Fq * self.N * 8
-        if plane_bytes > 900_000_000:
+        if plane_bytes > 900_000_000 and not cache_route:
             use_probe = True  # plane memory guard (many tokens x fields)
         if "use_probe" in force:
             use_probe = force["use_probe"]
@@ -401,43 +503,60 @@ class IndexEngine:
             hv_lens[i] = hoffs[row + 1] - hoffs[row]
             hv_flag[i] = 1 if is_head else 0
 
-        if mode in ("scatter", "dense2") and drv_total > 0:
-            for c in range(C):
-                for q in range(Q):
-                    for f in range(Fq):
-                        s0, e0 = int(cand_starts[q, f, c]), int(cand_ends[q, f, c])
-                        if e0 <= s0 or cand_costs[q, c] >= 255:
-                            continue
-                        if mode == "dense2":
-                            # excluded (-token) rows never drive heaviness
-                            # (inc_member masks them in the scan)
-                            excl_q = (q < len(exclude_flags)
-                                      and bool(exclude_flags[q]))
-                            h = head_map.get(int(cand_rows[q, f, c]))
-                            slots = head_slots.setdefault(q * Fq + f, [])
-                            if h is not None and len(slots) < HPF_MAX:
-                                slots.append((h, int(cand_costs[q, c])))
+        pinned_slots: list[int] = []
+        use_cache = cache_route and mode == "dense2"
+        if use_cache:
+            self._plane_lock.acquire()
+        try:
+            if mode in ("scatter", "dense2") and drv_total > 0:
+                for c in range(C):
+                    for q in range(Q):
+                        for f in range(Fq):
+                            s0, e0 = int(cand_starts[q, f, c]), \
+                                int(cand_ends[q, f, c])
+                            if e0 <= s0 or cand_costs[q, c] >= 255:
+                                continue
+                            if mode == "dense2":
+                                # excluded (-token) rows never drive
+                                # heaviness (inc_member masks them)
+                                excl_q = (q < len(exclude_flags)
+                                          and bool(exclude_flags[q]))
+                                rid = int(cand_rows[q, f, c])
+                                h = head_map.get(rid)
+                                if h is None and use_cache:
+                                    # densify + cache the row; the slot is
+                                    # pinned until the query's last dispatch
+                                    h = self._plane_slot_for(rid, s0, e0)
+                                    if h is not None:
+                                        self._plane_pin([h])
+                                        pinned_slots.append(h)
+                                slots = head_slots.setdefault(q * Fq + f, [])
+                                if h is not None and len(slots) < HPF_MAX:
+                                    slots.append((h, int(cand_costs[q, c])))
+                                    if not excl_q:
+                                        add_hv(q, f, c,
+                                               int(cand_rows[q, f, c]), True)
+                                    continue
                                 if not excl_q:
-                                    add_hv(q, f, c,
-                                           int(cand_rows[q, f, c]), True)
-                                continue
-                            if not excl_q:
-                                add_hv(q, f, c, int(cand_rows[q, f, c]),
-                                       False)
-                            if e0 - s0 >= BIG_ROW_MIN:
-                                # long rows stream through contiguous slices
-                                for off in range(s0, e0, SSB):
-                                    b_starts.append(off)
-                                    b_lens.append(min(SSB, e0 - off))
-                                    b_qf.append(q * Fq + f)
-                                    b_c.append(c)
-                                continue
-                        for off in range(s0, e0, SS):
-                            s_starts.append(off)
-                            s_lens.append(min(SS, e0 - off))
-                            s_qf.append(q * Fq + f)
-                            s_c.append(c)
-                            s_rel0.append(off - s0)
+                                    add_hv(q, f, c, int(cand_rows[q, f, c]),
+                                           False)
+                                if e0 - s0 >= BIG_ROW_MIN:
+                                    # long rows stream as contiguous slices
+                                    for off in range(s0, e0, SSB):
+                                        b_starts.append(off)
+                                        b_lens.append(min(SSB, e0 - off))
+                                        b_qf.append(q * Fq + f)
+                                        b_c.append(c)
+                                    continue
+                            for off in range(s0, e0, SS):
+                                s_starts.append(off)
+                                s_lens.append(min(SS, e0 - off))
+                                s_qf.append(q * Fq + f)
+                                s_c.append(c)
+                                s_rel0.append(off - s0)
+        finally:
+            if use_cache:
+                self._plane_lock.release()
         n_sc = len(s_starts)
         n_big = len(b_starts)
         if mode == "dense2":
@@ -564,7 +683,8 @@ class IndexEngine:
                 "SSB": SSB, "n_big": n_big, "HPF": HPF, "CAP_H": CAP_H,
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total,
-                "fis": tuple(fis), "CAP_M": CAP_M}
+                "fis": tuple(fis), "CAP_M": CAP_M,
+                "pinned_slots": pinned_slots}
         if mode == "dense2":
             prep["hrow"] = hrow if HPF else np.zeros(0, np.int64)
             prep["hcost"] = hcost if HPF else np.zeros(0, np.int64)
@@ -580,7 +700,8 @@ class IndexEngine:
 
     def _host_rescore_heavy(self, prep, doc_ids, slot_kinds, slot_signs,
                             cols, match_type, ptp, prioritize_exact,
-                            prioritize_num_fields, exclude_flags):
+                            prioritize_num_fields, exclude_flags,
+                            sort_slots=()):
         """Exact rescore of heavy docs on the HOST — the other half of the
         dense2 kernel's heavy-out protocol. Heavy docs (meta64 can't hold
         all their positions) are ~0.04% of postings; walking their CSR
@@ -735,8 +856,17 @@ class IndexEngine:
             if kind == kernels.SLOT_TEXT:
                 return text_match
             if kind == kernels.SLOT_COLUMN:
-                vals = np.asarray(jax.device_get(
-                    cols[i][jnp.asarray(np.clip(d, 0, self.N - 1))]))
+                s = sort_slots[i] if i < len(sort_slots) else None
+                host = None
+                if s is not None and s.custom_col is None and s.column:
+                    host = self._sort_cols_host.get(s.column)
+                if host is not None:
+                    vals = host[np.clip(d, 0, self.N - 1)]
+                else:
+                    # custom device columns (geo/_eval/_rand) fall back to
+                    # a device gather + readback
+                    vals = np.asarray(jax.device_get(
+                        cols[i][jnp.asarray(np.clip(d, 0, self.N - 1))]))
                 return np.clip(vals, -(2**61), 2**61) * sign
             if kind == kernels.SLOT_SEQ_ID:
                 return d * sign
@@ -744,7 +874,34 @@ class IndexEngine:
 
         return slot_key(0), slot_key(1), slot_key(2)
 
-    def keyword_search(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
+    def keyword_search(self, *args, **kwargs) -> RawResult:
+        """Single-device keyword search: plan on host, dispatch ONE kernel.
+
+        With the runtime plane cache active, planning + dispatch run under
+        the plane lock: a cache insert DONATES dev.head_a/head_b (the old
+        buffers die), so no thread may dispatch with refs captured across
+        another thread's insert. The lock is dropped right after the async
+        dispatch — never held across the device sync. Slots a query plans
+        with stay pinned (evict-proof) until its last re-dispatch."""
+        use_lock = self._plane_cache_on and not DENSE2_BATCH
+        pins: list[int] = []
+        released = [not use_lock]
+        if use_lock:
+            self._plane_lock.acquire()
+
+        def release():
+            if not released[0]:
+                released[0] = True
+                self._plane_lock.release()
+        try:
+            return self._keyword_search_impl(
+                *args, _release=release, _pins_out=pins, **kwargs)
+        finally:
+            release()
+            if pins:
+                self._plane_unpin(pins)
+
+    def _keyword_search_impl(self, token_candidates: list[tuple[np.ndarray, np.ndarray]],
                        field_names: list[str], field_weights: list[int],
                        sort_slots: list[SortSpec], filter_mask=None,
                        facet_fields: list[str] | None = None,
@@ -755,8 +912,8 @@ class IndexEngine:
                        field_num_typos: list[int] | None = None,
                        field_prefixes: list[bool] | None = None,
                        match_type: int = 0,
-                       prioritize_token_position: bool = False) -> RawResult:
-        """Single-device keyword search: plan on host, dispatch ONE kernel."""
+                       prioritize_token_position: bool = False,
+                       _release=None, _pins_out=None) -> RawResult:
         facet_fields = [f for f in (facet_fields or []) if f in self._facet_idx]
         # dense2 counts facets by fused one-hot over single-value columns;
         # multi-value or high-cardinality facet fields need the CSR
@@ -773,6 +930,8 @@ class IndexEngine:
         if prep is None:
             return RawResult(np.empty(0, np.int32), np.empty((0, 3), np.int64),
                              0, out_of=self._live_count)
+        if _pins_out is not None:
+            _pins_out.extend(prep.get("pinned_slots", ()))
         Q, Fq, C, S, SS, SCB, K = (prep["Q"], prep["Fq"], prep["C"], prep["S"],
                                    prep["SS"], prep["SCB"], prep["K"])
 
@@ -789,6 +948,8 @@ class IndexEngine:
         ftc_dev = self._ftc_for_fields(prep["fis"])
 
         mode = prep.get("mode", "probe" if prep["use_probe"] else "scatter")
+        if mode != "dense2" and _release is not None:
+            _release()   # probe/scatter kernels never read the head planes
         if mode == "probe":
             kern = kernels.build_probe_kernel(
                 Q, Fq, C, S, K, MAX_POS_PER_POSTING, self._iters,
@@ -861,7 +1022,9 @@ class IndexEngine:
                                         build_batched, batched_call)
             else:
                 buf = solo_call(prep["qbuf"])
-            HKT = min(max(K, 256), self.N)
+            if _release is not None:
+                _release()   # dispatched: drop the lock before the sync
+            HKT = min(max(K, 1024), self.N)
             rid, r0, r1, r2, found, f_acc, h_ids, nh = \
                 kernels.unpack_result(buf, K, f_sizes, heavy_k=HKT)
             if nh > len(h_ids):
@@ -873,7 +1036,17 @@ class IndexEngine:
                 while got < nh and len(coll[-1]):
                     qb = np.array(prep["qbuf"], copy=True)
                     qb[-1] = int(coll[-1].min())
-                    buf2 = solo_call(qb)
+                    # re-dispatch under the plane lock with FRESH head
+                    # refs: a cache insert may have donated (replaced)
+                    # dev.head_a/head_b since the first dispatch; the
+                    # query's own slots are pinned so their content holds
+                    with self._plane_lock:
+                        pre2 = (self.dev.post_doc_ids, self.dev.post_meta,
+                                self.dev.pos_offsets, self.dev.positions,
+                                ftc_dev, self.dev.head_a, self.dev.head_b,
+                                fmask)
+                        buf2 = kern(*pre2, jnp.asarray(qb), *post,
+                                    heavy_ids=heavy)
                     _, _, _, _, _, _, h2, nh2 = kernels.unpack_result(
                         buf2, K, f_sizes, heavy_k=HKT)
                     if not len(h2):
@@ -886,7 +1059,7 @@ class IndexEngine:
                     prep, h_ids, slot_kinds, slot_signs, cols,
                     match_type, prioritize_token_position,
                     prioritize_exact, prioritize_num_fields,
-                    exclude_flags)
+                    exclude_flags, sort_slots=sort_slots)
                 keep = rid >= 0
                 ids_all = np.concatenate([rid[keep].astype(np.int64),
                                           h_ids])

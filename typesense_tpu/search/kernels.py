@@ -1513,7 +1513,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             # returned id — no extra compile signatures, exact results.
             elig = eligible_h & (gid.astype(jnp.int64) < h_cursor)
             nh64 = jnp.sum(elig, dtype=jnp.int64)
-            HKT = min(max(K, 256), N)   # page size >= 256: tiny K must not
+            HKT = min(max(K, 1024), N)  # page size >= 1024: tiny K must not
             # turn a large heavy set into dozens of cursor round trips
             use_bh, BWH, NBH, PADNH = _block_params(N, HKT)
             if use_bh:
@@ -1614,7 +1614,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 out.append(h_ids)
                 out.append(nh64[None])
             else:
-                out.append(jnp.full((min(max(K, 256), N),), -1, jnp.int64))
+                out.append(jnp.full((min(max(K, 1024), N),), -1, jnp.int64))
                 out.append(jnp.zeros((1,), jnp.int64))
         return jnp.concatenate(out)
 
@@ -1747,7 +1747,7 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
 def unpack_result(buf, K: int, facet_sizes: tuple, heavy_k: int = 0):
     """Host-side unpacking of the single packed result buffer. With
     heavy_k > 0 (the dense2 host-rescore protocol: heavy_k =
-    min(max(K, 256), N)), also returns (heavy_ids valid-only, nh_total)."""
+    min(max(K, 1024), N)), also returns (heavy_ids valid-only, nh_total)."""
     import numpy as np
     buf = np.asarray(buf)
     rid = buf[:K].astype(np.int32)
