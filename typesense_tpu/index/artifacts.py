@@ -332,7 +332,7 @@ def plane_cache_rows(num_docs: int) -> int:
     rows = os.environ.get("TS_PLANE_CACHE_ROWS")
     if rows is not None:
         return max(int(rows), 0)
-    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "2048")) * 1_000_000
+    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "5120")) * 1_000_000
     NP = -(-max(num_docs, 1) // 128) * 128
     return max(budget // (8 * NP), 0)
 

@@ -183,6 +183,8 @@ class IndexEngine:
         self._plane_lru: OrderedDict[int, int] = OrderedDict()  # row -> slot
         self._plane_slot_row: dict[int, int] = {}               # slot -> row
         self._plane_pins: dict[int, int] = {}                   # slot -> pins
+        import random as _random
+        self._plane_rng = _random.Random(0xC0FFEE)
         self._plane_meta = self.names.get("plane_meta_ab")
         self._plane_cache_on = n_cache > 0 and self._plane_meta is not None
         from typesense_tpu.index import builder as _b
@@ -204,14 +206,18 @@ class IndexEngine:
         if self._plane_free:
             slot = self._plane_free.pop()
         else:
+            # RANDOM eviction, not LRU: a query mix whose distinct-row
+            # working set exceeds the slot count turns LRU into a cyclic
+            # scan with a 0% hit rate (measured: 2688 evictions / 359 hits
+            # over one bench pass); random eviction degrades to ~slots/set
+            # hits and keeps Zipf-hot rows resident in expectation
             slot = None
-            for r, s in self._plane_lru.items():
-                if not self._plane_pins.get(s):
-                    slot = s
-                    del self._plane_lru[r]
-                    del self._plane_slot_row[s]
-                    PLANE_CACHE_STATS["evictions"] += 1
-                    break
+            cands = [s for s in self._plane_slot_row
+                     if not self._plane_pins.get(s)]
+            if cands:
+                slot = cands[self._plane_rng.randrange(len(cands))]
+                del self._plane_lru[self._plane_slot_row.pop(slot)]
+                PLANE_CACHE_STATS["evictions"] += 1
             if slot is None:
                 PLANE_CACHE_STATS["starved"] += 1
                 return None
@@ -423,6 +429,7 @@ class IndexEngine:
         # postings covered by the head planes / runtime plane cache
         head_post = 0
         uncached_post = 0
+        n_uncached_rows = 0
         for q in range(Q):
             for f in range(Fq):
                 for c in range(C):
@@ -435,14 +442,17 @@ class IndexEngine:
                         head_post += rl
                     elif cache_route:
                         uncached_post += rl
+                        n_uncached_rows += 1
         q_valid = int(token_valid.sum()) or 1
         probe_ms = drv_total * (Q * Fq * C) * self._iters / 7e3
         if cache_route:
-            # all-head scan (~1.5 + 0.5/token ms/Mdoc measured on-chip)
-            # plus one-time densification of uncached rows (~150M
-            # postings/s sorted-unique scatter, amortized across repeats)
-            dense_ms = (self.N / 1e6) * (1.5 + 0.5 * q_valid) \
-                + uncached_post / 150e3
+            # all-head scan plus one-time densification of uncached rows:
+            # each miss costs a plane memset + sorted-unique scatter
+            # (~2.5 ms fixed + ~150M postings/s) AND pressures the cache,
+            # so rare-token queries (cheap probes) must stay on the probe
+            # path rather than churn slots they will never reuse
+            dense_ms = (self.N / 1e6) * (0.5 + 0.25 * q_valid) \
+                + n_uncached_rows * 2.5 + uncached_post / 150e3
         else:
             dense_ms = (self.N / 1e6) * (2.85 * q_valid
                                          + 2.0 * max(q_valid - 1, 0)) \
@@ -1029,13 +1039,13 @@ class IndexEngine:
                 kernels.unpack_result(buf, K, f_sizes, heavy_k=HKT)
             if nh > len(h_ids):
                 # heavy-out paging: re-dispatch the SAME program with the
-                # cursor below the last returned id until all nh eligible
-                # heavy docs are in hand (h_ids come back id-descending)
+                # cursor at the last returned id until all nh eligible
+                # heavy docs are in hand (h_ids come back id-ascending)
                 coll = [h_ids]
                 got = len(h_ids)
                 while got < nh and len(coll[-1]):
                     qb = np.array(prep["qbuf"], copy=True)
-                    qb[-1] = int(coll[-1].min())
+                    qb[-1] = int(coll[-1].max())
                     # re-dispatch under the plane lock with FRESH head
                     # refs: a cache insert may have donated (replaced)
                     # dev.head_a/head_b since the first dispatch; the

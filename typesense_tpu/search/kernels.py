@@ -654,7 +654,8 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
         hv_starts.ravel(), hv_lens.ravel(), hv_flag.ravel(),
-        np.array([2**62], dtype=np.int64),   # h_cursor (heavy-out paging)
+        np.array([-1], dtype=np.int64),   # h_cursor (heavy-out paging:
+        # eligibility is gid > cursor; ids return ascending)
     ]).astype(np.int64)
 
 
@@ -1471,7 +1472,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
         # entries rescore to identical exact scores and the final
         # _dedup_sorted_ids collapses duplicates). The threshold gate
         # (ub0 >= t0) soundly skips docs that cannot reach the top-K.
-        if need_heavy:
+        if need_heavy and not heavy_out:
             cs = cand_starts.reshape(-1, 1)
             ce = cand_ends.reshape(-1, 1)
             cvalid = (cand_costs < 255)[:, None, :, None]
@@ -1499,45 +1500,6 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             # pays one extra wide search (~12 throughput-bound gather
             # steps), not a stream walk.
             eligible_h = eligible & heavy
-        if need_heavy and heavy_out:
-            # HOST-RESCORE PROTOCOL (single-chip fast path): the in-kernel
-            # CSR rescore costs ~9.5 ms/query at 2.2M docs even when only a
-            # handful of heavy docs exist (two sequential ~21-step wide
-            # binary-search chains + cumsum ranking, all latency-bound).
-            # Heavy matched docs are ~0.04% of postings, so instead the
-            # kernel returns the TOP-K eligible heavy doc ids (descending
-            # id) plus the total count; the engine rescores them exactly on
-            # the host (numpy CSR walk + the same ops.match scoring) and
-            # merges. Completeness: when nh > K the engine re-dispatches
-            # the SAME program with qbuf's h_cursor set below the last
-            # returned id — no extra compile signatures, exact results.
-            elig = eligible_h & (gid.astype(jnp.int64) < h_cursor)
-            nh64 = jnp.sum(elig, dtype=jnp.int64)
-            HKT = min(max(K, 1024), N)  # page size >= 1024: tiny K must not
-            # turn a large heavy set into dozens of cursor round trips
-            use_bh, BWH, NBH, PADNH = _block_params(N, HKT)
-            if use_bh:
-                km = jnp.where(elig, gid, KEY_MIN32)
-                kp_ = jnp.pad(km, (0, PADNH), constant_values=KEY_MIN32) \
-                    if PADNH else km
-                bm = jnp.max(kp_.reshape(NBH, BWH), axis=1)
-                _, ib = lax.top_k(bm, HKT)
-                idx = (ib[:, None] * BWH +
-                       jnp.arange(BWH, dtype=jnp.int32)[None, :]).reshape(-1)
-                ck = kp_[idx]
-                sh = lax.sort(jnp.where(ck == KEY_MIN32, jnp.int64(2**62),
-                                        -ck.astype(jnp.int64)))
-                h_ids = jnp.where(sh[:HKT] == 2**62, jnp.int64(-1),
-                                  -sh[:HKT])
-            else:
-                tk = min(HKT, N)
-                vh, _ih = lax.top_k(jnp.where(elig, gid, jnp.int32(-1)), tk)
-                h_ids = jnp.where(vh >= 0, vh.astype(jnp.int64),
-                                  jnp.int64(-1))
-                if tk < HKT:
-                    h_ids = jnp.pad(h_ids, (0, HKT - tk),
-                                    constant_values=-1)
-        elif need_heavy:
             ei32 = eligible_h.astype(jnp.int32)
             ecum = jnp.cumsum(ei32)                   # inclusive, (N,)
             nh = ecum[N - 1]
@@ -1597,6 +1559,56 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             ck2 = jnp.concatenate([ck2, h2])
 
         r0, r1, r2, rid = _dedup_sorted_ids(ck0, ck1, ck2, cid, K)
+
+        if need_heavy and heavy_out:
+            # HOST-RESCORE PROTOCOL (single-chip fast path): heavy docs are
+            # excluded from the cascade (m_light); the kernel returns the
+            # doc ids of heavy candidates that could still reach the top-K,
+            # and the engine rescores them exactly on the host (numpy CSR
+            # walk + the same ops.match scoring) and merges.
+            #
+            # Eligibility gate — the K-th LIGHT result's FULL sort tuple:
+            # a heavy doc D belongs to the true top-K only if fewer than K
+            # docs beat it, so exact(D) >= tuple(light_K); with
+            # ub(D) >= exact(D), gating on ub(D) >= tuple(light_K) is a
+            # sound superset. Comparing the WHOLE tuple (text, k1, k2) —
+            # not just the text key — is what collapses tie-heavy corpora:
+            # thousands of heavy docs tie the text threshold, but only the
+            # handful above the K-th result's k1/k2 tie-break survive.
+            #
+            # Selection is a cumsum rank (ascending doc id) — the previous
+            # whole-N block-top_k + HKT*BW sort measured ~8.6 ms at 2.2M.
+            # Paging: nh > HKT makes the engine re-dispatch with qbuf's
+            # h_cursor set to the last returned id (gate: gid > cursor).
+            dK = rid[K - 1]
+            have = dK >= 0
+            ds = jnp.clip(dK, 0, N - 1)
+            t3 = jnp.where(have, k1[ds], KEY_MIN)
+            t4 = jnp.where(have, k2[ds], KEY_MIN)
+            ge34 = (k1 > t3) | ((k1 == t3) & (k2 >= t4))
+            if use_fast32:
+                a1 = ub_khi32 if need_ub else khi32
+                KLO_MAX = jnp.int32((127 << 3) | 7)
+                t1 = jnp.where(have, khi32[ds], KEY_MIN32)
+                t2 = jnp.where(have, klo32[ds], KEY_MIN32)
+                ge = (a1 > t1) | ((a1 == t1) &
+                                  ((KLO_MAX > t2) | ((KLO_MAX == t2) & ge34)))
+            else:
+                a1 = text_ub if need_ub else k0
+                t1 = jnp.where(have, k0[ds], KEY_MIN)
+                ge = (a1 > t1) | ((a1 == t1) & ge34)
+            elig = heavy & m & ge & (gid.astype(jnp.int64) > h_cursor)
+            nh64 = jnp.sum(elig, dtype=jnp.int64)
+            HKT = min(max(K, 1024), N)
+            ecum = jnp.cumsum(elig.astype(jnp.int32))     # inclusive, (N,)
+            import math as _math
+            ecum_iters = max(2, _math.ceil(_math.log2(max(N, 2))) + 1)
+            kk = jnp.arange(HKT, dtype=jnp.int32)
+            lanes = lower_bound_wide(ecum, 0, N, kk + 1, ecum_iters)
+            h_ids = jnp.where(
+                kk.astype(jnp.int64) < nh64,
+                gid[jnp.clip(lanes, 0, N - 1)].astype(jnp.int64),
+                jnp.int64(-1))
 
         # ---- phase 5: facet counts (single-value fused one-hot) ----
         f_acc = []
