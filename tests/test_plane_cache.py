@@ -49,7 +49,9 @@ def _build(docs, cache_rows=None, monkeypatch=None):
         c.id_to_seq[str(c.next_seq_id)] = c.next_seq_id
         c.next_seq_id += 1
     c._dirty = True
-    c._ensure_index()
+    # force dense2: at toy corpus sizes the honest cost model routes
+    # everything to probe and the cache would sit untested
+    c._ensure_index()._force_mode = "dense2"
     return c
 
 

@@ -65,7 +65,9 @@ def main():
     urllib.request.urlopen(r, timeout=120).read()
     req("GET", "/collections/hb/documents/search?q=alpha&query_by=title")
 
-    path = ("/collections/hb/documents/search?q=alpha&query_by=title"
+    target = os.environ.get("HTTP_BENCH_PATH", "search")
+    path = ("/health" if target == "health" else
+            "/collections/hb/documents/search?q=alpha&query_by=title"
             "&per_page=10")
     raw = (f"GET {path} HTTP/1.1\r\nHost: x\r\nX-TYPESENSE-API-KEY: {KEY}"
            f"\r\nConnection: keep-alive\r\n\r\n").encode()
@@ -115,7 +117,8 @@ def main():
     dt = time.time() - t0
     total = sum(counts)
     print(json.dumps({"http_keepalive_qps": round(total / dt, 1),
-                      "c": conc, "n": total, "errors": sum(errs),
+                      "path": target, "c": conc, "n": total,
+                      "errors": sum(errs),
                       "wall_s": round(dt, 2)}), flush=True)
 
 

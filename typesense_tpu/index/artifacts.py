@@ -332,21 +332,18 @@ def plane_cache_rows(num_docs: int) -> int:
     rows = os.environ.get("TS_PLANE_CACHE_ROWS")
     if rows is not None:
         return max(int(rows), 0)
-    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "5120")) * 1_000_000
+    # default sized so the engine's static HBM footprint stays ~4 GB at
+    # 2.2M docs: even if the runtime's donation aliasing regresses to
+    # copy-mode, insert transients fit comfortably on a 16 GB chip
+    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "2048")) * 1_000_000
     NP = -(-max(num_docs, 1) // 128) * 128
     return max(budget // (8 * NP), 0)
 
 
-def build_head_planes(seg: SegmentArrays, post_doc_ids_dev,
-                      extra_rows: int = 0):
-    """Two (H + extra_rows, N) int32 dense meta planes (words A and B): the
-    first H rows hold the selected build-time head rows; the extra rows are
-    EMPTY slots the engine's runtime plane cache fills in place (donated
-    dynamic_update_slice — see IndexEngine._plane_slot_for). Doc ids are
-    unique within one posting row, so the A/B pair scatters without any
-    atomic-pair concern. Returns (head_a, head_b, head_map, meta_ab) where
-    meta_ab is the (meta_a, meta_b) device pair when extra_rows > 0 (kept
-    resident for runtime row densification) else None."""
+def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):
+    """Two (H, N) int32 dense meta planes (words A and B) for the selected
+    head rows, built on-device. Doc ids are unique within one posting row,
+    so the A/B pair scatters without any atomic-pair concern."""
     import typesense_tpu.core.jaxcfg  # noqa: F401
     import jax
     import jax.numpy as jnp
@@ -357,9 +354,9 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev,
     # planes are padded to a 128-multiple width (lane-aligned tiles);
     # pad cells stay MA_EMPTY / 0 (XLA kernels slice [:N] as before)
     NP = -(-N // 128) * 128
-    if len(rows) == 0 and extra_rows == 0:
+    if len(rows) == 0:
         e = jax.device_put(np.full((1, 1), MA_EMPTY, np.int32))
-        return e, e, {}, None
+        return e, e, {}
     meta_a, meta_b = pack_post_meta_ab_device(
         seg.post_flags, seg.pos_offsets, seg.positions)
     po = seg.post_offsets
@@ -389,22 +386,22 @@ def build_head_planes(seg: SegmentArrays, post_doc_ids_dev,
                      post_doc_ids_dev, meta_a, meta_b)
         pa_list.append(pa)
         pb_list.append(pb)
-    for _ in range(extra_rows):
-        pa_list.append(jnp.full((NP,), MA_EMPTY, jnp.int32))
-        pb_list.append(jnp.zeros((NP,), jnp.int32))
     head_map = {int(r): h for h, r in enumerate(rows)}
-    ha, hb = jnp.stack(pa_list), jnp.stack(pb_list)
-    if extra_rows > 0:
-        return ha, hb, head_map, (meta_a, meta_b)
-    return ha, hb, head_map, None
+    return jnp.stack(pa_list), jnp.stack(pb_list), head_map
+
+
+PLANE_GROUP_ROWS = 8   # rows per runtime-cache group: an insert copies one
+# 2 * g * NP group (~141 MB at 2.2M docs) — this backend's buffer donation
+# does NOT alias, so group size IS the insert cost
 
 
 @lru_cache(maxsize=8)
-def make_plane_row_writer(NP: int, n_rows: int):
-    """Jitted in-place densifier: builds one posting row's (A, B) meta
-    planes and writes them into slot `slot` of the (n_rows, NP) head-plane
-    pair. head_a/head_b are DONATED so XLA aliases the update in place —
-    an insert costs one row build, not a copy of the whole cache."""
+def make_group_row_writer(NP: int, g: int):
+    """Jitted densifier for the grouped runtime plane cache: builds one
+    posting row's (A, B) meta planes and writes them into row `slot` of a
+    (g, NP) group pair. The group arrays are donated; even in copy-mode
+    (donation aliasing unsupported on this backend) the copy is one small
+    group, not the whole cache."""
     import typesense_tpu.core.jaxcfg  # noqa: F401
     import functools
     import jax
@@ -414,7 +411,7 @@ def make_plane_row_writer(NP: int, n_rows: int):
     CH = 1 << 18
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def write_row(head_a, head_b, slot, start, end, post_doc_ids,
+    def write_row(grp_a, grp_b, slot, start, end, post_doc_ids,
                   meta_a, meta_b):
         lane = jnp.arange(CH, dtype=jnp.int64)
 
@@ -441,8 +438,8 @@ def make_plane_row_writer(NP: int, n_rows: int):
                                (jnp.full((NP,), MA_EMPTY, jnp.int32),
                                 jnp.zeros((NP,), jnp.int32)))
         z = jnp.zeros((), slot.dtype)
-        ha = lax.dynamic_update_slice(head_a, pa[None], (slot, z))
-        hb = lax.dynamic_update_slice(head_b, pb[None], (slot, z))
+        ha = lax.dynamic_update_slice(grp_a, pa[None], (slot, z))
+        hb = lax.dynamic_update_slice(grp_b, pb[None], (slot, z))
         return ha, hb
 
     return write_row
@@ -486,8 +483,13 @@ def to_device(seg: SegmentArrays, jnp=None) -> tuple[DeviceIndex, dict]:
 
     post_doc_ids_dev = put(seg.post_doc_ids)
     n_cache = plane_cache_rows(seg.num_docs)
-    head_a, head_b, head_map, plane_meta = build_head_planes(
-        seg, post_doc_ids_dev, extra_rows=n_cache)
+    head_a, head_b, head_map = build_head_planes(seg, post_doc_ids_dev)
+    # the runtime plane cache densifies rows on demand from these packed
+    # meta words (kept resident: ~274 MB at 2.2M docs)
+    plane_meta = None
+    if n_cache > 0:
+        plane_meta = pack_post_meta_ab_device(
+            seg.post_flags, seg.pos_offsets, seg.positions)
     # the per-query scatter path (and heavy rescore's last-flag) uses the
     # 32-bit 2-position packing, which scatters ~9x faster than int64
     post_meta_dev = pack_post_meta32_device(seg.post_flags, seg.pos_offsets,

@@ -176,17 +176,38 @@ class IndexEngine:
         import threading
         from collections import OrderedDict
         self._plane_lock = threading.RLock()
-        self._plane_H = len(self.names.get("head_map", {}))
         n_cache = self.names.get("plane_cache_rows", 0)
+        self._plane_meta = self.names.get("plane_meta_ab")
+        self._plane_cache_on = n_cache > 0 and self._plane_meta is not None
+        # cache slot numbering starts at the kernel's H_rows
+        # (head_a.shape[0]) — with no real head rows the placeholder still
+        # occupies row index 0
+        self._plane_H = int(self.dev.head_a.shape[0]) \
+            if self._plane_cache_on else len(self.names.get("head_map", {}))
+        self._cache_groups_a: list = []
+        self._cache_groups_b: list = []
+        n_slots = 0
+        if self._plane_cache_on:
+            from typesense_tpu.index.artifacts import (MA_EMPTY,
+                                                       PLANE_GROUP_ROWS)
+            NPW = -(-max(self.N, 1) // 128) * 128
+            g = PLANE_GROUP_ROWS
+            G = max((n_cache + g - 1) // g, 1)
+            n_slots = G * g
+            for _ in range(G):
+                self._cache_groups_a.append(
+                    jax.device_put(jnp.full((g, NPW), MA_EMPTY, jnp.int32)))
+                self._cache_groups_b.append(
+                    jax.device_put(jnp.zeros((g, NPW), jnp.int32)))
+            self._plane_NPW = NPW
+            self._plane_g = g
         self._plane_free = list(range(self._plane_H,
-                                      self._plane_H + n_cache))
+                                      self._plane_H + n_slots))
         self._plane_lru: OrderedDict[int, int] = OrderedDict()  # row -> slot
         self._plane_slot_row: dict[int, int] = {}               # slot -> row
         self._plane_pins: dict[int, int] = {}                   # slot -> pins
         import random as _random
         self._plane_rng = _random.Random(0xC0FFEE)
-        self._plane_meta = self.names.get("plane_meta_ab")
-        self._plane_cache_on = n_cache > 0 and self._plane_meta is not None
         from typesense_tpu.index import builder as _b
         _b.BUILD_TIMINGS["device_upload_s"] = round(_time.time() - _t0, 1)
 
@@ -222,14 +243,16 @@ class IndexEngine:
                 PLANE_CACHE_STATS["starved"] += 1
                 return None
         PLANE_CACHE_STATS["misses"] += 1
-        from typesense_tpu.index.artifacts import make_plane_row_writer
-        writer = make_plane_row_writer(int(self.dev.head_a.shape[1]),
-                                       int(self.dev.head_a.shape[0]))
+        from typesense_tpu.index.artifacts import make_group_row_writer
+        writer = make_group_row_writer(self._plane_NPW, self._plane_g)
         ma, mb = self._plane_meta
-        ha, hb = writer(self.dev.head_a, self.dev.head_b, jnp.int32(slot),
-                        jnp.int64(start), jnp.int64(end),
+        gi = (slot - self._plane_H) // self._plane_g
+        ri = (slot - self._plane_H) % self._plane_g
+        ga, gb = writer(self._cache_groups_a[gi], self._cache_groups_b[gi],
+                        jnp.int32(ri), jnp.int64(start), jnp.int64(end),
                         self.dev.post_doc_ids, ma, mb)
-        self.dev = self.dev._replace(head_a=ha, head_b=hb)
+        self._cache_groups_a[gi] = ga
+        self._cache_groups_b[gi] = gb
         self._plane_lru[row] = slot
         self._plane_slot_row[slot] = row
         return slot
@@ -995,20 +1018,27 @@ class IndexEngine:
                    self.dev.head_a, self.dev.head_b, fmask)
             post = (cols[0], cols[1], cols[2], f_single)
             heavy = self.dev.heavy_ids
+            # grouped runtime plane cache: captured under the plane lock
+            # (an insert donates a group, killing the old array object)
+            c_a = tuple(self._cache_groups_a)
+            c_b = tuple(self._cache_groups_b)
 
             def solo_call(qb):
-                return kern(*pre, jnp.asarray(qb), *post, heavy_ids=heavy)
+                return kern(*pre, jnp.asarray(qb), *post, heavy_ids=heavy,
+                            cache_a=c_a, cache_b=c_b)
 
             def build_batched(B):
                 bk = kernels.build_dense2_batched_kernel(*static)
                 warm = jnp.stack([jnp.asarray(prep["qbuf"])] * B)
                 jax.block_until_ready(
-                    bk(*pre, warm, *post, heavy_ids=heavy))
+                    bk(*pre, warm, *post, heavy_ids=heavy,
+                       cache_a=c_a, cache_b=c_b))
                 return bk
 
             def batched_call(fn, qbufs):
                 stacked = jnp.stack([jnp.asarray(q) for q in qbufs])
-                out = fn(*pre, stacked, *post, heavy_ids=heavy)
+                out = fn(*pre, stacked, *post, heavy_ids=heavy,
+                         cache_a=c_a, cache_b=c_b)
                 return [out[i] for i in range(len(qbufs))]
 
             _rep = int(_os.environ.get("TS_PROF_REPEAT", "0"))
@@ -1034,29 +1064,27 @@ class IndexEngine:
                 buf = solo_call(prep["qbuf"])
             if _release is not None:
                 _release()   # dispatched: drop the lock before the sync
-            HKT = min(max(K, 1024), self.N)
+            HKT = min(max(K, 256), self.N)
             rid, r0, r1, r2, found, f_acc, h_ids, nh = \
                 kernels.unpack_result(buf, K, f_sizes, heavy_k=HKT)
             if nh > len(h_ids):
                 # heavy-out paging: re-dispatch the SAME program with the
-                # cursor at the last returned id until all nh eligible
-                # heavy docs are in hand (h_ids come back id-ascending)
+                # cursor below the last returned id until all nh eligible
+                # heavy docs are in hand (h_ids come back id-descending)
                 coll = [h_ids]
                 got = len(h_ids)
                 while got < nh and len(coll[-1]):
                     qb = np.array(prep["qbuf"], copy=True)
-                    qb[-1] = int(coll[-1].max())
+                    qb[-1] = int(coll[-1].min())
                     # re-dispatch under the plane lock with FRESH head
                     # refs: a cache insert may have donated (replaced)
                     # dev.head_a/head_b since the first dispatch; the
                     # query's own slots are pinned so their content holds
                     with self._plane_lock:
-                        pre2 = (self.dev.post_doc_ids, self.dev.post_meta,
-                                self.dev.pos_offsets, self.dev.positions,
-                                ftc_dev, self.dev.head_a, self.dev.head_b,
-                                fmask)
-                        buf2 = kern(*pre2, jnp.asarray(qb), *post,
-                                    heavy_ids=heavy)
+                        buf2 = kern(*pre, jnp.asarray(qb), *post,
+                                    heavy_ids=heavy,
+                                    cache_a=tuple(self._cache_groups_a),
+                                    cache_b=tuple(self._cache_groups_b))
                     _, _, _, _, _, _, h2, nh2 = kernels.unpack_result(
                         buf2, K, f_sizes, heavy_k=HKT)
                     if not len(h2):

@@ -654,8 +654,8 @@ def pack_dense2_buf(sc_starts, sc_lens, sc_qf, sc_c, n_sc,
         cand_starts.ravel(), cand_ends.ravel(), cand_costs.ravel(),
         token_valid.astype(np.int64).ravel(), field_weights.ravel(),
         hv_starts.ravel(), hv_lens.ravel(), hv_flag.ravel(),
-        np.array([-1], dtype=np.int64),   # h_cursor (heavy-out paging:
-        # eligibility is gid > cursor; ids return ascending)
+        np.array([2**62], dtype=np.int64),   # h_cursor (heavy-out paging:
+        # eligibility is gid < cursor; ids return descending)
     ]).astype(np.int64)
 
 
@@ -747,7 +747,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
                field_token_counts, head_a, head_b, filter_mask, qbuf,
                sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None,
-               heavy_ids=None):
+               heavy_ids=None, cache_a=(), cache_b=()):
         return dense2_kernel_body(
             Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
             slot_signs, prioritize_exact, prioritize_num_fields, n_facets,
@@ -757,7 +757,8 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
             field_token_counts, head_a, head_b, filter_mask, qbuf,
             sort_col0, sort_col1, sort_col2, facet_cols, doc_base=doc_base,
             heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M,
-            field_is_array=field_is_array, heavy_out=heavy_out)
+            field_is_array=field_is_array, heavy_out=heavy_out,
+            cache_a=cache_a, cache_b=cache_b)
 
     return kernel
 
@@ -787,7 +788,7 @@ def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
                field_token_counts, head_a, head_b, filter_mask, qbufs,
                sort_col0, sort_col1, sort_col2, facet_cols,
-               heavy_ids=None):
+               heavy_ids=None, cache_a=(), cache_b=()):
         def one(qbuf):
             return dense2_kernel_body(
                 Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
@@ -798,13 +799,14 @@ def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
                 field_token_counts, head_a, head_b, filter_mask, qbuf,
                 sort_col0, sort_col1, sort_col2, facet_cols,
                 heavy_ids=heavy_ids, CAP_H=CAP_H, CAP_M=CAP_M,
-                field_is_array=field_is_array, heavy_out=heavy_out)
+                field_is_array=field_is_array, heavy_out=heavy_out,
+                cache_a=cache_a, cache_b=cache_b)
         return jax.vmap(one)(qbufs)
 
     return kernel
 
 
-def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
+def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,  # noqa: C901
                        slot_kinds, slot_signs, prioritize_exact,
                        prioritize_num_fields, n_facets, facet_sizes,
                        exclude_flags, N, pack2, match_type,
@@ -814,11 +816,20 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                        qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
                        doc_base=None, heavy_ids=None, CAP_H: int = 1024,
                        CAP_M: int = 0, field_is_array: tuple = (),
-                       heavy_out: bool = False):
+                       heavy_out: bool = False, cache_a=(), cache_b=()):
     """Traceable dense2 program shared by the single-chip jit wrapper
     (build_dense2_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per doc shard and merges the
-    packed result buffers with ICI collectives."""
+    packed result buffers with ICI collectives.
+
+    cache_a/cache_b: runtime plane-cache GROUPS — tuples of (g, NP) int32
+    arrays holding densified rows the engine built on demand. Grouping
+    bounds the insert cost: this backend's buffer donation does not alias
+    (measured: a donated row write into one (H+E, NP) pair copied the
+    whole ~4.8 GB cache, ~25 ms/insert), so inserts copy a single 2*g*NP
+    group (~141 MB at g=8, ~0.7 ms). hrow slot values >= head_a.shape[0]
+    index the cache: slot s reads group (s-H)//g row (s-H)%g via a
+    lax.switch over the group tuple."""
     exclude = tuple(bool(x) for x in exclude_flags) + \
         (False,) * (Q - len(exclude_flags))
     has_scatter = SCB > 0 or SCBB > 0
@@ -957,6 +968,21 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 rsafe = jnp.clip(row, 0, H_rows - 1)
                 ha = lax.dynamic_slice(head_a, (rsafe, jnp.int32(0)),
                                        (1, HW))[0][:N]
+                if cache_a:
+                    # slot values >= H_rows live in the grouped runtime
+                    # plane cache; select the group via switch, the row
+                    # within it via dynamic_slice
+                    gsz = cache_a[0].shape[0]
+                    crow = jnp.clip(row - H_rows, 0,
+                                    len(cache_a) * gsz - 1)
+                    gi = (crow // gsz).astype(jnp.int32)
+                    ri = (crow % gsz).astype(jnp.int32)
+                    ca = lax.switch(gi, [
+                        (lambda i=i: lax.dynamic_slice(
+                            cache_a[i], (ri, jnp.int32(0)),
+                            (1, cache_a[i].shape[1]))[0][:N])
+                        for i in range(len(cache_a))])
+                    ha = jnp.where(row >= H_rows, ca, ha)
                 ha = jnp.where(
                     (row >= 0) & (ha != MA_EMPTY),
                     ha | (hcost[slot].astype(jnp.int32) << MA_COST_SHIFT),
@@ -965,6 +991,13 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 if need_pos:
                     hb = lax.dynamic_slice(head_b, (rsafe, jnp.int32(0)),
                                            (1, HW))[0][:N]
+                    if cache_b:
+                        cb = lax.switch(gi, [
+                            (lambda i=i: lax.dynamic_slice(
+                                cache_b[i], (ri, jnp.int32(0)),
+                                (1, cache_b[i].shape[1]))[0][:N])
+                            for i in range(len(cache_b))])
+                        hb = jnp.where(row >= H_rows, cb, hb)
                     vb = jnp.where(take, hb, vb)
                 va = jnp.minimum(va, ha)
             va_list.append(va)
@@ -1137,8 +1170,9 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 fs = jnp.where(any_mf, fs, 0)
                 w64 = field_weights[f].astype(jnp.int64)
                 if need_ub:
+                    # best window with uw words has dist >= uw - 1
                     fs_ub = pack_field_score(
-                        uw, uw, tc_l, jnp.zeros(L, jnp.int32),
+                        uw, uw, tc_l, jnp.clip(uw - 1, 0, 100),
                         jnp.full(L, 1 if prioritize_exact else 0,
                                  jnp.int32),
                         jnp.full(L, 255 if ptp else 0, jnp.int32),
@@ -1200,6 +1234,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             best32 = jnp.zeros(L, jnp.int32)
             bw32 = jnp.zeros(L, jnp.int32)
             bub32 = jnp.zeros(L, jnp.int32)
+            bwub32 = jnp.zeros(L, jnp.int32)
             tc32 = jnp.clip(255 - tc_l, 0, 255)
             for f in range(F):
                 wp, uw, dist, exact, any_mf, _ = field_comp(
@@ -1211,9 +1246,16 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 fs32 = jnp.where(any_mf, fs32, 0)
                 w32 = field_weights[f]
                 if need_ub:
+                    # TIGHT per-doc upper bound: the best window with
+                    # wp == uw words has dist == uw - 1 (adjacent), not 0 —
+                    # an optimistic dist of 0 lifted EVERY tie-heavy doc
+                    # strictly above the stage threshold and the heavy-out
+                    # tuple gate never reached the k1 tie-break (measured
+                    # nh 537 vs the handful the gate is meant to keep)
                     ubf = ((jnp.clip(uw, 0, 15) << 20)
                            | (jnp.clip(uw, 0, 15) << 16)
-                           | (tc32 << 8) | (100 << 1)
+                           | (tc32 << 8)
+                           | ((100 - jnp.clip(uw - 1, 0, 100)) << 1)
                            | (1 if prioritize_exact else 0))
                     ubf = jnp.where(any_mf, ubf, 0)
                 if match_type == 1:
@@ -1228,6 +1270,12 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                     best32 = jnp.maximum(best32, fs32)
                     if need_ub:
                         bub32 = jnp.maximum(bub32, ubf)
+                if need_ub:
+                    # the winning field's weight can't exceed the max
+                    # weight among fields the doc matched — exact, so klo
+                    # ties resolve through to the k1/k2 comparison
+                    bwub32 = jnp.maximum(bwub32,
+                                         jnp.where(any_mf, w32, 0))
             if prioritize_num_fields:
                 nmf = jnp.sum(jnp.any(incm_l, axis=0),
                               axis=0).astype(jnp.int32)
@@ -1239,13 +1287,17 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 khi = (ql << 7) | jnp.clip(bw32, 0, 127)
                 klo = (best32 << 3) | nmf
                 ub_khi = (jnp.where(bub32 > 0, jnp.minimum(qlen_l, 15), 0)
-                          << 7) | 127 if need_ub else None
+                          << 7) | jnp.clip(bwub32, 0, 127) \
+                    if need_ub else None
+                ub_klo = (bub32 << 3) | nmf if need_ub else None
             else:
                 khi = (ql << 24) | best32
                 klo = (jnp.clip(bw32, 0, 127) << 3) | nmf
                 ub_khi = ((jnp.where(bub32 > 0, jnp.minimum(qlen_l, 15), 0)
                            << 24) | bub32) if need_ub else None
-            return khi, klo, ub_khi
+                ub_klo = ((jnp.clip(bwub32, 0, 127) << 3) | nmf) \
+                    if need_ub else None
+            return khi, klo, ub_khi, ub_klo
 
         # MATCHED-LANE COMPACTION: proximity + int64 packing are the VPU
         # bottleneck of this kernel (measured ~15 ms of a ~20 ms 2-token
@@ -1270,9 +1322,9 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                       and slot_kinds[0] == SLOT_TEXT
                       and SLOT_TEXT not in slot_kinds[1:]
                       and "fast32" not in _skip)
-        khi32 = klo32 = ub_khi32 = None
+        khi32 = klo32 = ub_khi32 = ub_klo32 = None
         if need_text and use_fast32:
-            khi32, klo32, ub_khi32 = text_keys32(
+            khi32, klo32, ub_khi32, ub_klo32 = text_keys32(
                 va, vb, inc_member, tc, query_len, field_token_counts)
             text_match = None
         elif need_text and use_compact:
@@ -1576,10 +1628,13 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             # thousands of heavy docs tie the text threshold, but only the
             # handful above the K-th result's k1/k2 tie-break survive.
             #
-            # Selection is a cumsum rank (ascending doc id) — the previous
-            # whole-N block-top_k + HKT*BW sort measured ~8.6 ms at 2.2M.
-            # Paging: nh > HKT makes the engine re-dispatch with qbuf's
-            # h_cursor set to the last returned id (gate: gid > cursor).
+            # Selection: int32 block-max + top_k + small sort over the
+            # selected blocks, ids descending (the cumsum-rank alternative
+            # costs ~9 ms/query at 2.2M — cumulative scans and 1024-lane
+            # wide binary searches are latency-poison on this chip, the
+            # same lesson as the retired in-kernel rescore). With the
+            # tuple gate holding nh to a handful, the 256-slot page makes
+            # paging (h_cursor re-dispatch, gate gid < cursor) rare.
             dK = rid[K - 1]
             have = dK >= 0
             ds = jnp.clip(dK, 0, N - 1)
@@ -1588,27 +1643,47 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
             ge34 = (k1 > t3) | ((k1 == t3) & (k2 >= t4))
             if use_fast32:
                 a1 = ub_khi32 if need_ub else khi32
-                KLO_MAX = jnp.int32((127 << 3) | 7)
-                t1 = jnp.where(have, khi32[ds], KEY_MIN32)
+                a2 = ub_klo32 if need_ub else klo32
+                # exact-bit bump: a1's LSB is the optimistic exact flag
+                # (mt 0); raising the threshold's LSB turns "ub strictly
+                # beats every inexact light doc" into a TIE, so
+                # eligibility falls through to the klo/k1/k2 tie-break.
+                # Sound: a1 is odd, so a1 >= t implies a1 >= t|1.
+                bump = 1 if (match_type == 0 and prioritize_exact
+                             and need_ub) else 0
+                t1 = jnp.where(have, khi32[ds] | bump, KEY_MIN32)
                 t2 = jnp.where(have, klo32[ds], KEY_MIN32)
                 ge = (a1 > t1) | ((a1 == t1) &
-                                  ((KLO_MAX > t2) | ((KLO_MAX == t2) & ge34)))
+                                  ((a2 > t2) | ((a2 == t2) & ge34)))
             else:
                 a1 = text_ub if need_ub else k0
                 t1 = jnp.where(have, k0[ds], KEY_MIN)
                 ge = (a1 > t1) | ((a1 == t1) & ge34)
-            elig = heavy & m & ge & (gid.astype(jnp.int64) > h_cursor)
+            elig = heavy & m & ge & (gid.astype(jnp.int64) < h_cursor)
             nh64 = jnp.sum(elig, dtype=jnp.int64)
-            HKT = min(max(K, 1024), N)
-            ecum = jnp.cumsum(elig.astype(jnp.int32))     # inclusive, (N,)
-            import math as _math
-            ecum_iters = max(2, _math.ceil(_math.log2(max(N, 2))) + 1)
-            kk = jnp.arange(HKT, dtype=jnp.int32)
-            lanes = lower_bound_wide(ecum, 0, N, kk + 1, ecum_iters)
-            h_ids = jnp.where(
-                kk.astype(jnp.int64) < nh64,
-                gid[jnp.clip(lanes, 0, N - 1)].astype(jnp.int64),
-                jnp.int64(-1))
+            HKT = min(max(K, 256), N)
+            use_bh, BWH, NBH, PADNH = _block_params(N, HKT)
+            if use_bh:
+                km = jnp.where(elig, gid, KEY_MIN32)
+                kp_ = jnp.pad(km, (0, PADNH), constant_values=KEY_MIN32) \
+                    if PADNH else km
+                bm = jnp.max(kp_.reshape(NBH, BWH), axis=1)
+                _, ib = lax.top_k(bm, HKT)
+                idx = (ib[:, None] * BWH +
+                       jnp.arange(BWH, dtype=jnp.int32)[None, :]).reshape(-1)
+                ck_h = kp_[idx]
+                sh = lax.sort(jnp.where(ck_h == KEY_MIN32, jnp.int64(2**62),
+                                        -ck_h.astype(jnp.int64)))
+                h_ids = jnp.where(sh[:HKT] == 2**62, jnp.int64(-1),
+                                  -sh[:HKT])
+            else:
+                tk = min(HKT, N)
+                vh, _ih = lax.top_k(jnp.where(elig, gid, jnp.int32(-1)), tk)
+                h_ids = jnp.where(vh >= 0, vh.astype(jnp.int64),
+                                  jnp.int64(-1))
+                if tk < HKT:
+                    h_ids = jnp.pad(h_ids, (0, HKT - tk),
+                                    constant_values=-1)
 
         # ---- phase 5: facet counts (single-value fused one-hot) ----
         f_acc = []
@@ -1626,7 +1701,7 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,
                 out.append(h_ids)
                 out.append(nh64[None])
             else:
-                out.append(jnp.full((min(max(K, 1024), N),), -1, jnp.int64))
+                out.append(jnp.full((min(max(K, 256), N),), -1, jnp.int64))
                 out.append(jnp.zeros((1,), jnp.int64))
         return jnp.concatenate(out)
 
@@ -1759,7 +1834,7 @@ def build_probe_kernel(Q: int, F: int, C: int, S: int,
 def unpack_result(buf, K: int, facet_sizes: tuple, heavy_k: int = 0):
     """Host-side unpacking of the single packed result buffer. With
     heavy_k > 0 (the dense2 host-rescore protocol: heavy_k =
-    min(max(K, 1024), N)), also returns (heavy_ids valid-only, nh_total)."""
+    min(max(K, 256), N)), also returns (heavy_ids valid-only, nh_total)."""
     import numpy as np
     buf = np.asarray(buf)
     rid = buf[:K].astype(np.int32)
