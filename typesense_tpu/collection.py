@@ -120,6 +120,14 @@ class Collection:
                 raise BadRequest(
                     "There are duplicate field names in the schema.")
             seen.add(f.name)
+        if not enable_nested_fields and any(
+                getattr(f, "is_object", False) for f in fields):
+            # collection_nested_fields_test.cpp
+            # ErrorWhenObjectTypeUsedWithoutEnablingNestedFields
+            raise BadRequest(
+                "Type `object` or `object[]` can be used only when nested "
+                "fields are enabled by setting` enable_nested_fields` to "
+                "true.")
         self.field_map = {f.name: f for f in fields}
         self.default_sorting_field = default_sorting_field
         self.store = store

@@ -395,6 +395,33 @@ PLANE_GROUP_ROWS = 8   # rows per runtime-cache group: an insert copies one
 # does NOT alias, so group size IS the insert cost
 
 
+@lru_cache(maxsize=32)
+def make_plane_gather(NP: int, n: int):
+    """Per-query plane gather: copies the n runtime-cache rows a query
+    needs into a private (n, NP) pair the dense2 kernel indexes directly.
+    Group selection happens on the HOST (the engine passes the right group
+    array per position), so the big kernel carries no lax.switch — a
+    22-branch switch over group operands pushed its XLA compile past 19
+    minutes on this toolchain."""
+    import typesense_tpu.core.jaxcfg  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def gather(ris, *groups):
+        # groups: n A-group arrays then n B-group arrays, each (g, NP)
+        z = jnp.int32(0)
+        outs_a = [lax.dynamic_slice(groups[j], (ris[j], z), (1, NP))
+                  for j in range(n)]
+        outs_b = [lax.dynamic_slice(groups[n + j], (ris[j], z), (1, NP))
+                  for j in range(n)]
+        return (jnp.concatenate(outs_a, axis=0),
+                jnp.concatenate(outs_b, axis=0))
+
+    return gather
+
+
 @lru_cache(maxsize=8)
 def make_group_row_writer(NP: int, g: int):
     """Jitted densifier for the grouped runtime plane cache: builds one

@@ -537,6 +537,7 @@ class IndexEngine:
             hv_flag[i] = 1 if is_head else 0
 
         pinned_slots: list[int] = []
+        qplane_pos: dict[int, int] = {}   # absolute cache slot -> position
         use_cache = cache_route and mode == "dense2"
         if use_cache:
             self._plane_lock.acquire()
@@ -558,11 +559,18 @@ class IndexEngine:
                                 h = head_map.get(rid)
                                 if h is None and use_cache:
                                     # densify + cache the row; the slot is
-                                    # pinned until the query's last dispatch
-                                    h = self._plane_slot_for(rid, s0, e0)
-                                    if h is not None:
-                                        self._plane_pin([h])
-                                        pinned_slots.append(h)
+                                    # pinned (self-eviction guard) until
+                                    # the query's dispatch. hrow carries
+                                    # H + per-query POSITION — the kernel
+                                    # reads the private gathered buffer,
+                                    # not the groups
+                                    aslot = self._plane_slot_for(rid, s0, e0)
+                                    if aslot is not None:
+                                        self._plane_pin([aslot])
+                                        pinned_slots.append(aslot)
+                                        pos = qplane_pos.setdefault(
+                                            aslot, len(qplane_pos))
+                                        h = self._plane_H + pos
                                 slots = head_slots.setdefault(q * Fq + f, [])
                                 if h is not None and len(slots) < HPF_MAX:
                                     slots.append((h, int(cand_costs[q, c])))
@@ -717,7 +725,8 @@ class IndexEngine:
                 "K": K, "use_probe": use_probe, "qbuf": qbuf,
                 "n_sc": n_sc, "n_chunks": n_chunks, "drv_total": drv_total,
                 "fis": tuple(fis), "CAP_M": CAP_M,
-                "pinned_slots": pinned_slots}
+                "pinned_slots": pinned_slots,
+                "qplane_slots": list(qplane_pos)}
         if mode == "dense2":
             prep["hrow"] = hrow if HPF else np.zeros(0, np.int64)
             prep["hcost"] = hcost if HPF else np.zeros(0, np.int64)
@@ -1018,10 +1027,28 @@ class IndexEngine:
                    self.dev.head_a, self.dev.head_b, fmask)
             post = (cols[0], cols[1], cols[2], f_single)
             heavy = self.dev.heavy_ids
-            # grouped runtime plane cache: captured under the plane lock
-            # (an insert donates a group, killing the old array object)
-            c_a = tuple(self._cache_groups_a)
-            c_b = tuple(self._cache_groups_b)
+            # per-query plane gather: copy the runtime-cache rows this
+            # query needs into a private (n_pad, NP) pair. Groups resolve
+            # HOST-side (we know each slot's group), the pad bucket keeps
+            # compile shapes few, and the private copy makes the dispatch
+            # immune to later evictions (paging re-uses it as-is)
+            c_a = c_b = None
+            qslots = prep.get("qplane_slots") or []
+            if qslots:
+                from typesense_tpu.index.artifacts import make_plane_gather
+                n_pad = 1 << (len(qslots) - 1).bit_length() \
+                    if len(qslots) > 1 else 1
+                g = self._plane_g
+                gis = [(s - self._plane_H) // g for s in qslots]
+                ris = [(s - self._plane_H) % g for s in qslots]
+                while len(gis) < n_pad:
+                    gis.append(gis[0])
+                    ris.append(ris[0])
+                gat = make_plane_gather(self._plane_NPW, n_pad)
+                c_a, c_b = gat(
+                    jnp.asarray(np.asarray(ris, np.int32)),
+                    *[self._cache_groups_a[i] for i in gis],
+                    *[self._cache_groups_b[i] for i in gis])
 
             def solo_call(qb):
                 return kern(*pre, jnp.asarray(qb), *post, heavy_ids=heavy,
@@ -1076,15 +1103,9 @@ class IndexEngine:
                 while got < nh and len(coll[-1]):
                     qb = np.array(prep["qbuf"], copy=True)
                     qb[-1] = int(coll[-1].min())
-                    # re-dispatch under the plane lock with FRESH head
-                    # refs: a cache insert may have donated (replaced)
-                    # dev.head_a/head_b since the first dispatch; the
-                    # query's own slots are pinned so their content holds
-                    with self._plane_lock:
-                        buf2 = kern(*pre, jnp.asarray(qb), *post,
-                                    heavy_ids=heavy,
-                                    cache_a=tuple(self._cache_groups_a),
-                                    cache_b=tuple(self._cache_groups_b))
+                    # the private gathered plane buffer makes this
+                    # re-dispatch insensitive to cache churn
+                    buf2 = solo_call(qb)
                     _, _, _, _, _, _, h2, nh2 = kernels.unpack_result(
                         buf2, K, f_sizes, heavy_k=HKT)
                     if not len(h2):

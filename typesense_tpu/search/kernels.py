@@ -747,7 +747,7 @@ def build_dense2_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
                field_token_counts, head_a, head_b, filter_mask, qbuf,
                sort_col0, sort_col1, sort_col2, facet_cols, doc_base=None,
-               heavy_ids=None, cache_a=(), cache_b=()):
+               heavy_ids=None, cache_a=None, cache_b=None):
         return dense2_kernel_body(
             Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
             slot_signs, prioritize_exact, prioritize_num_fields, n_facets,
@@ -788,7 +788,7 @@ def build_dense2_batched_kernel(Q: int, F: int, C: int, HPF: int, SCB: int,
     def kernel(post_doc_ids, post_meta, pos_offsets, positions,
                field_token_counts, head_a, head_b, filter_mask, qbufs,
                sort_col0, sort_col1, sort_col2, facet_cols,
-               heavy_ids=None, cache_a=(), cache_b=()):
+               heavy_ids=None, cache_a=None, cache_b=None):
         def one(qbuf):
             return dense2_kernel_body(
                 Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters, slot_kinds,
@@ -816,20 +816,22 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,  # noqa: C
                        qbuf, sort_col0, sort_col1, sort_col2, facet_cols,
                        doc_base=None, heavy_ids=None, CAP_H: int = 1024,
                        CAP_M: int = 0, field_is_array: tuple = (),
-                       heavy_out: bool = False, cache_a=(), cache_b=()):
+                       heavy_out: bool = False, cache_a=None, cache_b=None):
     """Traceable dense2 program shared by the single-chip jit wrapper
     (build_dense2_kernel) and the shard_map'd multi-chip engine
     (parallel/sharded.py), which calls it per doc shard and merges the
     packed result buffers with ICI collectives.
 
-    cache_a/cache_b: runtime plane-cache GROUPS — tuples of (g, NP) int32
-    arrays holding densified rows the engine built on demand. Grouping
-    bounds the insert cost: this backend's buffer donation does not alias
-    (measured: a donated row write into one (H+E, NP) pair copied the
-    whole ~4.8 GB cache, ~25 ms/insert), so inserts copy a single 2*g*NP
-    group (~141 MB at g=8, ~0.7 ms). hrow slot values >= head_a.shape[0]
-    index the cache: slot s reads group (s-H)//g row (s-H)%g via a
-    lax.switch over the group tuple."""
+    cache_a/cache_b: the query's PRIVATE plane buffer — (n, NP) int32
+    pairs holding the runtime-cache rows this query needs, gathered by the
+    engine right before dispatch (artifacts.make_plane_gather; group
+    selection is host-side — an in-kernel lax.switch over group operands
+    pushed XLA compiles past 19 minutes). The backing cache itself lives
+    in small (g, NP) groups because this backend's buffer donation does
+    not alias: a donated row write into one monolithic (H+E, NP) pair
+    copied the whole ~4.8 GB cache (~25 ms/insert); per-group copies cost
+    ~0.2 ms. hrow values >= head_a.shape[0] index cache_a/cache_b by
+    position."""
     exclude = tuple(bool(x) for x in exclude_flags) + \
         (False,) * (Q - len(exclude_flags))
     has_scatter = SCB > 0 or SCBB > 0
@@ -968,20 +970,16 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,  # noqa: C
                 rsafe = jnp.clip(row, 0, H_rows - 1)
                 ha = lax.dynamic_slice(head_a, (rsafe, jnp.int32(0)),
                                        (1, HW))[0][:N]
-                if cache_a:
-                    # slot values >= H_rows live in the grouped runtime
-                    # plane cache; select the group via switch, the row
-                    # within it via dynamic_slice
-                    gsz = cache_a[0].shape[0]
-                    crow = jnp.clip(row - H_rows, 0,
-                                    len(cache_a) * gsz - 1)
-                    gi = (crow // gsz).astype(jnp.int32)
-                    ri = (crow % gsz).astype(jnp.int32)
-                    ca = lax.switch(gi, [
-                        (lambda i=i: lax.dynamic_slice(
-                            cache_a[i], (ri, jnp.int32(0)),
-                            (1, cache_a[i].shape[1]))[0][:N])
-                        for i in range(len(cache_a))])
+                if cache_a is not None:
+                    # hrow values >= H_rows index the per-query plane
+                    # buffer (engine gathered the needed runtime-cache
+                    # rows into a private (n, NP) pair before dispatch —
+                    # host-side group resolution, no control flow here)
+                    QW = cache_a.shape[0]
+                    crow = jnp.clip(row - H_rows, 0, QW - 1)
+                    ca = lax.dynamic_slice(
+                        cache_a, (crow, jnp.int32(0)),
+                        (1, cache_a.shape[1]))[0][:N]
                     ha = jnp.where(row >= H_rows, ca, ha)
                 ha = jnp.where(
                     (row >= 0) & (ha != MA_EMPTY),
@@ -991,12 +989,10 @@ def dense2_kernel_body(Q, F, C, HPF, SCB, SCBB, SSB, K, HC, P, iters,  # noqa: C
                 if need_pos:
                     hb = lax.dynamic_slice(head_b, (rsafe, jnp.int32(0)),
                                            (1, HW))[0][:N]
-                    if cache_b:
-                        cb = lax.switch(gi, [
-                            (lambda i=i: lax.dynamic_slice(
-                                cache_b[i], (ri, jnp.int32(0)),
-                                (1, cache_b[i].shape[1]))[0][:N])
-                            for i in range(len(cache_b))])
+                    if cache_b is not None:
+                        cb = lax.dynamic_slice(
+                            cache_b, (crow, jnp.int32(0)),
+                            (1, cache_b.shape[1]))[0][:N]
                         hb = jnp.where(row >= H_rows, cb, hb)
                     vb = jnp.where(take, hb, vb)
                 va = jnp.minimum(va, ha)
