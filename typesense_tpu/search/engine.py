@@ -205,6 +205,7 @@ class IndexEngine:
                                       self._plane_H + n_slots))
         self._plane_lru: OrderedDict[int, int] = OrderedDict()  # row -> slot
         self._plane_slot_row: dict[int, int] = {}               # slot -> row
+        self._plane_row_len: dict[int, int] = {}                # slot -> len
         self._plane_pins: dict[int, int] = {}                   # slot -> pins
         import random as _random
         self._plane_rng = _random.Random(0xC0FFEE)
@@ -227,17 +228,24 @@ class IndexEngine:
         if self._plane_free:
             slot = self._plane_free.pop()
         else:
-            # RANDOM eviction, not LRU: a query mix whose distinct-row
-            # working set exceeds the slot count turns LRU into a cyclic
-            # scan with a 0% hit rate (measured: 2688 evictions / 359 hits
-            # over one bench pass); random eviction degrades to ~slots/set
-            # hits and keeps Zipf-hot rows resident in expectation
+            # RANDOM-SAMPLE eviction, not LRU: a query mix whose distinct-
+            # row working set exceeds the slot count turns LRU into a
+            # cyclic scan with a 0% hit rate (measured: 2688 evictions /
+            # 359 hits over one bench pass); random eviction degrades to
+            # ~slots/set hits. Among an 8-slot sample, evict the SHORTEST
+            # row: rebuild cost is ~linear in postings (a 1M-row densify
+            # costs ~5-7 ms, a 10k row ~0.3 ms), so keeping long rows
+            # resident minimizes expected rebuild time (GreedyDual-Size)
             slot = None
             cands = [s for s in self._plane_slot_row
                      if not self._plane_pins.get(s)]
             if cands:
-                slot = cands[self._plane_rng.randrange(len(cands))]
+                sample = [cands[self._plane_rng.randrange(len(cands))]
+                          for _ in range(min(8, len(cands)))]
+                slot = min(sample, key=lambda s: self._plane_row_len.get(
+                    s, 0))
                 del self._plane_lru[self._plane_slot_row.pop(slot)]
+                self._plane_row_len.pop(slot, None)
                 PLANE_CACHE_STATS["evictions"] += 1
             if slot is None:
                 PLANE_CACHE_STATS["starved"] += 1
@@ -255,6 +263,7 @@ class IndexEngine:
         self._cache_groups_b[gi] = gb
         self._plane_lru[row] = slot
         self._plane_slot_row[slot] = row
+        self._plane_row_len[slot] = end - start
         return slot
 
     def _plane_pin(self, slots):
