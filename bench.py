@@ -40,7 +40,7 @@ BASELINE_AVG_MS = 11.0
 BASELINE_QPS = 104.0  # README.md:111 concurrent QPS, 2.2M recipes, 4 vCPUs
 
 T_START = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 780))
 RESULTS: dict = {}
 _EMITTED = False
 
@@ -473,6 +473,12 @@ def run_extra_configs(coll, queries, rng, conc):
     NV = int(os.environ.get("BENCH_VECTOR_DOCS", 2_000_000))
     DIM, KQ = 768, 10
     if remaining() > 150:
+        # free the keyword engine's ~6 GB plane cache: the vector corpus
+        # + IVF need the HBM headroom
+        try:
+            coll._ensure_index().release_plane_cache()
+        except Exception as e:  # noqa: BLE001
+            note(f"plane cache release skipped: {e}")
         from typesense_tpu.ops import ivf as ivf_mod
         import jax
         t0 = time.time()

@@ -332,12 +332,12 @@ def plane_cache_rows(num_docs: int) -> int:
     rows = os.environ.get("TS_PLANE_CACHE_ROWS")
     if rows is not None:
         return max(int(rows), 0)
-    # default sized so the engine's static HBM footprint stays ~4 GB at
-    # 2.2M docs: even if the runtime's donation aliasing regresses to
-    # copy-mode, insert transients fit comfortably on a 16 GB chip
-    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "2048")) * 1_000_000
+    # sized for a 16 GB chip: ~7.8 GB static at 2.2M docs with the 6 GB
+    # default (bench releases the cache before its vector config); slot
+    # count capped so small corpora don't densify the whole vocabulary
+    budget = int(os.environ.get("TS_PLANE_CACHE_MB", "6144")) * 1_000_000
     NP = -(-max(num_docs, 1) // 128) * 128
-    return max(budget // (8 * NP), 0)
+    return min(max(budget // (8 * NP), 0), 1024)
 
 
 def build_head_planes(seg: SegmentArrays, post_doc_ids_dev):

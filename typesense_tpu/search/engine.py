@@ -266,6 +266,20 @@ class IndexEngine:
         self._plane_row_len[slot] = end - start
         return slot
 
+    def release_plane_cache(self):
+        """Free the runtime plane cache's device memory (bench releases it
+        before memory-hungry phases like the 2M x 768 vector config).
+        Subsequent dense2 queries fall back to the scatter path."""
+        with self._plane_lock:
+            self._plane_cache_on = False
+            self._cache_groups_a = []
+            self._cache_groups_b = []
+            self._plane_free = []
+            self._plane_lru.clear()
+            self._plane_slot_row.clear()
+            self._plane_row_len.clear()
+            self._plane_meta = None
+
     def _plane_pin(self, slots):
         for s in slots:
             self._plane_pins[s] = self._plane_pins.get(s, 0) + 1
