@@ -379,7 +379,12 @@ def main():
         RESULTS["plane_cache_hit_pct"] = round(100 * h / (h + m), 1)
 
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
-        run_extra_configs(coll, queries, rng, conc)
+        # an extras failure (e.g. an OOM on a config-specific compile) must
+        # never cost the already-measured headline its emit
+        try:
+            run_extra_configs(coll, queries, rng, conc)
+        except Exception as e:  # noqa: BLE001
+            note(f"extras aborted: {type(e).__name__}: {e}")
 
     emit()
 
@@ -452,18 +457,26 @@ def run_extra_configs(coll, queries, rng, conc):
     # config 2: typo-tolerant prefix search with proximity ranking
     if remaining() > 60:
         typo_queries = [q[:-1] + "x" if len(q) > 4 else q for q in sub]
-        out["typo_prefix_qps"] = timed_qps(
-            typo_queries, {"query_by": "title,ingredients", "prefix": "true",
-                           "num_typos": "2", "per_page": 10})
+        try:
+            out["typo_prefix_qps"] = timed_qps(
+                typo_queries, {"query_by": "title,ingredients",
+                               "prefix": "true",
+                               "num_typos": "2", "per_page": 10})
+        except Exception as e:  # noqa: BLE001
+            note(f"typo config failed: {type(e).__name__}: {e}")
     else:
         note("skip typo config (budget)")
     # config 3: filtered + faceted + sorted
     if remaining() > 45:
-        out["filter_facet_qps"] = timed_qps(
-            sub, {"query_by": "title,ingredients", "prefix": "false",
-                  "num_typos": "0", "per_page": 10,
-                  "filter_by": "popularity:>50000", "facet_by": "cuisine",
-                  "sort_by": "popularity:desc"})
+        try:
+            out["filter_facet_qps"] = timed_qps(
+                sub, {"query_by": "title,ingredients", "prefix": "false",
+                      "num_typos": "0", "per_page": 10,
+                      "filter_by": "popularity:>50000",
+                      "facet_by": "cuisine",
+                      "sort_by": "popularity:desc"})
+        except Exception as e:  # noqa: BLE001
+            note(f"filter config failed: {type(e).__name__}: {e}")
     else:
         note("skip filter config (budget)")
 

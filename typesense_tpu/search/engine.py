@@ -43,6 +43,11 @@ DENSE2_BATCH = _os.environ.get("TS_BATCH_DENSE2", "0") == "1"
 # runtime plane-cache telemetry (bench/stats read these)
 PLANE_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0, "starved": 0}
 
+# max runtime-cache rows gathered per query (n_pad caps at the next pow2):
+# wider gathers compile per-width programs whose AOT HBM accounting scales
+# with width x group size — n_pad=32 exceeded 16 GB at 2.2M docs
+QPLANE_MAX = int(_os.environ.get("TS_QPLANE_MAX", "8"))
+
 
 @jax.jit
 def _geo_distance_keys(geo_col, lat, lng, exclude_radius_m, precision_m,
@@ -580,7 +585,14 @@ class IndexEngine:
                                           and bool(exclude_flags[q]))
                                 rid = int(cand_rows[q, f, c])
                                 h = head_map.get(rid)
-                                if h is None and use_cache:
+                                # cap gathered rows per query: the plane
+                                # gather's AOT footprint grows with n_pad
+                                # (each group arg pins 2*g*NP bytes of HBM
+                                # accounting) — a 32-wide typo gather
+                                # compile OOMed a 16 GB chip. Beyond the
+                                # cap, rows spill to the scatter path.
+                                if h is None and use_cache and \
+                                        len(qplane_pos) < QPLANE_MAX:
                                     # densify + cache the row; the slot is
                                     # pinned (self-eviction guard) until
                                     # the query's dispatch. hrow carries
