@@ -440,7 +440,7 @@ class ShardedEngine:
             m32 = np.asarray(pack_post_meta32_device(
                 seg.post_flags, seg.pos_offsets, seg.positions))
             metas.append(pad(m32.astype(np.uint32), P_len))
-            ha, hb, hm, _pm = build_head_planes(seg, pd)
+            ha, hb, hm = build_head_planes(seg, pd)
             heads_a.append(np.asarray(ha))
             heads_b.append(np.asarray(hb))
             hp, ho = build_heavy_lists(seg)
